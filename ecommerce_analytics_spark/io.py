@@ -1,0 +1,80 @@
+"""Source/sink helpers (SURVEY.md §2.1).
+
+Parquet is the engine's native format (columnar scan + pushdown +
+pruning). CSV/JSON readers mirror the reference's ingest surfaces
+(data_loader.py:41, event_simulator.py:53); Kafka wiring lives in
+``ecommerce_analytics_spark.sources.kafka`` behind availability gates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_analytics_spark.schemas import DRIVER_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. Plain parquet scan — Catalyst pushes
+    predicates and prunes columns from whatever the caller selects."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = DRIVER_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = DRIVER_TABLES) -> None:
+    """Register each driver table as a temp view for spark.sql use."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_retail_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV scan with explicit schema + latin-1 encoding.
+
+    Mirrors the reference loader (data_loader.py:41 — ``pd.read_csv(...,
+    encoding='unicode_escape')``) as a distributed scan.
+    """
+    from ecommerce_analytics_spark.schemas import RETAIL_TRANSACTION
+    return (
+        spark.read.schema(RETAIL_TRANSACTION)
+        .option("header", True)
+        .option("encoding", "ISO-8859-1")
+        .option("timestampFormat", "M/d/yyyy H:mm")
+        .csv(path)
+    )
+
+
+def read_events_json(spark: SparkSession, path: str) -> DataFrame:
+    """Event-array JSON scan (event_simulator.py:53-54)."""
+    from ecommerce_analytics_spark.schemas import CUSTOMER_EVENT
+    return (
+        spark.read.schema(CUSTOMER_EVENT)
+        .option("multiLine", True)
+        .json(path)
+    )
+
+
+def write_events_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON sink (data_loader.py:214-215), distributed."""
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_cols: tuple[str, ...] = (),
+                              mode: str = "overwrite") -> None:
+    """Date/event-type partitioned lake layout (README.md:45-47, C7).
+
+    Partition columns become directory levels → dynamic partition
+    pruning fires on reads that filter them.
+    """
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

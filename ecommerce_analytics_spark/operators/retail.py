@@ -1,0 +1,88 @@
+"""Retail-transaction binding over the driver star schema.
+
+The reference operates on UK Online Retail invoice lines
+(data_loader.py:41-84). The driver supplies TPC-H-ish tables instead,
+so every retail-shaped operator binds through this view (FIXTURES.md
+§C): ``lineitem ⋈ orders`` with
+
+    customer_id   = o_custkey        (CustomerID)
+    invoice_no    = l_orderkey       (InvoiceNo)
+    line_no       = l_linenumber
+    stock_code    = l_partkey        (StockCode)
+    invoice_date  = l_shipdate       (InvoiceDate)
+    quantity      = l_quantity       (Quantity)
+    unit_price    = l_extendedprice  (UnitPrice)
+    total_amount  = l_extendedprice * (1 - l_discount)   (TotalAmount, P6)
+    is_return     = l_returnflag = 'R'                   (IsReturn, P7)
+    is_credit_note= is_return AND o_orderstatus = 'F'    ('C'-invoice analog)
+
+Determinism contract: ``(l_orderkey, l_linenumber)`` is NOT unique in
+the synthetic data, so ordered operators sort by the full ORDER_KEYS
+tuple — distinct rows are totally ordered; remaining ties are
+bit-identical rows, which window frames treat interchangeably (the
+output multiset is unchanged). The DuckDB oracles use the same keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+
+# Total order for every sequential/window operator (and its oracles).
+ORDER_KEYS = ("invoice_date", "invoice_no", "line_no", "stock_code",
+              "supp_id", "quantity", "unit_price")
+
+# Thresholds — reference semantics (qty > 10, amount > 100;
+# data_loader.py:128-131) rescaled to the synthetic distribution
+# (quantity uniform 1..50, amount ~U(0..100k)).
+BULK_QTY = 40
+HIGH_VALUE_AMOUNT = 75000.0
+
+
+def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders → retail-transaction view.
+
+    orders is far below the broadcast threshold at test SFs, so
+    Catalyst broadcasts it; at cluster scale AQE falls back to a
+    sort-merge join on the shared l_orderkey/o_orderkey key.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    is_return = F.col("l_returnflag") == "R"
+    return joined.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_orderkey").alias("invoice_no"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_partkey").alias("stock_code"),
+        F.col("l_suppkey").alias("supp_id"),
+        F.col("l_shipdate").alias("invoice_date"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("unit_price"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("total_amount"),
+        is_return.alias("is_return"),
+        (is_return & (F.col("o_orderstatus") == "F")).alias("is_credit_note"),
+    )
+
+
+# The same view as a DuckDB CTE — prepended to every retail oracle.
+TXN_CTE = """
+WITH txn AS (
+  SELECT o.o_custkey                            AS customer_id,
+         l.l_orderkey                           AS invoice_no,
+         l.l_linenumber                         AS line_no,
+         l.l_partkey                            AS stock_code,
+         l.l_suppkey                            AS supp_id,
+         l.l_shipdate                           AS invoice_date,
+         l.l_quantity                           AS quantity,
+         l.l_extendedprice                      AS unit_price,
+         l.l_extendedprice * (1 - l.l_discount) AS total_amount,
+         (l.l_returnflag = 'R')                 AS is_return,
+         (l.l_returnflag = 'R' AND o.o_orderstatus = 'F') AS is_credit_note
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+"""
+
+ORDER_KEYS_SQL = ", ".join(ORDER_KEYS)

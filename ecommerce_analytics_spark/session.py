@@ -1,0 +1,63 @@
+"""SparkSession construction and per-query session tuning.
+
+Local test runs use ``local[N]`` (one JVM); the configuration is chosen
+so the same logical plans scale to a multi-executor cluster: AQE on
+(runtime coalesce + skew-join handling), shuffle partitions sized to the
+core count locally (on a real cluster this is overridden to ~2-3× total
+cores or left to AQE), Arrow enabled for the few pandas-UDF surfaces.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Broadcast anything under 64 MB — the driver test dims (region, nation,
+# customer, supplier, part) are all far below this at any tested SF; on a
+# 100 TB cluster the dims stay broadcastable while facts shuffle.
+_BROADCAST_THRESHOLD = str(64 * 1024 * 1024)
+
+
+def get_spark(app_name: str = "ecommerce_analytics_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned local SparkSession."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs we depend on to an externally-built session.
+
+    The driver passes us its own SparkSession; these are all runtime-
+    settable and make results deterministic (UTC timestamps) and plans
+    scale-shaped (AQE, broadcast threshold) regardless of how the
+    session was built.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
+    except Exception:
+        pass  # static in some deployments; broadcast() hints still apply
+    return spark
