@@ -19,8 +19,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Plain parquet scan — Catalyst pushes
-    predicates and prunes columns from whatever the caller selects."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    predicates and prunes columns from whatever the caller selects.
+
+    The events table stores nanosecond timestamps, which the Spark
+    parquet reader rejects; read them as raw longs and convert with
+    exact integer division (µs truncation — matching how DuckDB's
+    µs-native TIMESTAMP reads the same file).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -1,5 +1,11 @@
 """Operator modules. Importing this package registers every query."""
 
 from ecommerce_analytics_spark.operators import (  # noqa: F401
+    aggregates,
     classification,
+    cleaning,
+    events_enrichment,
+    joins,
+    sorts,
+    star,
 )

@@ -1,0 +1,221 @@
+"""Aggregation operators (SURVEY.md §2.3, A1-A8).
+
+All partial-aggregable groupBys — Spark's map-side combine means one
+shuffle of pre-aggregated partials, which is the shape that survives
+a 100 TB fact table. Distinct counts are exact here (batch); the
+streaming twins use approx_count_distinct (documented divergence,
+SURVEY §7 hard-parts #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+
+@query(
+    "event_type_distribution",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE)
+             AS share
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="A1: count per event_type + share of total "
+        "(event_simulator.py:65-73, data_loader.py:187-191).",
+    tags=("agg", "tier-a"),
+)
+def q_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    return counts.select(
+        "event_type", "n_events",
+        (F.col("n_events") / F.sum("n_events").over(Window.partitionBy()))
+        .alias("share"),
+    )
+
+
+@query(
+    "conditional_counts",
+    """
+    SELECT CAST(count(*) FILTER (WHERE user_id % 7 != 0) AS BIGINT) AS n_identified,
+           CAST(count(*) FILTER (WHERE user_id % 7 = 0) AS BIGINT) AS n_anonymous,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM events
+    """,
+    doc="A2: conditional counts in one scan (count_if), mirroring the "
+        "identified/anonymous split (data_loader.py:194-196).",
+    tags=("agg", "tier-a"),
+)
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.count_if(F.col("user_id") % 7 != 0).alias("n_identified"),
+        F.count_if(F.col("user_id") % 7 == 0).alias("n_anonymous"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "timestamp_span",
+    """
+    SELECT min(ts) AS first_ts, max(ts) AS last_ts,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    """,
+    doc="A3: stream time span (event_simulator.py:150-152).",
+    tags=("agg", "tier-a"),
+)
+def q_timestamp_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+        .alias("span_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "returns_ratio",
+    """
+    SELECT CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returns,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS return_rate
+    FROM lineitem
+    """,
+    doc="A4: filtered count + ratio of returns (data_loader.py:87-89).",
+    tags=("agg", "tier-a"),
+)
+def q_returns_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    is_return = F.col("l_returnflag") == "R"
+    return lineitem.agg(
+        F.count_if(is_return).alias("n_returns"),
+        F.count(F.lit(1)).alias("n_total"),
+        (F.count_if(is_return).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("return_rate"),
+    )
+
+
+@query(
+    "hourly_revenue",
+    """
+    SELECT date_trunc('hour', ts) AS hour_timestamp,
+           round(sum(value), 2) AS total_revenue,
+           CAST(count(*) AS BIGINT) AS order_count,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS unique_customers
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY date_trunc('hour', ts)
+    """,
+    doc="A6/T4: tumbling hourly revenue materialized view "
+        "(init-db.js:40-65) — batch formulation; streaming twin adds "
+        "withWatermark + window() in streaming/windows.py.",
+    tags=("agg", "window", "tier-b", "stream-parity"),
+)
+def q_hourly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_timestamp"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("user_id").alias("unique_customers"),
+        )
+    )
+
+
+@query(
+    "popular_products",
+    """
+    SELECT l.l_partkey AS product_id,
+           any_value(p.p_name) AS product_name,
+           sum(l.l_quantity) AS total_quantity,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY l.l_partkey
+    ORDER BY total_quantity DESC, product_id
+    LIMIT 20
+    """,
+    doc="A7/O3: popular-products top-k (init-db.js:67-92, desc index "
+        ":148). Broadcast dim join + partial agg + TakeOrderedAndProject; "
+        "the limit-k cutoff is deterministic (integer-valued quantities, "
+        "product_id tiebreak).",
+    tags=("agg", "topk", "tier-b"),
+)
+def q_popular_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part),
+                      lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("product_id"))
+        .agg(
+            F.any_value(F.col("p_name")).alias("product_name"),
+            F.sum("l_quantity").alias("total_quantity"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("total_revenue"),
+        )
+        .orderBy(F.desc("total_quantity"), F.asc("product_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "distinct_user_event_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="A8: exact distinct (unique-key enforcement analog, "
+        "init-db.js:140) — hash-shuffle dedup.",
+    tags=("dedup", "tier-a"),
+)
+def q_distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").distinct()
+
+
+@query(
+    "daily_revenue_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           event_type,
+           round(sum(value), 2) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(round(sum(value), 2) / count(*), 6) AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="C7-shaped rollup keyed by the lake partition columns "
+        "(event_date, event_type) — the aggregate that partition "
+        "pruning serves at 100 TB.",
+    tags=("agg", "tier-c"),
+)
+def q_daily_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        "event_type",
+    ).agg(
+        # avg derived from the rounded sum: raw float avgs can straddle
+        # a rounding boundary across engines (seen at sf0.01)
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6)
+        .alias("avg_value"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )

@@ -1,0 +1,131 @@
+"""Batch cleaning / projection operators (SURVEY.md §2.2, P1-P11).
+
+Re-expresses the reference's pandas cleaning pipeline
+(data_loader.py:36-96) and event synthesis (:146-178) as declarative
+column expressions — Catalyst pushes the range predicates into the
+parquet scan and prunes unused columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.operators.retail import (
+    ORDER_KEYS, ORDER_KEYS_SQL, TXN_CTE, transactions,
+)
+from ecommerce_analytics_spark.plans.registry import query
+
+_CLEAN_ORACLE = TXN_CTE + """
+SELECT CAST(invoice_no AS VARCHAR) || '_' || CAST(stock_code AS VARCHAR) AS event_id,
+       'customer_' || CAST(customer_id AS VARCHAR) AS user_key,
+       CASE WHEN month(invoice_date) IN (11, 12) THEN 'holiday'
+            WHEN month(invoice_date) IN (3, 4, 5) THEN 'spring'
+            WHEN month(invoice_date) IN (6, 7, 8) THEN 'summer'
+            ELSE 'fall' END AS season,
+       CASE WHEN customer_id % 10 = 0 THEN 'anonymous'
+            ELSE 'identified' END AS customer_type,
+       quantity, unit_price, total_amount, is_return, invoice_date
+FROM txn
+WHERE quantity > -100000 AND quantity < 100000
+  AND unit_price > 0 AND unit_price < 100000
+"""
+
+
+@query(
+    "clean_transactions",
+    _CLEAN_ORACLE,
+    doc="P1-P11 composite: range filters (data_loader.py:68,78), derived "
+        "TotalAmount/IsReturn (:81,:84), key synthesis (:147,:110), season "
+        "and customer_type CASE (:169-178,:163-167).",
+    tags=("projection", "filter", "tier-a"),
+)
+def q_clean_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txn = transactions(spark, sf_dir)
+    month = F.month("invoice_date")
+    return (
+        txn
+        # P4/P5 range predicates — pushed to the scan by Catalyst
+        .filter((F.col("quantity") > -100000) & (F.col("quantity") < 100000))
+        .filter((F.col("unit_price") > 0) & (F.col("unit_price") < 100000))
+        .select(
+            # P8 key synthesis
+            F.concat_ws("_", F.col("invoice_no").cast("string"),
+                        F.col("stock_code").cast("string")).alias("event_id"),
+            F.concat(F.lit("customer_"),
+                     F.col("customer_id").cast("string")).alias("user_key"),
+            # P9 season CASE
+            F.when(month.isin(11, 12), "holiday")
+            .when(month.isin(3, 4, 5), "spring")
+            .when(month.isin(6, 7, 8), "summer")
+            .otherwise("fall").alias("season"),
+            # P10 customer_type CASE (anonymous analog: custkey % 10 == 0;
+            # the synthetic dims have no null CustomerID)
+            F.when(F.col("customer_id") % 10 == 0, "anonymous")
+            .otherwise("identified").alias("customer_type"),
+            "quantity", "unit_price", "total_amount", "is_return",
+            "invoice_date",
+        )
+    )
+
+
+_SURROGATE_ORACLE = TXN_CTE + f"""
+SELECT invoice_no, line_no, stock_code,
+       CASE WHEN customer_id % 10 = 0
+            THEN -CAST(row_number() OVER (ORDER BY {ORDER_KEYS_SQL}) AS BIGINT)
+            ELSE customer_id END AS customer_id_filled,
+       (customer_id % 10 = 0) AS is_anonymous
+FROM txn
+"""
+
+
+@query(
+    "surrogate_customer_ids",
+    _SURROGATE_ORACLE,
+    doc="P3 null/surrogate-key policy (data_loader.py:50-62): 'missing' "
+        "customers get unique negative IDs. Global row_number is fine at "
+        "test SF; the 100 TB path swaps in monotonically_increasing_id() "
+        "(unique, distributed, not dense) — same uniqueness contract.",
+    tags=("projection", "tier-a"),
+)
+def q_surrogate_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txn = transactions(spark, sf_dir)
+    w = Window.orderBy(*[F.col(c) for c in ORDER_KEYS])
+    is_anon = F.col("customer_id") % 10 == 0
+    return txn.select(
+        "invoice_no", "line_no", "stock_code",
+        F.when(is_anon, -F.row_number().over(w).cast("long"))
+        .otherwise(F.col("customer_id")).alias("customer_id_filled"),
+        is_anon.alias("is_anonymous"),
+    )
+
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "props_json_extract",
+    _PROPS_ORACLE,
+    doc="P12/P17 JSON boundary: parse the untrusted props JSON string "
+        "(get_json_object → null on corrupt, mirroring the parse-error "
+        "drop at RealTimeAnalytics.java:76-82), aggregate per type.",
+    tags=("json", "tier-a"),
+)
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_analytics_spark.io import load_table
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(k).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

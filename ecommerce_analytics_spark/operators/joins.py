@@ -1,0 +1,314 @@
+"""Join-shaped operators (SURVEY.md §2.4, J1-J4).
+
+The reference never writes a relational join (enrichment is stateful
+lookup); the join-shaped capabilities it implies are first-class here:
+broadcast dim enrichment, as-of prior-purchase lookup via window
+frames, basket co-occurrence self-join, and semi/anti forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.retail import (
+    ORDER_KEYS, ORDER_KEYS_SQL, TXN_CTE, transactions,
+)
+from ecommerce_analytics_spark.plans.registry import query
+
+_ASOF_ORACLE = TXN_CTE + f"""
+, hist AS (
+  SELECT txn.*,
+         last_value(CASE WHEN NOT is_return THEN quantity END IGNORE NULLS) OVER (
+           PARTITION BY customer_id, stock_code ORDER BY {ORDER_KEYS_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_qty,
+         last_value(CASE WHEN NOT is_return THEN invoice_date END IGNORE NULLS) OVER (
+           PARTITION BY customer_id, stock_code ORDER BY {ORDER_KEYS_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_date
+  FROM txn
+)
+SELECT customer_id, invoice_no, line_no, stock_code, invoice_date, quantity,
+       last_purchase_qty,
+       CAST(date_diff('day', last_purchase_date, invoice_date) AS INTEGER)
+         AS days_since_purchase,
+       CASE WHEN last_purchase_qty IS NULL THEN 'no_prior_purchase'
+            WHEN abs(quantity) = last_purchase_qty THEN 'full_return'
+            ELSE 'partial_return' END AS return_kind
+FROM hist
+WHERE is_return
+"""
+
+
+@query(
+    "asof_prior_purchase",
+    _ASOF_ORACLE,
+    doc="J2: as-of join intent — each return matched to that customer's "
+        "most recent prior purchase of the same product "
+        "(data_loader.py:120,136-141; implements the evident intent, the "
+        "reference's lookup is unreachable — SURVEY §2.8 bug #1).",
+    tags=("join", "window", "tier-a"),
+)
+def q_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txn = transactions(spark, sf_dir)
+    order_cols = [F.col(c) for c in ORDER_KEYS]
+    w = (Window.partitionBy("customer_id", "stock_code")
+         .orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    not_return = ~F.col("is_return")
+    hist = (
+        txn
+        .withColumn("last_purchase_qty",
+                    F.last(F.when(not_return, F.col("quantity")),
+                           ignorenulls=True).over(w))
+        .withColumn("last_purchase_date",
+                    F.last(F.when(not_return, F.col("invoice_date")),
+                           ignorenulls=True).over(w))
+    )
+    return hist.filter("is_return").select(
+        "customer_id", "invoice_no", "line_no", "stock_code", "invoice_date",
+        "quantity", "last_purchase_qty",
+        F.datediff(F.col("invoice_date"), F.col("last_purchase_date"))
+        .alias("days_since_purchase"),
+        F.when(F.col("last_purchase_qty").isNull(), "no_prior_purchase")
+        .when(F.abs(F.col("quantity")) == F.col("last_purchase_qty"),
+              "full_return")
+        .otherwise("partial_return").alias("return_kind"),
+    )
+
+
+@query(
+    "enrich_events_with_customer",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_name AS customer_name,
+           c.c_mktsegment AS market_segment,
+           n.n_name AS nation_name
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="J1/J3: stream-static enrichment as a broadcast left join — the "
+        "declarative form of the Flink keyed-state lookup "
+        "(RealTimeAnalytics.java:86, README.md:37). Dims broadcast: zero "
+        "shuffle on the fact side at any scale.",
+    tags=("join", "broadcast", "tier-a"),
+)
+def q_enrich_events_with_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        events
+        .join(F.broadcast(customer),
+              events.user_id == customer.c_custkey, "left")
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+_BASKET_CTE = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+"""
+
+_COOCCURRENCE_ORACLE = _BASKET_CTE + """
+SELECT a.l_partkey AS product_a,
+       b.l_partkey AS product_b,
+       CAST(count(*) AS BIGINT) AS n_baskets
+FROM basket a JOIN basket b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+"""
+
+
+@query(
+    "cooccurrence_pairs",
+    _COOCCURRENCE_ORACLE,
+    doc="J4: bought-together co-occurrence — distinct basket items, "
+        "equi self-join on the order key (co-partitioned: one shuffle "
+        "of the deduped basket, join is local), pair counts. Feeds the "
+        "recommendations view (init-db.js:94-137).",
+    tags=("join", "tier-b"),
+)
+def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("product_a"),
+                 F.col("b.l_partkey").alias("product_b"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+
+
+_RECS_ORACLE = _BASKET_CTE + """
+, prod_counts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS product_a, b.l_partkey AS product_b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), sym AS (
+  SELECT product_a AS product_id, product_b AS rec_product_id, c FROM pairs
+  UNION ALL
+  SELECT product_b AS product_id, product_a AS rec_product_id, c FROM pairs
+), scored AS (
+  SELECT s.product_id, s.rec_product_id,
+         CAST(s.c AS DOUBLE) / sqrt(CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE))
+           AS similarity_score
+  FROM sym s
+  JOIN prod_counts pa ON s.product_id = pa.l_partkey
+  JOIN prod_counts pb ON s.rec_product_id = pb.l_partkey
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY product_id
+           ORDER BY similarity_score DESC, rec_product_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT product_id, rec_product_id, similarity_score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "product_recommendations",
+    _RECS_ORACLE,
+    doc="C4/J4: item-similarity recommendations (cosine over basket "
+        "co-occurrence), top-5 per product — the product_recommendations "
+        "materialized view (init-db.js:94-137) flattened; the nested "
+        "array<struct> form is recommendations_nested (rows-only check).",
+    tags=("join", "topk", "tier-b"),
+)
+def q_product_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    prod_counts = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("product_a"),
+                 F.col("b.l_partkey").alias("product_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = pairs.select(
+        F.col("product_a").alias("product_id"),
+        F.col("product_b").alias("rec_product_id"), "c",
+    ).unionAll(pairs.select(
+        F.col("product_b").alias("product_id"),
+        F.col("product_a").alias("rec_product_id"), "c",
+    ))
+    pa = prod_counts.alias("pa")
+    pb = prod_counts.alias("pb")
+    scored = (
+        sym.join(F.broadcast(pa), sym.product_id == F.col("pa.l_partkey"))
+        .join(F.broadcast(pb), sym.rec_product_id == F.col("pb.l_partkey"))
+        .select(
+            "product_id", "rec_product_id",
+            (F.col("c").cast("double")
+             / F.sqrt(F.col("pa.n").cast("double")
+                      * F.col("pb.n").cast("double")))
+            .alias("similarity_score"),
+        )
+    )
+    w = Window.partitionBy("product_id").orderBy(
+        F.desc("similarity_score"), F.asc("rec_product_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("product_id", "rec_product_id", "similarity_score", "rank")
+    )
+
+
+@query(
+    "recommendations_nested",
+    None,  # array<struct> output — rows-only driver check (SURVEY §5.3)
+    doc="C4 nested form: array<struct<product_id, similarity_score>> per "
+        "product, elements sorted (score desc, id) exactly as the MongoDB "
+        "validator requires (init-db.js:109-129). Values are parity-"
+        "checked against product_recommendations by tests.",
+    tags=("join", "nested", "tier-b"),
+)
+def q_recommendations_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = q_product_recommendations(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    named = flat.join(
+        F.broadcast(part), flat.rec_product_id == part.p_partkey, "left")
+    return (
+        named
+        .groupBy("product_id")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("rank"),
+            F.col("rec_product_id").alias("product_id"),
+            F.col("similarity_score"),
+            F.col("p_name").alias("product_name"),
+        ))).alias("recommendations"))
+        .select(
+            "product_id",
+            F.transform(
+                "recommendations",
+                lambda r: F.struct(
+                    r.product_id.alias("product_id"),
+                    r.similarity_score.alias("similarity_score"),
+                    r.product_name.alias("product_name")),
+            ).alias("recommendations"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS) — §2.4 required join form.",
+    tags=("join", "tier-a"),
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey,
+                      "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "suppliers_with_returns",
+    """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+    """,
+    doc="Left-semi join (EXISTS) — §2.4 required join form; the return "
+        "predicate pushes into the lineitem scan before the join.",
+    tags=("join", "tier-a"),
+)
+def q_suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    returns = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        supplier.join(returns, supplier.s_suppkey == returns.l_suppkey,
+                      "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )

@@ -1,0 +1,168 @@
+"""Star-schema analytics (SURVEY.md §2.9 C1/C2) + TPC-H-style headliners.
+
+The reference declares a dbt-style dimensional model (README.md:51-57)
+with zero implementation; here it's spark.sql views over the driver
+star schema plus the classic OLAP query shapes (pricing summary,
+shipping priority, region rollup) that exercise multi-join planning,
+broadcast selection, and partial aggregation — the bench headliners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table, register_views
+from ecommerce_analytics_spark.plans.registry import query
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
+           round(round(sum(l_discount), 4) / count(*), 8) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan + pushed date filter + 8-agg groupBy on a "
+        "2-value key — pure map-side combine, minimal shuffle.",
+    tags=("agg", "bench"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # sums/avgs of doubles rounded in plan AND oracle: float
+            # accumulation order differs across engines (~1e-12 rel)
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6)
+            .alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 8)
+            .alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey AS order_key,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS order_date,
+           o.o_orderpriority AS order_priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, order_key
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter → broadcast join chain → "
+        "agg → top-10. Predicates push to all three scans.",
+    tags=("join", "agg", "topk", "bench"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        .join(lineitem.filter(
+            F.col("l_shipdate") > F.lit("1998-01-01").cast("date")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("order_key", "revenue", "order_date", "order_priority")
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+_STAR_SQL = """
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name, year(o.o_orderdate)
+"""
+
+
+@query(
+    "sales_by_region_year",
+    _STAR_SQL,
+    doc="C2 star schema: fact_sales rolled up the full dim chain "
+        "(lineitem→orders→customer→nation→region) by region/nation/year. "
+        "Every dim broadcasts; the fact table never shuffles before the "
+        "final partial agg.",
+    tags=("join", "agg", "tier-c", "bench"),
+)
+def q_sales_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir,
+                   ("lineitem", "orders", "customer", "nation", "region"))
+    # same text Catalyst-planned — the SQL surface is first-class (C2)
+    return spark.sql(_STAR_SQL)
+
+
+@query(
+    "market_segment_summary",
+    """
+    SELECT c.c_mktsegment AS market_segment,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_spend,
+           round(round(sum(o.o_totalprice), 2) / count(o.o_orderkey), 6)
+             AS avg_order_value
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="C3-feeding behavioral rollup per market segment (left join keeps "
+        "order-less customers — the segmentation feature source).",
+    tags=("join", "agg", "tier-c"),
+)
+def q_market_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("market_segment"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.round(F.sum("o_totalprice"), 2) / F.count("o_orderkey"), 6)
+            .alias("avg_order_value"),
+        )
+    )
