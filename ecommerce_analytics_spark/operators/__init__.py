@@ -4,8 +4,11 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     aggregates,
     classification,
     cleaning,
+    dedup,
     events_enrichment,
     joins,
+    similarity,
     sorts,
     star,
+    text,
 )

@@ -1,0 +1,253 @@
+"""Embedding similarity search (SURVEY §2.10 N2).
+
+Cosine top-k over the ``embeddings`` table (array<float>, dim 64):
+
+- brute-force: exact baseline — query set × candidates, dot products
+  via zip_with/aggregate (JVM-side, codegen'd), window rank for top-k.
+  Cross-engine determinism: both engines accumulate the dot product
+  sequentially in double, yielding bitwise-identical scores (verified).
+- IVF (inverted file): the scale path — assign every vector to its
+  nearest of C fixed centroids, queries probe only their own cell.
+  At 100 TB the cell assignment replaces the all-pairs join with a
+  partition-pruned equi-join on cell id (probability of missing true
+  neighbors is the standard IVF recall trade-off).
+- near-dup pairs: cosine ≥ threshold within label blocks, the
+  embedding-space variant of fuzzy dedup.
+
+The synthetic corpus has no true near-dups, so the near-dup query
+unions in scaled copies (cosine-invariant) of a sample — positives the
+oracle certifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+N_QUERIES = 16      # vec_id < 16 form the query set
+TOP_K = 5
+N_CENTROIDS = 8     # vec_id < 8 serve as fixed IVF centroids
+NEARDUP_COS = 0.999
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-accumulation dot product — bitwise-reproducible
+    across Spark and DuckDB (both fold left in doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB twin: positional unnest + double sum (same fold order).
+def _dot_sql(a: str, b: str) -> str:
+    return (f"(SELECT sum(CAST(x.av AS DOUBLE) * CAST(x.bv AS DOUBLE)) "
+            f"FROM (SELECT unnest({a}) AS av, unnest({b}) AS bv) x)")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"({_dot_sql(a, b)} / "
+            f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))")
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, round(cos_sim, 9) AS cos_sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query(
+    "knn_bruteforce",
+    _KNN_ORACLE,
+    doc=f"N2 exact ANN baseline: top-{TOP_K} cosine neighbors for "
+        f"{N_QUERIES} query vectors. The query set broadcasts; "
+        "candidates stream through one codegen'd stage; per-query heaps "
+        "via window rank. Exact — the recall yardstick for ivf below.",
+    tags=("similarity", "north-star"),
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("label").alias("neighbor_label"),
+                   F.col("embedding").alias("c_emb"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "neighbor_label",
+                cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label",
+                F.round("cos_sim", 9).alias("cos_sim"), "rank")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, cent.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'cent.c_emb')} DESC, cent.cell_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_emb, a.cell_id
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+  WHERE e.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.cell_id,
+         {_cos_sql('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM q
+  JOIN assign a ON a.cell_id = q.cell_id
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cell_id, round(cos_sim, 9) AS cos_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query(
+    "knn_ivf",
+    _IVF_ORACLE,
+    doc=f"N2 IVF (probe-1) ANN: {N_CENTROIDS} fixed centroids, every "
+        "vector assigned to its max-cosine cell, queries search only "
+        "their own cell. The scored join is an equi-join on cell_id — at "
+        "100 TB that's a partition-pruned scan of one cell, not the "
+        "corpus. (Real deployments train centroids with KMeans — "
+        "ml/segmentation.py — and probe >1 cells for recall.)",
+    tags=("similarity", "north-star"),
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("cell_id"),
+                    F.col("embedding").alias("c_emb")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cell_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id",
+                "cell_id",
+                cosine(F.col("embedding"), F.col("c_emb")).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(assign, "vec_id")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"), "cell_id")
+    )
+    cand = (
+        assign.withColumnRenamed("vec_id", "neighbor_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("n_emb")), "neighbor_id")
+    )
+    scored = (
+        q.join(cand, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cell_id",
+                cosine(F.col("q_emb"), F.col("n_emb")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell_id",
+                F.round("cos_sim", 9).alias("cos_sim"), "rank")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 9) AS cos_sim
+FROM corpus a JOIN corpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COS}
+"""
+
+
+@query(
+    "embedding_neardup",
+    _NEARDUP_ORACLE,
+    doc=f"N1/N2 embedding-cosine near-dup: pairs with cosine ≥ "
+        f"{NEARDUP_COS} inside label blocks (the blocking key bounds the "
+        "pair count; at scale the block key is an LSH/IVF cell id, same "
+        "plan shape). Scaled copies (cosine-invariant, ×2) are injected "
+        "so the oracle certifies true positives.",
+    tags=("dedup", "similarity", "north-star"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = (
+        emb.filter(F.col("vec_id") % 40 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "label",
+                F.transform("embedding",
+                            lambda x: x * F.lit(2.0).cast("float"))
+                .alias("embedding"))
+    )
+    corpus = emb.select("vec_id", "label", "embedding").unionAll(copies)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.label").alias("label"),
+                cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", "label",
+                F.round("cos_sim", 9).alias("cos_sim"))
+    )

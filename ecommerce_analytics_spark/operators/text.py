@@ -1,0 +1,263 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.10 N3).
+
+Token statistics, quality scoring, language-ID heuristic, BPE-ish token
+counting, and document fingerprinting over the ``documents`` table.
+Everything is built-in column expressions (split / explode / higher-
+order array functions) — JVM-side, whole-stage-codegen'd, no Python in
+the hot path. Shuffle profile: token explode is map-side only; the only
+shuffles are the final groupBys on compact keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+STOPWORDS = ("the", "a")
+
+# language → marker token for the n-gram/keyword lang-ID heuristic.
+# Ordered: ties resolve by this priority in both engines.
+LANG_MARKERS = (("en", "the"), ("es", "a"), ("de", "data"),
+                ("fr", "table"), ("zh", "spark"))
+
+_TOKEN_STATS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, source, text,
+         string_split(text, ' ') AS tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_actual
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 6)
+         AS distinct_ratio,
+       round(CAST(n_chars_actual - len(tokens) + 1 AS DOUBLE) / len(tokens), 6)
+         AS avg_token_len,
+       CAST(len(list_filter(tokens, t -> t IN ('the', 'a'))) AS BIGINT)
+         AS n_stopwords
+FROM tok
+"""
+
+
+@query(
+    "text_token_stats",
+    _TOKEN_STATS_ORACLE,
+    doc="N3 token statistics per document: counts, distinct ratio "
+        "(type-token ratio), average token length, stopword count — all "
+        "higher-order array functions, zero UDFs.",
+    tags=("text", "north-star"),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    n_distinct = F.size(F.array_distinct(tokens))
+    return docs.select(
+        "doc_id", "lang", "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        F.round(n_distinct.cast("double") / n_tokens, 6)
+        .alias("distinct_ratio"),
+        F.round((F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6)
+        .alias("avg_token_len"),
+        F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS))).cast("long")
+        .alias("n_stopwords"),
+    )
+
+
+@query(
+    "token_frequencies",
+    """
+    SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+    doc="N3 corpus token frequencies: explode + groupBy + top-k. The "
+        "explode is map-local; only compact (token, partial-count) rows "
+        "shuffle — the shape that survives a 100 TB corpus.",
+    tags=("text", "agg", "north-star"),
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
+_QUALITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         CAST(len(tokens) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS distinct_ratio,
+         CAST(len(list_filter(tokens, t -> t IN ('the', 'a'))) AS DOUBLE)
+           / len(tokens) AS stopword_ratio
+  FROM tok
+)
+SELECT doc_id, lang, n_tokens,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(1.0, 0.5 * least(1.0, n_tokens / 100.0)
+                        + 0.3 * (1 - stopword_ratio)
+                        + 0.2 * distinct_ratio), 6) AS quality_score,
+       (n_tokens >= 20 AND stopword_ratio < 0.5) AS passes_filter
+FROM feat
+"""
+
+
+@query(
+    "text_quality_score",
+    _QUALITY_ORACLE,
+    doc="N3 quality scoring: length/stopword/diversity features combined "
+        "into a capped score + a boolean keep/drop filter — the standard "
+        "pretraining-corpus quality gate, fully declarative.",
+    tags=("text", "north-star"),
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens).cast("long")
+    distinct_ratio = (F.size(F.array_distinct(tokens)).cast("double")
+                      / F.size(tokens))
+    stopword_ratio = (
+        F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.size(tokens))
+    quality = F.least(
+        F.lit(1.0),
+        0.5 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * (1 - stopword_ratio)
+        + 0.2 * distinct_ratio)
+    return docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+        ((n_tokens >= 20) & (stopword_ratio < 0.5)).alias("passes_filter"),
+    )
+
+
+def _lang_counts_sql() -> str:
+    return ",\n".join(
+        f"         CAST(len(list_filter(tokens, t -> t = '{marker}')) AS BIGINT)"
+        f" AS c_{lang}" for lang, marker in LANG_MARKERS)
+
+
+def _lang_case_sql() -> str:
+    clauses = []
+    langs = [lang for lang, _ in LANG_MARKERS]
+    for i, lang in enumerate(langs):
+        others = [f"c_{lang} >= c_{other}" for other in langs[i + 1:]]
+        cond = " AND ".join(others) if others else "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses[:-1]) + f" ELSE '{langs[-1]}' END"
+
+
+_LANG_ID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents
+), counts AS (
+  SELECT doc_id, lang,
+{_lang_counts_sql()}
+  FROM tok
+)
+SELECT doc_id, lang AS actual_lang,
+       {_lang_case_sql()} AS predicted_lang,
+       ({_lang_case_sql()} = lang) AS is_match
+FROM counts
+"""
+
+
+@query(
+    "lang_id_heuristic",
+    _LANG_ID_ORACLE,
+    doc="N3 language identification: marker-token frequency argmax with a "
+        "fixed priority tie-break (the synthetic corpus shares one "
+        "vocabulary, so accuracy is chance — the operator contract is the "
+        "deterministic argmax pipeline, which on real text uses per-lang "
+        "stopword lists the same way).",
+    tags=("text", "north-star"),
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    def count_marker(marker: str):
+        # NB: a (t, i) lambda would bind i to the array index — keep 1-arg
+        return F.size(F.filter(tokens, lambda t: t == F.lit(marker)))
+
+    counted = docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"),
+        *[count_marker(marker).cast("long").alias(f"c_{lang}")
+          for lang, marker in LANG_MARKERS])
+    langs = [lang for lang, _ in LANG_MARKERS]
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = F.lit(True)
+        for other in langs[i + 1:]:
+            cond = cond & (F.col(f"c_{lang}") >= F.col(f"c_{other}"))
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    return counted.select(
+        "doc_id", "actual_lang", pred.alias("predicted_lang"),
+        (pred == F.col("actual_lang")).alias("is_match"),
+    )
+
+
+@query(
+    "token_count_bpe_estimate",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_regex_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_estimate
+    FROM documents
+    """,
+    doc="N3 token counting three ways: whitespace, BPE-ish regex "
+        "(word-or-symbol pieces), and the chars/4 estimator — the "
+        "budget-planning primitives for a 100 TB tokenization pass.",
+    tags=("text", "north-star"),
+)
+def q_token_count_bpe_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"))
+        .cast("long").alias("n_regex_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_estimate"),
+    )
+
+
+@query(
+    "lang_source_stats",
+    """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="N3 corpus composition: docs/chars per (lang, source) — the "
+        "mixture-weights table every pretraining data pipeline maintains.",
+    tags=("text", "agg", "north-star"),
+)
+def q_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_chars"),
+    )
