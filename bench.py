@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no collect/driver materialization). Session setup is excluded from
+per-query numbers; "value" is the sum of query wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY §2: flagship window pipeline, scan-agg,
+# multi-join star rollups, top-k, self-join recs, and the north-star
+# text/dedup/similarity operators.
+HEADLINE = [
+    "event_classification",
+    "pricing_summary",
+    "shipping_priority",
+    "sales_by_region_year",
+    "hourly_revenue",
+    "popular_products",
+    "ltv_running",
+    "product_recommendations",
+    "token_frequencies",
+    "text_quality_score",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    from ecommerce_analytics_spark.plans.registry import query_map
+    from ecommerce_analytics_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = query_map()
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Watermarked streaming aggregation (T4/T5, A6 streaming twin).
+
+The reference's hourly_revenue view (init-db.js:40-65) fed by a
+processing-time Flink job; here it's an event-time tumbling window
+with a watermark — late data handled, state evicted, the semantics the
+reference never had (SURVEY §2.6 T5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema — ts read as long nanos (see io.py)
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # ns since epoch
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def streaming_events(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of the events table (micro-batch harness).
+
+    In production the same plan binds to a Kafka source
+    (sources/kafka.py); everything downstream is identical.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_hourly_revenue(events: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """A6 as a watermarked tumbling window.
+
+    Divergence from batch (documented, SURVEY §7 hard-parts #4):
+    unique_customers uses approx_count_distinct — exact distinct over
+    unbounded keys per window is not streamable; the batch twin
+    (operators/aggregates.q_hourly_revenue) is exact.
+    """
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+            F.approx_count_distinct("user_id").alias("unique_customers"),
+        )
+        .select(F.col("w.start").alias("hour_timestamp"),
+                "total_revenue", "order_count", "unique_customers")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """A8/T6: event_id idempotence — state-backed dropDuplicates with
+    watermark-bounded state (the Mongo unique-index replacement)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

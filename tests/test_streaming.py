@@ -1,0 +1,132 @@
+"""Streaming parity tests (SURVEY §5.2.4): the same input through the
+batch formulation and the Structured Streaming formulation must agree.
+File-source micro-batches only — no broker needed."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into two time-ordered parquet files → two
+    micro-batches exercising cross-batch state carry-over."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    from ecommerce_analytics_spark.io import load_table
+    events = load_table(spark, sf_dir, "events")
+    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    early = events.filter(F.col("event_id") <= median)
+    late = events.filter(F.col("event_id") > median)
+    # restore raw long-ns ts so the stream reader sees the driver format
+    for i, part in enumerate((early, late)):
+        part.withColumn("ts", F.unix_micros("ts") * 1000) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{out}/f{i}")
+        # flatten into one dir with ordered names
+        for f in os.listdir(f"{out}/f{i}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{out}/f{i}/{f}", f"{out}/batch_{i}.parquet")
+        shutil.rmtree(f"{out}/f{i}")
+    return out
+
+
+def _run_to_memory(df, name, output_mode):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).start())
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_hourly_revenue_matches_batch(spark, sf_dir,
+                                                events_stream_dir):
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_events, streaming_hourly_revenue)
+    stream = streaming_events(spark, events_stream_dir)
+    agg = streaming_hourly_revenue(stream)
+    _run_to_memory(agg, "hourly_stream", "complete")
+    got = {r["hour_timestamp"]: r for r in
+           spark.sql("SELECT * FROM hourly_stream").collect()}
+
+    from ecommerce_analytics_spark.plans.registry import query_map
+    expected = {r["hour_timestamp"]: r for r in
+                query_map()["hourly_revenue"](spark, sf_dir).collect()}
+
+    assert set(got) == set(expected)
+    for hour, exp in expected.items():
+        g = got[hour]
+        assert g["total_revenue"] == pytest.approx(exp["total_revenue"])
+        assert g["order_count"] == exp["order_count"]
+        # approx_count_distinct vs exact — documented divergence (T5/A6)
+        assert abs(g["unique_customers"] - exp["unique_customers"]) \
+            <= max(2, 0.1 * exp["unique_customers"])
+
+
+def test_streaming_ltv_matches_batch_window(spark, sf_dir,
+                                            events_stream_dir):
+    from ecommerce_analytics_spark.streaming.ltv_state import streaming_ltv
+    from ecommerce_analytics_spark.streaming.windows import streaming_events
+    # one file per trigger → state must carry across micro-batches
+    stream = streaming_events(spark, events_stream_dir,
+                              max_files_per_trigger=1)
+    out = streaming_ltv(stream)
+    _run_to_memory(out, "ltv_stream", "append")
+    got = {r["event_id"]: r["customer_ltv"] for r in
+           spark.sql("SELECT * FROM ltv_stream").collect()}
+
+    from ecommerce_analytics_spark.plans.registry import query_map
+    batch = query_map()["ltv_running"](spark, sf_dir).collect()
+    assert len(got) == len(batch)
+    # input files are event-time ordered, so arrival order == event order
+    # and the stateful stream must reproduce the batch window exactly
+    for row in batch:
+        assert got[row["event_id"]] == pytest.approx(row["customer_ltv"]), \
+            f"event {row['event_id']}"
+
+
+def test_streaming_dedup(spark, events_stream_dir, tmp_path):
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_dedup, streaming_events)
+    # duplicate every file → dedup must halve the count
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    for f in os.listdir(events_stream_dir):
+        shutil.copy(f"{events_stream_dir}/{f}", f"{dup_dir}/{f}")
+        shutil.copy(f"{events_stream_dir}/{f}", f"{dup_dir}/copy_{f}")
+    stream = streaming_events(spark, dup_dir)
+    deduped = streaming_dedup(stream)
+    _run_to_memory(deduped.select("event_id"), "dedup_stream", "append")
+    n = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0]["n"]
+    n_distinct = spark.sql(
+        "SELECT count(DISTINCT event_id) AS n FROM dedup_stream"
+    ).collect()[0]["n"]
+    assert n == n_distinct  # idempotent
+    raw = streaming_events(spark, dup_dir)
+    _run_to_memory(raw.select("event_id"), "raw_stream", "append")
+    n_raw = spark.sql("SELECT count(*) AS n FROM raw_stream").collect()[0]["n"]
+    assert n_raw == 2 * n
+
+
+def test_corrupt_record_routing(spark, tmp_path):
+    from ecommerce_analytics_spark.streaming.pipeline import (
+        parse_event_lines, split_dead_letter)
+    lines_dir = str(tmp_path / "lines")
+    os.makedirs(lines_dir)
+    with open(f"{lines_dir}/events.jsonl", "w") as f:
+        f.write('{"event_id": 1, "ts": "2024-01-01T00:00:00", '
+                '"user_id": 7, "event_type": "purchase", "value": 10.5}\n')
+        f.write("this is not json\n")
+        f.write('{"event_id": 2, "ts": "2024-01-01T01:00:00", '
+                '"user_id": 8, "event_type": "view", "value": 1.0}\n')
+        f.write('{"broken": true}\n')
+    lines = spark.readStream.format("text").load(lines_dir)
+    valid, dead = split_dead_letter(parse_event_lines(lines))
+    _run_to_memory(valid, "valid_stream", "append")
+    _run_to_memory(dead, "dead_stream", "append")
+    v = spark.sql("SELECT * FROM valid_stream ORDER BY event_id").collect()
+    d = spark.sql("SELECT * FROM dead_stream").collect()
+    assert [r["event_id"] for r in v] == [1, 2]
+    assert v[0]["value"] == 10.5
+    assert len(d) == 2  # the non-JSON line and the schema-miss line
