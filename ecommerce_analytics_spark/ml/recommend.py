@@ -1,0 +1,54 @@
+"""ALS collaborative-filtering recommendations (C4, README.md:60).
+
+The co-occurrence/cosine variant lives in operators/joins.py
+(oracle-checked); this is the latent-factor variant the reference's
+requirements name. Implicit-preference ALS over (customer, part,
+quantity) interactions, fixed seed, top-5 per user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+SEED = 42
+RANK = 8
+TOP_N = 5
+
+
+@query(
+    "als_recommendations",
+    None,  # iterative ML — rows-only; invariants in tests
+    doc=f"C4 ALS (implicit, rank={RANK}, seed={SEED}): latent-factor "
+        f"top-{TOP_N} products per customer. Interactions aggregate the "
+        "fact table down to (user, item) before the iterative solve — at "
+        "100 TB ALS touches the compact interaction matrix only.",
+    tags=("ml", "tier-c"),
+)
+def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.recommendation import ALS
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    interactions = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").cast("int").alias("user"),
+                 F.col("l_partkey").cast("int").alias("item"))
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    als = ALS(rank=RANK, seed=SEED, implicitPrefs=True, maxIter=8,
+              userCol="user", itemCol="item", ratingCol="rating",
+              coldStartStrategy="drop")
+    model = als.fit(interactions)
+    recs = model.recommendForAllUsers(TOP_N)
+    return recs.select(
+        F.col("user").alias("customer_id"),
+        F.explode("recommendations").alias("rec"),
+    ).select(
+        "customer_id",
+        F.col("rec.item").alias("product_id"),
+        F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
+    )

@@ -1,0 +1,85 @@
+"""Customer segmentation — RFM features + KMeans (C3, README.md:59).
+
+Feature build is pure DataFrame aggregation (one shuffle on custkey);
+KMeans runs on the compact per-customer table (rows = customers, not
+transactions), so at 100 TB the iterative part touches ~millions of
+rows, not the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+K_SEGMENTS = 4
+SEED = 42
+
+
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency (days since last order), Frequency (order count),
+    Monetary (total spend) per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    max_date = orders.agg(F.max("o_orderdate").alias("d"))
+    return (
+        orders.crossJoin(F.broadcast(max_date))
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.datediff(F.any_value("d"), F.max("o_orderdate"))
+            .cast("double").alias("recency_days"),
+            F.count(F.lit(1)).cast("double").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+
+
+@query(
+    "rfm_features",
+    """
+    WITH md AS (SELECT max(o_orderdate) AS d FROM orders)
+    SELECT o_custkey AS customer_id,
+           CAST(date_diff('day', max(o_orderdate), any_value(md.d)) AS DOUBLE)
+             AS recency_days,
+           CAST(count(*) AS DOUBLE) AS frequency,
+           round(sum(o_totalprice), 2) AS monetary
+    FROM orders CROSS JOIN md
+    GROUP BY o_custkey
+    """,
+    doc="C3 feature build: RFM per customer — the input to KMeans "
+        "segmentation, itself oracle-checked.",
+    tags=("ml", "agg", "tier-c"),
+)
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_features(spark, sf_dir)
+
+
+@query(
+    "rfm_kmeans_segments",
+    None,  # iterative ML — rows-only check; invariants in tests
+    doc=f"C3 behavioral clustering: standardized RFM → KMeans "
+        f"k={K_SEGMENTS} seed={SEED} (pyspark.ml). Output: customer_id, "
+        "segment, plus features for audit. Deterministic under the fixed "
+        "seed; invariant tests assert segment count and assignment "
+        "stability under repartition.",
+    tags=("ml", "tier-c"),
+)
+def q_rfm_kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    feats = rfm_features(spark, sf_dir)
+    assembled = VectorAssembler(
+        inputCols=["recency_days", "frequency", "monetary"],
+        outputCol="rfm_raw").transform(feats)
+    scaled = (StandardScaler(inputCol="rfm_raw", outputCol="rfm",
+                             withMean=True, withStd=True)
+              .fit(assembled).transform(assembled))
+    model = KMeans(k=K_SEGMENTS, seed=SEED, featuresCol="rfm",
+                   predictionCol="segment").fit(scaled)
+    return (
+        model.transform(scaled)
+        .select("customer_id", "recency_days", "frequency", "monetary",
+                F.col("segment").cast("int").alias("segment"))
+    )

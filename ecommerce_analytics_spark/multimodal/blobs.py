@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (SURVEY §2.10 N4).
+
+Images/audio/video ride through the engine as opaque ``binary``
+columns with a typed metadata struct; decode / feature-extract runs as
+Arrow-batched ``mapInPandas`` over the blob column. The container has
+no codec libraries, so the decode step is a deterministic md5-derived
+FAKE behind ``decode_real`` (NotImplementedError) — the Spark-side
+contract (schema, batch iteration, partition pruning on metadata, UDF
+closure pickling) is real and oracle-checked, and swapping in PIL/
+ffmpeg touches only the one marked function.
+
+The synthetic stand-in blob is the document text encoded UTF-8 (the
+driver tables carry no binary column).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+DECODED_SCHEMA = ("doc_id long, n_bytes long, width int, height int, "
+                  "n_frames int")
+
+
+def decode_real(blob: bytes) -> tuple[int, int, int]:
+    """Real decoder hook (image/audio/video → dims/frames).
+
+    Not implemented in this container (no PIL/ffmpeg); replace this
+    single function to enable real decoding — the distributed plumbing
+    around it does not change.
+    """
+    raise NotImplementedError("codec libraries not available in v1 image")
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata struct."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("blob"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched fake decode over the blob column.
+
+    Deterministic md5-derived dimensions stand in for the real decoder
+    so the full pipeline (batch shapes, schema, downstream joins) is
+    testable — and reproducible in the SQL oracle.
+    """
+
+    def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            blobs_col = pdf["blob"]
+            digests = [hashlib.md5(b).hexdigest() for b in blobs_col]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in blobs_col],
+                "width": [16 + int(d[0], 16) for d in digests],
+                "height": [16 + int(d[1], 16) for d in digests],
+                "n_frames": [1 + int(d[2], 16) % 8 for d in digests],
+            })
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        fake_decode, schema=DECODED_SCHEMA)
+
+
+_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1
+            AS INTEGER) AS width,
+       CAST(16 + instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1
+            AS INTEGER) AS height,
+       CAST(1 + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) % 8
+            AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+@query(
+    "multimodal_decode_features",
+    _DECODE_ORACLE,
+    doc="N4 decode plumbing: binary column → mapInPandas (Arrow batches) "
+        "→ typed feature rows. The fake decoder's md5-derived output is "
+        "reproduced by the SQL oracle, certifying schema, batch shape, "
+        "and values of the distributed path; decode_real() is the one "
+        "marked swap-in point for actual codecs.",
+    tags=("multimodal", "pandas-udf", "north-star"),
+)
+def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(with_blob(docs))
+
+
+@query(
+    "multimodal_blob_stats",
+    """
+    SELECT meta_source AS source,
+           CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM (SELECT source AS meta_source, text FROM documents)
+    GROUP BY meta_source
+    """,
+    doc="N4 blob governance rollup: bytes per source over the binary "
+        "column + metadata struct — the partition-planning stats a "
+        "100 TB multimodal lake is laid out by.",
+    tags=("multimodal", "agg", "north-star"),
+)
+def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_blob(docs)
+    return blobs.groupBy(F.col("meta.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.octet_length("blob")).alias("total_bytes"),
+        F.max(F.octet_length("blob")).cast("long").alias("max_bytes"),
+    )

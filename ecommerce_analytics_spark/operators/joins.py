@@ -206,13 +206,16 @@ def q_product_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("b.l_partkey").alias("product_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sym = pairs.select(
-        F.col("product_a").alias("product_id"),
-        F.col("product_b").alias("rec_product_id"), "c",
-    ).unionAll(pairs.select(
-        F.col("product_b").alias("product_id"),
-        F.col("product_a").alias("rec_product_id"), "c",
-    ))
+    # symmetrize via explode (a union of two selects would recompute the
+    # whole pairs subtree twice)
+    sym = pairs.select(F.explode(F.array(
+        F.struct(F.col("product_a").alias("product_id"),
+                 F.col("product_b").alias("rec_product_id"),
+                 F.col("c")),
+        F.struct(F.col("product_b").alias("product_id"),
+                 F.col("product_a").alias("rec_product_id"),
+                 F.col("c")),
+    )).alias("p")).select("p.product_id", "p.rec_product_id", "p.c")
     pa = prod_counts.alias("pa")
     pb = prod_counts.alias("pb")
     scored = (

@@ -89,16 +89,21 @@ FROM ranked WHERE rank <= {TOP_K}
 )
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms precomputed per side: the broadcast-nested-loop join would
+    # otherwise re-evaluate norm(c) once per query (O(Q·N) extra folds)
     q = (emb.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
+                 F.col("embedding").alias("q_emb"),
+                 norm(F.col("embedding")).alias("q_norm")))
     c = emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("label").alias("neighbor_label"),
-                   F.col("embedding").alias("c_emb"))
+                   F.col("embedding").alias("c_emb"),
+                   norm(F.col("embedding")).alias("c_norm"))
     scored = (
-        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "neighbor_label",
-                cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+                (dot(F.col("q_emb"), F.col("c_emb"))
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))

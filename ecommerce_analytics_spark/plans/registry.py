@@ -48,6 +48,10 @@ def query(name: str, oracle: str | None, doc: str = "",
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import ecommerce_analytics_spark.operators  # noqa: F401
+    import ecommerce_analytics_spark.ml.anomaly  # noqa: F401
+    import ecommerce_analytics_spark.ml.recommend  # noqa: F401
+    import ecommerce_analytics_spark.ml.segmentation  # noqa: F401
+    import ecommerce_analytics_spark.multimodal.blobs  # noqa: F401
 
 
 def all_queries() -> dict[str, "Query"]:

@@ -1,0 +1,45 @@
+"""Invariant tests for the rows-only (non-SQL-expressible) ML queries
+(SURVEY §5.3): deterministic seeds, sane shapes, repartition stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.plans.registry import query_map
+
+
+def test_kmeans_segments_shape_and_determinism(spark, sf_dir):
+    q = query_map()["rfm_kmeans_segments"]
+    a = q(spark, sf_dir).collect()
+    n_customers = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_custkey").distinct().count()
+    assert len(a) == n_customers
+    segs = {r["segment"] for r in a}
+    assert segs <= {0, 1, 2, 3} and len(segs) >= 2
+    b = q(spark, sf_dir).collect()  # fixed seed → stable assignment
+    assert {r["customer_id"]: r["segment"] for r in a} \
+        == {r["customer_id"]: r["segment"] for r in b}
+
+
+def test_als_recommendations_shape(spark, sf_dir):
+    recs = query_map()["als_recommendations"](spark, sf_dir)
+    per_user = recs.groupBy("customer_id").count().collect()
+    assert per_user and all(r["count"] == 5 for r in per_user)
+    assert recs.filter(F.col("score").isNull()).count() == 0
+
+
+def test_recommendations_nested_matches_flat(spark, sf_dir):
+    flat = query_map()["product_recommendations"](spark, sf_dir)
+    nested = query_map()["recommendations_nested"](spark, sf_dir)
+    n_flat = flat.count()
+    exploded = nested.select(
+        "product_id", F.explode("recommendations").alias("r"))
+    assert exploded.count() == n_flat
+    # element order inside the array is (rank asc) == (score desc, id)
+    first = nested.select(
+        "product_id",
+        F.col("recommendations")[0]["similarity_score"].alias("top_score"),
+        F.col("recommendations")[F.size("recommendations") - 1]
+        ["similarity_score"].alias("last_score"),
+    ).filter(F.size("recommendations") >= 2)
+    assert first.filter(F.col("top_score") < F.col("last_score")).count() == 0
