@@ -11,4 +11,5 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     sorts,
     star,
     text,
+    windows_extra,
 )

@@ -1,0 +1,254 @@
+"""Extended window / OLAP operators.
+
+Beyond the reference's own surface: sessionization (the gap-based
+session assignment every event platform needs), lead/lag/rank
+analytics, pivot, hierarchical rollup, exact percentiles, and set
+operations — each a first-class Spark capability with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@query(
+    "sessionize",
+    _SESSIONIZE_ORACLE,
+    doc="Gap-based sessionization (30 min): lag + cumulative-sum session "
+        "numbering, then per-session rollup — one shuffle on user_id "
+        "shared by both window specs and the final groupBy.",
+    tags=("window", "sessions"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap_ms > SESSION_GAP_MS), 1
+    ).otherwise(0)
+    sess_no = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        events
+        .withColumn("session_no", sess_no.cast("long"))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "user_event_analytics",
+    """
+    SELECT user_id, event_id, ts, value,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev,
+           lead(event_type, 1) OVER w AS next_event_type,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+                AS INTEGER) AS value_rank,
+           CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type)
+                AS INTEGER) AS type_rank,
+           CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+                AS INTEGER) AS value_quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lead/lag/rank/dense_rank/ntile in one pass — all five window "
+        "functions share the user_id exchange; Catalyst collapses the "
+        "same-spec ones into one Window operator.",
+    tags=("window",),
+)
+def q_user_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "event_id", "ts", "value",
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)))
+        .alias("ms_since_prev"),
+        F.lead("event_type", 1).over(w).alias("next_event_type"),
+        F.rank().over(Window.partitionBy("user_id")
+                      .orderBy(F.desc("value"), F.asc("event_id")))
+        .alias("value_rank"),
+        F.dense_rank().over(Window.partitionBy("user_id")
+                            .orderBy("event_type")).alias("type_rank"),
+        F.ntile(4).over(Window.partitionBy("user_id")
+                        .orderBy("value", "event_id"))
+        .alias("value_quartile"),
+    )
+
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+_PIVOT_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+""" + ",\n".join(
+    f"       CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+    for t in _EVENT_TYPES) + """
+FROM events GROUP BY 1
+"""
+
+
+@query(
+    "daily_event_type_pivot",
+    _PIVOT_ORACLE,
+    doc="Pivot: event-type counts as columns per day. Explicit pivot "
+        "values keep it one pass (no distinct-scan to discover columns).",
+    tags=("pivot", "agg"),
+)
+def q_daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(r.r_name, '(all)') AS region_name,
+       coalesce(n.n_name, '(all)') AS nation_name,
+       CAST(grouping(r.r_name) AS INTEGER) AS is_region_total,
+       CAST(grouping(n.n_name) AS INTEGER) AS is_nation_total,
+       round(sum(o.o_totalprice), 2) AS total_spend,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+@query(
+    "spend_rollup_region_nation",
+    _ROLLUP_ORACLE,
+    doc="Hierarchical ROLLUP(region, nation) with grouping flags — "
+        "subtotals and grand total in one aggregation pass (Spark "
+        "Expand + partial agg).",
+    tags=("agg", "rollup"),
+)
+def q_spend_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.grouping("r_name").cast("int").alias("is_region_total"),
+             F.grouping("n_name").cast("int").alias("is_nation_total"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "is_region_total", "is_nation_total", "total_spend", "n_orders")
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact percentiles (linear interpolation) per event type — "
+        "Spark's exact percentile() here; at 100 TB the same query swaps "
+        "to approx_percentile (t-digest) with a documented error bound.",
+    tags=("agg", "percentile"),
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "building_customers_with_orders",
+    """
+    SELECT c_custkey AS customer_id FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS customer_id FROM orders
+    """,
+    doc="Set op INTERSECT (distinct semantics) — compiles to a left-semi "
+        "aggregate join.",
+    tags=("setop",),
+)
+def q_building_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = (customer.filter(F.col("c_mktsegment") == "BUILDING")
+                .select(F.col("c_custkey").alias("customer_id")))
+    with_orders = orders.select(F.col("o_custkey").alias("customer_id"))
+    return building.intersect(with_orders)
+
+
+@query(
+    "part_name_analysis",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 12) AS name_prefix,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_lev,
+           contains(p_type, 'BRASS') AS is_brass
+    FROM part
+    """,
+    doc="String-function family: case, substring, global regexp_replace, "
+        "length, levenshtein, contains — all JVM-side builtins.",
+    tags=("strings",),
+)
+def q_part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_lev"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+    )

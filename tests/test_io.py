@@ -1,0 +1,112 @@
+"""Source/sink coverage (SURVEY §2.1): retail CSV ingest with encoding,
+event JSON roundtrip, partitioned lake writes with partition pruning."""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_retail_csv_ingest(spark, tmp_path):
+    """S1: header CSV, ISO-8859-1 encoding, M/d/yyyy H:mm timestamps
+    (the UK Online Retail format, data_loader.py:41)."""
+    from ecommerce_analytics_spark.io import read_retail_csv
+    csv = tmp_path / "retail.csv"
+    csv.write_bytes(
+        b"InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country\n"
+        b"536365,85123A,WHITE HANGING HEART,6,12/1/2010 8:26,2.55,17850,United Kingdom\n"
+        b"C536379,D,Discount caf\xe9,-1,12/1/2010 9:41,27.5,14527,United Kingdom\n"
+        b"536370,22728,ALARM CLOCK,24,12/1/2010 8:45,3.75,,France\n")
+    df = read_retail_csv(spark, str(csv))
+    rows = {r["InvoiceNo"]: r for r in df.collect()}
+    assert rows["536365"]["Quantity"] == 6
+    assert rows["536365"]["InvoiceDate"].hour == 8
+    assert rows["C536379"]["Description"] == "Discount café"  # latin-1
+    assert rows["C536379"]["UnitPrice"] == 27.5
+    assert rows["536370"]["CustomerID"] is None  # nullable → P3 policy
+
+
+def test_events_json_roundtrip(spark, tmp_path):
+    """S2/S3 + P11: nested event struct → JSON sink → JSON scan."""
+    from ecommerce_analytics_spark.io import (read_events_json,
+                                              write_events_json)
+    from ecommerce_analytics_spark.schemas import CUSTOMER_EVENT
+    rows = [
+        ("536365_85123A", "first_purchase", "customer_17850",
+         "2010-12-01T08:26:00",
+         ("536365", "85123A", "WHITE HANGING HEART", 6, 2.55, 15.3,
+          "United Kingdom", False, "identified", "holiday"),
+         ("2010-12-01T08:26:00", "2024-01-01T00:00:00", 1000)),
+    ]
+    df = spark.createDataFrame(rows, CUSTOMER_EVENT)
+    out = str(tmp_path / "events_json")
+    write_events_json(df, out)
+    back = read_events_json(spark, out)
+    r = back.collect()[0]
+    assert r["event_id"] == "536365_85123A"
+    assert r["metadata"]["quantity"] == 6
+    assert r["metadata"]["is_return"] is False
+    assert r["simulation"]["compression_factor"] == 1000
+
+
+def test_partitioned_lake_write_and_pruning(spark, sf_dir, tmp_path):
+    """C7: date/event-type partitioned layout; a filtered read must
+    prune partitions (the filter shows as a partition filter, not a
+    data filter)."""
+    from ecommerce_analytics_spark.io import (load_table,
+                                              write_partitioned_parquet)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd"))
+    lake = str(tmp_path / "lake")
+    write_partitioned_parquet(events, lake,
+                              partition_cols=("event_date", "event_type"))
+    # directory layout is hive-style
+    days = [d for d in os.listdir(lake) if d.startswith("event_date=")]
+    assert days
+    assert any(d.startswith("event_type=")
+               for d in os.listdir(os.path.join(lake, days[0])))
+
+    back = spark.read.parquet(lake)
+    q = back.filter((F.col("event_type") == "purchase")
+                    & (F.col("event_date") == days[0].split("=", 1)[1]))
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(event_type" in plan  # pruned, not scanned+filtered
+    n = q.count()
+    expected = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("event_date") == days[0].split("=", 1)[1])).count()
+    assert n == expected
+
+
+def test_event_struct_json_edge(spark, sf_dir):
+    """P11/P16: struct construction + ISO-string timestamps at the JSON
+    edge, from_json(to_json(x)) == x."""
+    from ecommerce_analytics_spark.io import load_table
+    from pyspark.sql import types as T
+    events = load_table(spark, sf_dir, "events").limit(50)
+    struct_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    built = events.select(
+        "event_id", "ts",
+        F.to_json(F.struct(
+            F.col("event_id"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+            F.col("user_id"), F.col("value"))).alias("j"))
+    back = built.select(
+        "event_id", "ts", F.from_json("j", struct_schema).alias("e"))
+    bad = back.filter(
+        (F.col("e.event_id") != F.col("event_id"))
+        | (F.col("e.timestamp")
+           != F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")))
+    assert bad.count() == 0
