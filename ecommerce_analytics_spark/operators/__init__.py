@@ -11,5 +11,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     sorts,
     star,
     text,
+    validate,
     windows_extra,
 )
+from ecommerce_analytics_spark.plans import star_schema  # noqa: F401

@@ -75,7 +75,12 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("substr(text, instr(text, ' ') + 1)").alias("text")))
     exact = (docs.filter(F.col("doc_id") % 25 == 0)
              .select((F.col("doc_id") + 20000000).alias("doc_id"), "text"))
-    return docs.unionAll(near).unionAll(exact)
+    # the documents table is a handful of parquet row groups → 1-2 scan
+    # partitions; without a repartition the shingle explode (50-100×
+    # fan-out) runs nearly single-threaded (profiled 4.5s of a 10s
+    # query at sf0.1). At 100 TB input splits provide this for free.
+    n_part = spark.sparkContext.defaultParallelism
+    return docs.unionAll(near).unionAll(exact).repartition(n_part, "doc_id")
 
 
 def _shingles(corpus: DataFrame) -> DataFrame:
@@ -179,20 +184,71 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 2-universal hash family over ONE md5 per shingle: hash_i(x) =
+# (A_i·x1 + B_i·x2 + C_i) mod P with x1/x2 the two 32-bit halves of
+# md5(sh). One digest instead of N_MINHASH — the md5 calls were the
+# dominant cost of the naive formulation. Constants < 2^20 keep every
+# product < 2^52 (no signed-64 overflow in either engine).
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_COEFFS = [  # (A_i, B_i, C_i), fixed odd constants
+    (710113, 383681, 905341), (569597, 969359, 427169),
+    (855127, 510287, 685193), (150151, 717629, 244973),
+    (930737, 286927, 553711), (473687, 840179, 118757),
+    (222323, 655211, 966947), (788099, 102913, 341743),
+    (611953, 924929, 777781), (333233, 448421, 201101),
+    (997043, 573473, 864013), (125899, 361275, 494651),  # 361275 even ok
+    (741103, 209257, 632033), (485167, 881999, 150023),
+    (867289, 317011, 723419), (254413, 692537, 938083),
+]
+
+
+def _hex_chunk_sql(col: str, start: int) -> str:
+    """First/second 8 hex digits of an md5 string → BIGINT (portable:
+    both engines lack a shared hex-parse builtin, instr does it)."""
+    # substring is 1-based; Spark silently treats pos 0 as 1 but DuckDB
+    # returns '' — keep positions strictly >= 1
+    return "(" + " + ".join(
+        f"CAST((instr('0123456789abcdef', substring({col}, {start + d + 1}, 1)) - 1) AS BIGINT)"
+        f" * {16 ** (8 - 1 - d)}" for d in range(8)) + ")"
+
+
+def _minhash_exprs(x1: str = "x1", x2: str = "x2") -> list[str]:
+    return [f"(({a} * {x1} + {b} * {x2} + {c}) % {MINHASH_P})"
+            for a, b, c in MINHASH_COEFFS]
+
+
 _MINHASH_ORACLE = f"""
 WITH {_CORPUS_SQL.strip()},
-{_SHINGLE_SQL.strip().lstrip()},
-seeds AS (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed),
+shingle_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(tokens) - {SHINGLE_K - 1}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus)
+),
+hx_all AS (
+  SELECT DISTINCT doc_id,
+         {_hex_chunk_sql('h', 0)} AS x1, {_hex_chunk_sql('h', 8)} AS x2
+  FROM (SELECT doc_id, md5(sh) AS h FROM shingle_raw)
+),
+hx AS (
+  SELECT doc_id, x1, x2 FROM (
+    SELECT *, count(*) OVER (PARTITION BY x1, x2) AS df FROM hx_all
+  ) WHERE df <= {DF_CAP}
+),
 mh AS (
-  SELECT s.doc_id, sd.seed,
-         min(md5(s.sh || '#' || CAST(sd.seed AS VARCHAR))) AS h
-  FROM shingle s CROSS JOIN seeds sd
-  GROUP BY s.doc_id, sd.seed
+  SELECT doc_id,
+         {', '.join(f'min({e}) AS h{i}' for i, e in enumerate(_minhash_exprs()))}
+  FROM hx GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, seed // {N_MINHASH // N_BANDS} AS band,
-         string_agg(h, '' ORDER BY seed) AS sig
-  FROM mh GROUP BY doc_id, seed // {N_MINHASH // N_BANDS}
+  SELECT doc_id, band,
+         CASE band {' '.join(
+             f"WHEN {b} THEN CAST(h{b*4} AS VARCHAR) || '_' || CAST(h{b*4+1} AS VARCHAR)"
+             f" || '_' || CAST(h{b*4+2} AS VARCHAR) || '_' || CAST(h{b*4+3} AS VARCHAR)"
+             for b in range(N_BANDS))} END AS sig
+  FROM mh CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
 ),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -202,12 +258,12 @@ cand AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.doc_a, c.doc_b, c.n_shared_bands,
-       round(avg(CASE WHEN ma.h = mb.h THEN 1.0 ELSE 0.0 END), 6)
+       round(({' + '.join(f'CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END'
+                          for i in range(N_MINHASH))}) / {float(N_MINHASH)}, 6)
          AS est_jaccard
 FROM cand c
 JOIN mh ma ON ma.doc_id = c.doc_a
-JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
-GROUP BY c.doc_a, c.doc_b, c.n_shared_bands
+JOIN mh mb ON mb.doc_id = c.doc_b
 """
 
 
@@ -222,49 +278,67 @@ GROUP BY c.doc_a, c.doc_b, c.n_shared_bands
     tags=("dedup", "join", "north-star"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Wide-signature plan: ONE aggregation computes all 16 min-hashes as
-    # columns (no 16× row blowup / no fat shuffle — the naive
-    # seed-crossJoin formulation measured 22s at sf0.1; this is ~4×
-    # less shuffled data). Bands and the matching-hash estimate are then
-    # pure column expressions over the wide rows.
-    shingle = _shingles(_corpus(spark, sf_dir))
-    mh = shingle.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws("#", F.col("sh"), F.lit(str(i)))))
-        .alias(f"h{i}") for i in range(N_MINHASH)])
+    # Wide-signature plan, 2 shuffles total:
+    # - shingles hashed to two 32-bit ints AT THE EXPLODE (one md5 per
+    #   shingle; the naive 16-digest formulation measured 22s at sf0.1)
+    #   so every downstream shuffle moves ints, never shingle strings;
+    # - dedup + df-cap fused into one groupBy(x1,x2)+collect_set pass;
+    # - 16 universal-hash mins as columns in a single aggregation.
+    corpus = _corpus(spark, sf_dir)
+    hx_all = (
+        corpus
+        .select("doc_id", F.expr(
+            f"explode(transform(sequence(1, size(split(text, ' ')) - {SHINGLE_K - 1}), "
+            f"i -> md5(concat_ws(' ', element_at(split(text, ' '), i), "
+            f"element_at(split(text, ' '), i + 1), "
+            f"element_at(split(text, ' '), i + 2)))))").alias("h"))
+        .select("doc_id",
+                F.expr(_hex_chunk_sql("h", 0)).alias("x1"),
+                F.expr(_hex_chunk_sql("h", 8)).alias("x2"))
+    )
+    hx = (
+        hx_all.groupBy("x1", "x2")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") <= DF_CAP)
+        .select(F.explode("docs").alias("doc_id"), "x1", "x2")
+    )
+    mh = hx.groupBy("doc_id").agg(*[
+        F.min(F.expr(e)).alias(f"h{i}")
+        for i, e in enumerate(_minhash_exprs())])
 
+    # bands carry the full signature row, so the pair estimate is
+    # computed inline on the band join — no later re-join against mh
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(F.lit(b).alias("band"),
-                 F.concat(*[F.col(f"h{b * rows_per_band + j}")
-                            for j in range(rows_per_band)]).alias("sig"))
+                 F.concat_ws("_", *[F.col(f"h{b * rows_per_band + j}")
+                                    for j in range(rows_per_band)]).alias("sig"))
         for b in range(N_BANDS)
     ]
     bands = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs"),
+        *[f"h{i}" for i in range(N_MINHASH)]
     ).select("doc_id", F.col("bs.band").alias("band"),
-             F.col("bs.sig").alias("sig"))
+             F.col("bs.sig").alias("sig"),
+             *[f"h{i}" for i in range(N_MINHASH)])
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    n_match = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH))
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.sig") == F.col("b.sig"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
-    ma = mh.alias("ma")
-    mb = mh.alias("mb")
-    n_match = sum(
-        F.when(F.col(f"ma.h{i}") == F.col(f"mb.h{i}"), 1).otherwise(0)
-        for i in range(N_MINHASH))
-    return (
-        cand.join(ma, F.col("ma.doc_id") == F.col("doc_a"))
-        .join(mb, F.col("mb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", "n_shared_bands",
-                F.round(n_match / F.lit(float(N_MINHASH)), 6)
-                .alias("est_jaccard"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                n_match.alias("nm"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"),
+             F.round(F.first("nm") / F.lit(float(N_MINHASH)), 6)
+             .alias("est_jaccard"))
+        .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
     )
 
 
