@@ -49,6 +49,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import ecommerce_analytics_spark.operators  # noqa: F401
     import ecommerce_analytics_spark.ml.anomaly  # noqa: F401
+    import ecommerce_analytics_spark.ml.forecast  # noqa: F401
     import ecommerce_analytics_spark.ml.recommend  # noqa: F401
     import ecommerce_analytics_spark.ml.segmentation  # noqa: F401
     import ecommerce_analytics_spark.multimodal.blobs  # noqa: F401

@@ -23,3 +23,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SMOKE_SF
+
+
+@pytest.fixture(scope="session")
+def spark_h(spark):
+    """Alias for hypothesis @given tests (session-scoped reuse)."""
+    return spark

@@ -1,0 +1,74 @@
+"""Property-based spot checks (SURVEY §5.2.5, hypothesis): invariants
+that must hold for any input, independent of partitioning."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _events_strategy():
+    event = st.tuples(
+        st.integers(0, 3),                      # user_id
+        st.integers(0, 10 ** 6),                # event_id (dedup below)
+        st.integers(0, 10 ** 6),                # seconds offset
+        st.sampled_from(EVENT_TYPES),
+        st.floats(0, 1000, allow_nan=False, width=32),
+    )
+    return st.lists(event, min_size=1, max_size=30,
+                    unique_by=lambda e: e[1])
+
+
+@settings(max_examples=10, deadline=None)
+@given(_events_strategy())
+def test_ltv_final_equals_signed_sum(spark_h, rows):
+    """Running-LTV last value per user == plain sum of signed amounts,
+    under any partitioning."""
+    from ecommerce_analytics_spark.operators.events_enrichment import (
+        signed_amount)
+    base = dt.datetime(2024, 1, 1)
+    df = spark_h.createDataFrame(
+        [(u, e, base + dt.timedelta(seconds=s), t, float(v))
+         for u, e, s, t, v in rows],
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double").repartition(5)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = df.select(
+        "user_id", "event_id", "ts",
+        F.sum(signed_amount()).over(w).alias("ltv"))
+    last = (running.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(F.desc("ts"), F.desc("event_id"))))
+        .filter("rn = 1"))
+    direct = df.groupBy("user_id").agg(
+        F.sum(signed_amount()).alias("total"))
+    # compare per user with float tolerance
+    got = {r["user_id"]: r["ltv"] for r in last.collect()}
+    exp = {r["user_id"]: r["total"] for r in direct.collect()}
+    assert set(got) == set(exp)
+    for u in exp:
+        assert abs(got[u] - exp[u]) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(_events_strategy())
+def test_exact_dedup_idempotent(spark_h, rows):
+    """dropDuplicates twice == once; dedup of doubled input == dedup of
+    the input."""
+    base = dt.datetime(2024, 1, 1)
+    df = spark_h.createDataFrame(
+        [(u, e, base + dt.timedelta(seconds=s), t, float(v))
+         for u, e, s, t, v in rows],
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double")
+    doubled = df.unionAll(df).repartition(7)
+    once = doubled.dropDuplicates(["event_id"])
+    assert once.count() == df.count()
+    assert once.dropDuplicates(["event_id"]).count() == df.count()
