@@ -5,6 +5,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     classification,
     cleaning,
     dedup,
+    dedup_resolve,
     events_enrichment,
     joins,
     similarity,
