@@ -136,6 +136,65 @@ def q_sales_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_delta_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_increase,
+           CAST(count(*) AS BIGINT) AS n_qualifying
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter-aggregate — every predicate pushes "
+        "to the scan, zero shuffles beyond the final partial combine.",
+    tags=("agg", "bench"),
+)
+def q_revenue_delta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem
+        .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+                & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue_increase"),
+             F.count(F.lit(1)).alias("n_qualifying"))
+    )
+
+
+@query(
+    "priority_shipping_summary",
+    """
+    SELECT l.l_linestatus AS line_status,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority IN
+               ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_priority_count,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN
+               ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_priority_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape: join + conditional counts per group — the "
+        "priority split computed in one pass with count_if.",
+    tags=("join", "agg", "bench"),
+)
+def q_priority_shipping_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem
+        .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date")))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(F.count_if(high).alias("high_priority_count"),
+             F.count_if(~high).alias("low_priority_count"))
+    )
+
+
+@query(
     "market_segment_summary",
     """
     SELECT c.c_mktsegment AS market_segment,
