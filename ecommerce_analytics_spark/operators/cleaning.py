@@ -111,6 +111,50 @@ GROUP BY event_type
 """
 
 
+_POLY_ORACLE = """
+WITH mixed AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 3 = 0
+              THEN '{"k": "' || json_extract_string(props, '$.k') || '", "flag": "true"}'
+              ELSE '{"k": ' || json_extract_string(props, '$.k') || ', "flag": true}'
+         END AS props
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       (json_extract_string(props, '$.flag') = 'true') AS flag_value
+FROM mixed
+"""
+
+
+@query(
+    "polymorphic_props_extract",
+    _POLY_ORACLE,
+    doc="P17 defensive polymorphic extract (EnrichmentFunction.java:84-110 "
+        "handles Number-or-String amounts and Boolean-or-String flags): "
+        "a mixed-encoding JSON corpus is synthesized (every 3rd event "
+        "string-typed), then values normalize through extract + cast — "
+        "get_json_object strips quotes either way, the cast lands the "
+        "final type.",
+    tags=("json", "tier-a"),
+)
+def q_polymorphic_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_analytics_spark.io import load_table
+    events = load_table(spark, sf_dir, "events")
+    k_raw = F.get_json_object("props", "$.k")
+    mixed = events.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit('{"k": "'), k_raw, F.lit('", "flag": "true"}')))
+        .otherwise(F.concat(F.lit('{"k": '), k_raw, F.lit(', "flag": true}')))
+        .alias("props"))
+    return mixed.select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        (F.get_json_object("props", "$.flag") == "true").alias("flag_value"),
+    )
+
+
 @query(
     "props_json_extract",
     _PROPS_ORACLE,

@@ -1,0 +1,94 @@
+"""Running LTV on the Spark 4 ``transformWithStateInPandas`` API
+(T2/A5) — the successor to applyInPandasWithState with explicit typed
+state handles. Same semantics contract as streaming/ltv_state.py; the
+parity test runs both implementations against the batch window ground
+truth.
+
+The processor class is defined inside a factory so cloudpickle
+serializes it by value — a module-level class pickles by reference and
+requires this package on every executor's path (see ltv_state.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def tws_available() -> bool:
+    """transformWithState's Python protocol needs google.protobuf,
+    which the v1 image does not ship — gate, don't crash (the
+    applyInPandasWithState implementation in ltv_state.py has no such
+    dependency and is the default)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+LTV_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("signed_amount", T.DoubleType()),
+    T.StructField("customer_ltv", T.DoubleType()),
+])
+
+
+def make_ltv_processor():
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class LtvProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ltv = handle.getValueState(
+                "ltv", T.StructType([T.StructField("v", T.DoubleType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            ltv = self._ltv.get()[0] if self._ltv.exists() else 0.0
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                signed = [
+                    float(v) if t == "purchase"
+                    else (-abs(float(v)) if t == "error" else 0.0)
+                    for t, v in zip(pdf["event_type"], pdf["value"])
+                ]
+                running = []
+                for s in signed:
+                    ltv += s
+                    running.append(ltv)
+                yield pd.DataFrame({
+                    "user_id": user_id,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "event_type": pdf["event_type"].to_numpy(),
+                    "signed_amount": signed,
+                    "customer_ltv": running,
+                })
+            self._ltv.update((ltv,))
+
+        def close(self) -> None:
+            pass
+
+    return LtvProcessor()
+
+
+def streaming_ltv_tws(events: DataFrame) -> DataFrame:
+    # transformWithState requires the RocksDB state store provider
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_ltv_processor(),
+            outputStructType=LTV_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

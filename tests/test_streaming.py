@@ -86,6 +86,30 @@ def test_streaming_ltv_matches_batch_window(spark, sf_dir,
             f"event {row['event_id']}"
 
 
+def test_streaming_ltv_tws_matches_batch(spark, sf_dir, events_stream_dir):
+    """Same parity on the Spark 4 transformWithStateInPandas API."""
+    from ecommerce_analytics_spark.streaming.ltv_tws import (
+        streaming_ltv_tws, tws_available)
+    if not tws_available():
+        pytest.skip("transformWithState needs google.protobuf "
+                    "(not in the v1 image); applyInPandasWithState "
+                    "parity covers T2")
+    from ecommerce_analytics_spark.streaming.windows import streaming_events
+    stream = streaming_events(spark, events_stream_dir,
+                              max_files_per_trigger=1)
+    out = streaming_ltv_tws(stream)
+    _run_to_memory(out, "ltv_tws_stream", "append")
+    got = {r["event_id"]: r["customer_ltv"] for r in
+           spark.sql("SELECT * FROM ltv_tws_stream").collect()}
+
+    from ecommerce_analytics_spark.plans.registry import query_map
+    batch = query_map()["ltv_running"](spark, sf_dir).collect()
+    assert len(got) == len(batch)
+    for row in batch:
+        assert got[row["event_id"]] == pytest.approx(row["customer_ltv"]), \
+            f"event {row['event_id']}"
+
+
 def test_streaming_dedup(spark, events_stream_dir, tmp_path):
     from ecommerce_analytics_spark.streaming.windows import (
         streaming_dedup, streaming_events)
