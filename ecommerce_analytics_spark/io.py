@@ -83,13 +83,41 @@ def write_events_json(df: DataFrame, path: str, mode: str = "overwrite") -> None
 
 def write_partitioned_parquet(df: DataFrame, path: str,
                               partition_cols: tuple[str, ...] = (),
-                              mode: str = "overwrite") -> None:
+                              mode: str = "overwrite",
+                              sort_within: tuple[str, ...] = ()) -> None:
     """Date/event-type partitioned lake layout (README.md:45-47, C7).
 
     Partition columns become directory levels → dynamic partition
-    pruning fires on reads that filter them.
+    pruning fires on reads that filter them. ``sort_within`` clusters
+    rows inside each file so parquet min/max statistics skip row
+    groups for predicates on those columns (the poor man's Z-order —
+    effective for one leading dimension).
     """
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    target_file_mb: int = 256,
+                    sort_within: tuple[str, ...] = ()) -> int:
+    """Lake maintenance: rewrite a small-files directory into
+    ~target_file_mb files (the compaction job every streaming sink
+    needs — micro-batches produce one file per trigger per partition).
+    Returns the output file count."""
+    import glob
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(os.path.getsize(f) for f in glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True))
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    if sort_within:
+        df = df.repartitionByRange(n_files, *sort_within) \
+               .sortWithinPartitions(*sort_within)
+    else:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return len(glob.glob(os.path.join(out_path, "*.parquet")))

@@ -164,17 +164,20 @@ FROM (
     tags=("similarity", "north-star"),
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", norm(F.col("embedding")))  # computed once per vector
     cent = (emb.filter(F.col("vec_id") < N_CENTROIDS)
             .select(F.col("vec_id").alias("cell_id"),
-                    F.col("embedding").alias("c_emb")))
+                    F.col("embedding").alias("c_emb"),
+                    F.col("v_norm").alias("c_norm")))
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), F.asc("cell_id"))
     assign = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id",
                 "cell_id",
-                cosine(F.col("embedding"), F.col("c_emb")).alias("cos_c"))
+                (dot(F.col("embedding"), F.col("c_emb"))
+                 / (F.col("v_norm") * F.col("c_norm"))).alias("cos_c"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell_id")
@@ -183,18 +186,21 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES)
         .join(assign, "vec_id")
         .select(F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("q_emb"), "cell_id")
+                F.col("embedding").alias("q_emb"),
+                F.col("v_norm").alias("q_norm"), "cell_id")
     )
     cand = (
         assign.withColumnRenamed("vec_id", "neighbor_id")
         .join(emb.select(F.col("vec_id").alias("neighbor_id"),
-                         F.col("embedding").alias("n_emb")), "neighbor_id")
+                         F.col("embedding").alias("n_emb"),
+                         F.col("v_norm").alias("n_norm")), "neighbor_id")
     )
     scored = (
         q.join(cand, "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "cell_id",
-                cosine(F.col("q_emb"), F.col("n_emb")).alias("cos_sim"))
+                (dot(F.col("q_emb"), F.col("n_emb"))
+                 / (F.col("q_norm") * F.col("n_norm"))).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))

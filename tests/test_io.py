@@ -7,6 +7,7 @@ import contextlib
 import io as pyio
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -83,6 +84,26 @@ def test_partitioned_lake_write_and_pruning(spark, sf_dir, tmp_path):
         (F.col("event_type") == "purchase")
         & (F.col("event_date") == days[0].split("=", 1)[1])).count()
     assert n == expected
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    """Lake compaction: many small files → few target-size files, same
+    row multiset; sorted variant clusters for row-group skipping."""
+    from ecommerce_analytics_spark.io import compact_parquet, load_table
+    small = str(tmp_path / "small")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(23).write.mode("overwrite").parquet(small)
+    import glob
+    assert len(glob.glob(f"{small}/*.parquet")) == 23
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, small, out, target_file_mb=256,
+                        sort_within=("ts",))
+    assert n <= 2
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert back.select(F.sum("value")).collect()[0][0] == \
+        pytest.approx(events.select(F.sum("value")).collect()[0][0])
 
 
 def test_event_struct_json_edge(spark, sf_dir):
