@@ -12,6 +12,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     sorts,
     star,
     text,
+    text_pipeline,
     validate,
     windows_extra,
 )
