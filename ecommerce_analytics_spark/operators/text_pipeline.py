@@ -70,6 +70,69 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 20
+
+_VOCAB_OOV_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM tok GROUP BY tok
+  ORDER BY count(*) DESC, tok LIMIT {VOCAB_SIZE}
+),
+marked AS (
+  SELECT t.doc_id, t.tok, (v.tok IS NOT NULL) AS in_vocab,
+         CAST(freq.c AS BIGINT) AS tok_freq
+  FROM tok t
+  LEFT JOIN vocab v ON t.tok = v.tok
+  JOIN (SELECT tok, count(*) AS c FROM tok GROUP BY tok) freq
+    ON t.tok = freq.tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE NOT in_vocab) AS BIGINT) AS n_oov,
+       round(CAST(count(*) FILTER (WHERE NOT in_vocab) AS DOUBLE)
+             / count(*), 6) AS oov_rate,
+       round(sum(CAST(1.0 AS DOUBLE) / tok_freq), 6) AS rarity_score
+FROM marked GROUP BY doc_id
+"""
+
+
+@query(
+    "vocab_oov_stats",
+    _VOCAB_OOV_ORACLE,
+    doc=f"N3 vocabulary build + OOV analysis: top-{VOCAB_SIZE} corpus "
+        "vocabulary (count-desc, token tie-break), per-doc OOV rate, and "
+        "a rarity score = Σ 1/corpus-frequency (rational arithmetic — a "
+        "surprisal proxy that stays bitwise-deterministic cross-engine "
+        "where log() would not). Vocab broadcasts; tokens never shuffle "
+        "twice.",
+    tags=("text", "north-star"),
+)
+def q_vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (freq.orderBy(F.desc("c"), F.asc("tok")).limit(VOCAB_SIZE)
+             .select("tok", F.lit(True).alias("in_vocab")))
+    marked = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .join(F.broadcast(freq), "tok")
+        .select("doc_id",
+                F.coalesce("in_vocab", F.lit(False)).alias("in_vocab"),
+                F.col("c").alias("tok_freq"))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_if(~F.col("in_vocab")).alias("n_oov"),
+        F.round(F.count_if(~F.col("in_vocab")).cast("double")
+                / F.count(F.lit(1)), 6).alias("oov_rate"),
+        F.round(F.sum(F.lit(1.0).cast("double") / F.col("tok_freq")), 6)
+        .alias("rarity_score"),
+    )
+
+
 SAMPLE_PER_LANG = 20
 
 _STRATIFIED_ORACLE = f"""

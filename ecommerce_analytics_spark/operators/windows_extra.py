@@ -67,6 +67,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_NATIVE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@query(
+    "sessionize_native",
+    _SESSION_NATIVE_ORACLE,
+    doc="Spark's native session_window(ts, gap) cross-validated against "
+        "the first-principles lag+cumsum formulation (the oracle): both "
+        "must produce identical session boundaries and rollups. "
+        "session_window merges in the aggregation itself — one shuffle, "
+        "no window pass.",
+    tags=("window", "sessions"),
+)
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    gap = f"{SESSION_GAP_MS // 1000} seconds"
+    return (
+        events
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select("user_id", "session_start", "session_end",
+                "n_events", "total_value")
+    )
+
+
 @query(
     "user_event_analytics",
     """

@@ -133,6 +133,36 @@ def test_streaming_dedup(spark, events_stream_dir, tmp_path):
     assert n_raw == 2 * n
 
 
+def test_streaming_session_window_matches_batch(spark, sf_dir,
+                                                events_stream_dir):
+    """Watermarked streaming session_window == the batch native
+    sessionize (which itself oracle-matches the lag+cumsum SQL)."""
+    from ecommerce_analytics_spark.streaming.windows import streaming_events
+    stream = streaming_events(spark, events_stream_dir)
+    agg = (
+        stream
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"),
+             F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+    q = (agg.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                r["total_value"])
+           for r in spark.sql("SELECT * FROM sess_stream").collect()}
+    from ecommerce_analytics_spark.plans.registry import query_map
+    batch = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                  r["total_value"])
+             for r in query_map()["sessionize_native"](spark, sf_dir)
+             .collect()}
+    assert got == batch
+
+
 def test_corrupt_record_routing(spark, tmp_path):
     from ecommerce_analytics_spark.streaming.pipeline import (
         parse_event_lines, split_dead_letter)
