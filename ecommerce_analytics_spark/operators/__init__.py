@@ -13,6 +13,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     star,
     text,
     text_pipeline,
+    timeseries,
     validate,
     windows_extra,
 )

@@ -1,0 +1,130 @@
+"""Time-series utilities: dense spine gap-filling and snapshot diff
+(CDC). Both standard engine capabilities the reference's hourly-revenue
+view quietly assumes (a Mongo upsert keyed by hour hides gaps; a real
+engine must materialize them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+_DENSE_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, round(sum(value), 2) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+bounds AS (
+  SELECT min(hour_ts) AS lo, max(hour_ts) AS hi FROM hourly
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+)
+SELECT s.hour_ts,
+       coalesce(h.revenue, CAST(0.0 AS DOUBLE)) AS revenue,
+       coalesce(h.n_purchases, 0) AS n_purchases,
+       (h.hour_ts IS NULL) AS is_gap
+FROM spine s LEFT JOIN hourly h ON s.hour_ts = h.hour_ts
+"""
+
+
+@query(
+    "hourly_revenue_dense",
+    _DENSE_ORACLE,
+    doc="Gap filling: complete hourly spine (sequence between min/max) "
+        "left-joined to the sparse aggregate, gaps zero-filled and "
+        "flagged — what every dashboard/forecast consumer needs and "
+        "sparse groupBy output doesn't give. Spine generation is a "
+        "one-row explode; the join broadcasts the spine.",
+    tags=("window", "timeseries"),
+)
+def q_hourly_revenue_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_purchases"))
+    )
+    spine = (
+        hourly.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+        .select(F.explode(F.sequence(
+            "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(hourly.withColumnRenamed("hour_ts", "h_ts"),
+              spine.hour_ts == F.col("h_ts"), "left")
+        .select(
+            "hour_ts",
+            F.coalesce("revenue", F.lit(0.0).cast("double")).alias("revenue"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.col("h_ts").isNull().alias("is_gap"))
+    )
+
+
+_DIFF_ORACLE = """
+WITH old_snap AS (
+  -- additive drift keeps values on cent boundaries: a multiplicative
+  -- drift (×0.9) lands on exact third-decimal halves where Spark and
+  -- DuckDB round() disagree
+  SELECT o_orderkey, round(o_totalprice + 1.11, 2) AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 3 != 0
+),
+new_snap AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 5 != 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS order_key,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.o_totalprice != n.o_totalprice
+                 OR o.o_orderstatus != n.o_orderstatus THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       o.o_totalprice AS old_price,
+       n.o_totalprice AS new_price
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+@query(
+    "snapshot_diff_cdc",
+    _DIFF_ORACLE,
+    doc="CDC snapshot diff: full-outer join of two table versions → "
+        "insert/update/delete/unchanged classification (the MERGE-INTO "
+        "emulation for engines without ACID tables — anti-join + union "
+        "applies the result). Deterministic synthetic snapshots derived "
+        "from orders (disjoint modulo filters + a price drift).",
+    tags=("join", "cdc"),
+)
+def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old_snap = (orders.filter(F.col("o_orderkey") % 3 != 0)
+                .select("o_orderkey",
+                        F.round(F.col("o_totalprice") + 1.11, 2)
+                        .alias("o_totalprice"), "o_orderstatus"))
+    new_snap = (orders.filter(F.col("o_orderkey") % 5 != 0)
+                .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    o = old_snap.alias("o")
+    n = new_snap.alias("n")
+    return (
+        o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey"))
+            .alias("order_key"),
+            F.when(F.col("o.o_orderkey").isNull(), "insert")
+            .when(F.col("n.o_orderkey").isNull(), "delete")
+            .when((F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+                  | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+                  "update")
+            .otherwise("unchanged").alias("change_type"),
+            F.col("o.o_totalprice").alias("old_price"),
+            F.col("n.o_totalprice").alias("new_price"))
+    )
