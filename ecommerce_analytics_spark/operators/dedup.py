@@ -278,36 +278,53 @@ JOIN mh mb ON mb.doc_id = c.doc_b
     tags=("dedup", "join", "north-star"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Wide-signature plan, 2 shuffles total:
+    # Wide-signature plan, 4 shuffles total, pipeline computed ONCE:
     # - shingles hashed to two 32-bit ints AT THE EXPLODE (one md5 per
     #   shingle; the naive 16-digest formulation measured 22s at sf0.1)
-    #   so every downstream shuffle moves ints, never shingle strings;
+    #   so every downstream shuffle moves ints, never shingle strings
+    #   (conv() parses the hex — one JVM call per chunk vs the oracle's
+    #   16-instr portable formula; identical values);
     # - dedup + df-cap fused into one groupBy(x1,x2)+collect_set pass;
-    # - 16 universal-hash mins as columns in a single aggregation.
+    # - 16 universal-hash mins as columns in a single aggregation;
+    # - candidate pairs via groupBy(band, sig) + within-bucket pair
+    #   explosion — a band SELF-JOIN would execute this whole subtree
+    #   twice (profiled: the join formulation spent >40% of its 5.2s
+    #   re-running the explode+md5 pipeline for the build side).
+    #   Bucket sizes are bounded by real duplicate-cluster sizes, so
+    #   the per-bucket k² pair fan-out stays tiny at any scale.
     corpus = _corpus(spark, sf_dir)
+    # tokens materialized once per row — element_at over a projected
+    # array column instead of re-evaluating split() inside the lambda
     hx_all = (
         corpus
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", F.expr(
-            f"explode(transform(sequence(1, size(split(text, ' ')) - {SHINGLE_K - 1}), "
-            f"i -> md5(concat_ws(' ', element_at(split(text, ' '), i), "
-            f"element_at(split(text, ' '), i + 1), "
-            f"element_at(split(text, ' '), i + 2)))))").alias("h"))
+            f"explode(transform(sequence(1, size(toks) - {SHINGLE_K - 1}), "
+            f"i -> md5(concat_ws(' ', element_at(toks, i), "
+            f"element_at(toks, i + 1), element_at(toks, i + 2)))))").alias("h"))
         .select("doc_id",
-                F.expr(_hex_chunk_sql("h", 0)).alias("x1"),
-                F.expr(_hex_chunk_sql("h", 8)).alias("x2"))
+                F.expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").alias("x1"),
+                F.expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").alias("x2"))
     )
-    hx = (
-        hx_all.groupBy("x1", "x2")
-        .agg(F.collect_set("doc_id").alias("docs"))
-        .filter(F.size("docs") <= DF_CAP)
-        .select(F.explode("docs").alias("doc_id"), "x1", "x2")
-    )
-    mh = hx.groupBy("doc_id").agg(*[
-        F.min(F.expr(e)).alias(f"h{i}")
-        for i, e in enumerate(_minhash_exprs())])
+    # min() is duplicate-insensitive, so the per-doc DISTINCT the oracle
+    # writes is only needed for the document-frequency CAP, not the
+    # mins. Compute the (few) hot shingles with an all-longs exact
+    # countDistinct — codegen hash agg, no per-group object collection
+    # (a collect_set formulation allocated millions of sets and fell
+    # back to sort-based aggregation) — and broadcast-anti-join them
+    # out, then take map-side-combined mins straight off the multiset:
+    # the doc_id shuffle moves 16 longs per (doc × input partition).
+    hot = (hx_all.groupBy("x1", "x2")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") > DF_CAP)
+           .select("x1", "x2"))
+    mh = (hx_all.join(F.broadcast(hot), ["x1", "x2"], "left_anti")
+          .groupBy("doc_id").agg(*[
+              F.min(F.expr(e)).alias(f"h{i}")
+              for i, e in enumerate(_minhash_exprs())]))
 
-    # bands carry the full signature row, so the pair estimate is
-    # computed inline on the band join — no later re-join against mh
+    # bands carry the full signature vector, so the pair estimate is
+    # computed inline at pair generation — no later re-join against mh
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(F.lit(b).alias("band"),
@@ -316,24 +333,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(N_BANDS)
     ]
     bands = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs"),
-        *[f"h{i}" for i in range(N_MINHASH)]
+        "doc_id",
+        F.explode(F.array(*band_structs)).alias("bs"),
+        F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("hv"),
     ).select("doc_id", F.col("bs.band").alias("band"),
-             F.col("bs.sig").alias("sig"),
-             *[f"h{i}" for i in range(N_MINHASH)])
+             F.col("bs.sig").alias("sig"), "hv")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    n_match = sum(
-        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
-        for i in range(N_MINHASH))
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.collect_list(F.struct("doc_id", "hv")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(members, a -> "
+        "  transform(filter(members, b -> a.doc_id < b.doc_id), b -> "
+        "    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, "
+        "      'nm', aggregate(zip_with(a.hv, b.hv, (x, y) -> IF(x = y, 1, 0)), "
+        "                      0, (s, v) -> s + v)))))")).alias("p"))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                n_match.alias("nm"))
+        pairs.select("p.doc_a", "p.doc_b", "p.nm")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"),
              F.round(F.first("nm") / F.lit(float(N_MINHASH)), 6)

@@ -139,15 +139,22 @@ GROUP BY a.l_partkey, b.l_partkey
     tags=("join", "tier-b"),
 )
 def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_set per order (dedup + co-location in one shuffle), then
+    # explode within-basket ordered pairs — equivalent to the basket
+    # self-join but with one lineitem scan and two shuffles total
+    # (orders are bounded-size baskets, so the k² fan-out is tiny)
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = basket.alias("a")
-    b = basket.alias("b")
+    baskets = (lineitem.select("l_orderkey", "l_partkey")
+               .groupBy("l_orderkey")
+               .agg(F.collect_set("l_partkey").alias("items")))
     return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("product_a"),
-                 F.col("b.l_partkey").alias("product_b"))
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(items, a -> "
+            "  transform(filter(items, b -> a < b), "
+            "            b -> named_struct('product_a', a, 'product_b', b))))")
+        ).alias("p"))
+        .groupBy(F.col("p.product_a").alias("product_a"),
+                 F.col("p.product_b").alias("product_b"))
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
 
@@ -193,19 +200,34 @@ FROM ranked WHERE rank <= 5
     tags=("join", "topk", "tier-b"),
 )
 def q_product_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lineitem scan, no self-join. The former basket-self-join plan
+    # executed the scan+distinct subtree four times (both join sides +
+    # two prod_counts probes; 11 exchanges, 4.1s at sf0.1). Instead:
+    # collect each order's distinct items ONCE (the groupBy doubles as
+    # the dedup), then one explode emits every within-basket ordered
+    # pair PLUS a singleton marker row (pb NULL) per item — so pair
+    # counts and per-product basket counts come out of a single shuffle,
+    # and the cosine denominators join against the same aggregate.
+    # Basket arrays are per-order (bounded smalls), never skewed.
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
-    prod_counts = basket.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n"))
-    a = basket.alias("a")
-    b = basket.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("product_a"),
-                 F.col("b.l_partkey").alias("product_b"))
+    baskets = (lineitem.select("l_orderkey", "l_partkey")
+               .groupBy("l_orderkey")
+               .agg(F.collect_set("l_partkey").alias("items")))
+    counts = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(items, a -> "
+            "  concat(array(named_struct('pa', a, 'pb', CAST(NULL AS BIGINT))), "
+            "         transform(filter(items, b -> a < b), "
+            "                   b -> named_struct('pa', a, 'pb', b)))))")).alias("e"))
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    prod_counts = (counts.filter(F.col("pb").isNull())
+                   .select(F.col("pa").alias("l_partkey"), F.col("c").alias("n")))
+    pairs = (counts.filter(F.col("pb").isNotNull())
+             .select(F.col("pa").alias("product_a"),
+                     F.col("pb").alias("product_b"), "c"))
     # symmetrize via explode (a union of two selects would recompute the
     # whole pairs subtree twice)
     sym = pairs.select(F.explode(F.array(
