@@ -4,6 +4,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     aggregates,
     classification,
     cleaning,
+    corpus_quality,
     dedup,
     dedup_resolve,
     events_enrichment,

@@ -1,0 +1,304 @@
+"""Corpus-quality and chunking operators for training-data pipelines
+(SURVEY §2.10 N3 extensions).
+
+Four operators a pretraining data pipeline runs corpus-wide:
+
+- ``doc_quality_gopher``   — Gopher-style rule-based quality gate
+  (Rae et al. 2021 §A1.1 adapted to token-level signals: word-count
+  bounds, mean word length, most-frequent-token fraction, duplicate
+  2-gram fraction).
+- ``doc_repetition_topngram`` — repetition detection: the single most
+  repeated 2-gram per document and the fraction of the document it
+  covers (the "top n-gram fraction" signal from the Gopher/C4 rules).
+- ``doc_chunks``           — overlapping token-window chunking (size
+  CHUNK_TOKENS, stride CHUNK_STRIDE): the context-window preparation
+  step before tokenization.
+- ``tfidf_top_terms``      — per-document top-5 keyword extraction.
+
+Scale notes: the quality/repetition operators are MAP-ONLY — every
+feature is a higher-order array function over the per-row token array
+(documents are bounded-size), so they run at scan speed with zero
+shuffle at any corpus size; the alternative explode+groupBy(doc, gram)
+formulation shuffles one row per (doc, gram) and only wins when
+single documents are huge. Chunking is a map-side explode (output ∝
+input). TF-IDF is the one shuffle-bearing op: token explode →
+groupBy(doc, term) → two window passes on compact keys; the corpus
+size N broadcasts.
+
+Cross-engine determinism: every ranked/filters score is a ratio of
+exact integers (bitwise-identical doubles in Spark and DuckDB); the
+transcendental ln() appears only in a display column rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+# Gopher-style gate thresholds, calibrated so the synthetic corpus
+# splits (n_tokens 10-99, mean_len 3.7-5.3, top-token p90 ≈ 0.14,
+# dup-bigram p90 ≈ 0.065 at sf0.01).
+MIN_TOKENS = 25
+MEAN_LEN_LO = 3.0
+MEAN_LEN_HI = 5.0
+TOP_TOKEN_FRAC_MAX = 0.12
+DUP_BIGRAM_FRAC_MAX = 0.05
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+TFIDF_TOP_K = 5
+
+_GOPHER_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t, length(text) AS n_chars
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(n_chars - len(t) + 1 AS DOUBLE) / len(t) AS mean_token_len,
+         CAST(list_max(list_transform(list_distinct(t),
+              x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)
+           AS top_token_frac,
+         CASE WHEN len(t) >= 2 THEN
+           CAST(len(t) - 1
+                - len(list_distinct(list_transform(
+                      generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+             / (len(t) - 1)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM tok
+)
+SELECT doc_id, lang, n_tokens,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(top_token_frac, 6) AS top_token_frac,
+       round(dup_bigram_frac, 6) AS dup_bigram_frac,
+       (n_tokens >= {MIN_TOKENS}
+        AND mean_token_len >= {MEAN_LEN_LO} AND mean_token_len <= {MEAN_LEN_HI}
+        AND top_token_frac <= {TOP_TOKEN_FRAC_MAX}
+        AND dup_bigram_frac <= {DUP_BIGRAM_FRAC_MAX}) AS passes_gopher
+FROM feat
+"""
+
+
+@query(
+    "doc_quality_gopher",
+    _GOPHER_ORACLE,
+    doc="N3 Gopher-style quality gate (Rae et al. 2021 §A1.1 adapted): "
+        "token-count bounds, mean token length, most-frequent-token "
+        "fraction, duplicate-2-gram fraction → boolean keep/drop. "
+        "Map-only (higher-order array functions per row, no shuffle); "
+        "every gate ratio is exact integer arithmetic.",
+    tags=("text", "quality", "north-star"),
+)
+def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n = F.size(t)
+    mean_len = (F.length("text") - n + 1).cast("double") / n
+    top_frac = F.expr(
+        "CAST(array_max(transform(array_distinct(split(text, ' ')), "
+        "x -> size(filter(split(text, ' '), y -> y = x)))) AS DOUBLE)"
+    ) / n
+    dup_bigram = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "CAST(size(split(text, ' ')) - 1 "
+        "  - size(array_distinct(transform("
+        "      sequence(1, size(split(text, ' ')) - 1), "
+        "      i -> concat_ws(' ', element_at(split(text, ' '), i), "
+        "                     element_at(split(text, ' '), i + 1))))) AS DOUBLE) "
+        "  / (size(split(text, ' ')) - 1) ELSE 0.0D END")
+    passes = (
+        (n.cast("long") >= MIN_TOKENS)
+        & (mean_len >= MEAN_LEN_LO) & (mean_len <= MEAN_LEN_HI)
+        & (top_frac <= TOP_TOKEN_FRAC_MAX)
+        & (dup_bigram <= DUP_BIGRAM_FRAC_MAX)
+    )
+    return docs.select(
+        "doc_id", "lang",
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup_bigram, 6).alias("dup_bigram_frac"),
+        passes.alias("passes_gopher"),
+    )
+
+
+_REPETITION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1]) AS grams
+  FROM tok WHERE len(t) >= 2
+), scored AS (
+  SELECT doc_id,
+         CAST(len(grams) AS BIGINT) AS n_bigrams,
+         list_max(list_transform(list_distinct(grams),
+                  g -> len(list_filter(grams, x -> x = g)))) AS top_cnt,
+         grams
+  FROM bg
+)
+SELECT doc_id, n_bigrams,
+       list_min(list_filter(list_distinct(grams),
+                g -> len(list_filter(grams, x -> x = g)) = top_cnt))
+         AS top_bigram,
+       CAST(top_cnt AS BIGINT) AS top_bigram_count,
+       round(CAST(top_cnt AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+FROM scored
+"""
+
+
+@query(
+    "doc_repetition_topngram",
+    _REPETITION_ORACLE,
+    doc="N3 repetition detection: the most-repeated 2-gram per document "
+        "(ties broken to the lexicographically smallest) and the "
+        "fraction of the document it covers — the top-n-gram-fraction "
+        "repetition signal. Map-only per-row array compute; exact "
+        "integer ratios.",
+    tags=("text", "quality", "north-star"),
+)
+def q_doc_repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+        ).alias("grams"))
+    )
+    scored = grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_bigrams"),
+        F.expr("array_max(transform(array_distinct(grams), "
+               "g -> size(filter(grams, x -> x = g))))").alias("top_cnt"),
+        "grams",
+    )
+    return scored.select(
+        "doc_id", "n_bigrams",
+        F.expr("array_min(filter(array_distinct(grams), "
+               "g -> size(filter(grams, x -> x = g)) = top_cnt))")
+        .alias("top_bigram"),
+        F.col("top_cnt").cast("long").alias("top_bigram_count"),
+        F.round(F.col("top_cnt").cast("double") / F.col("n_bigrams"), 6)
+        .alias("top_bigram_frac"),
+    )
+
+
+_CHUNKS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(s AS INTEGER) AS chunk_start,
+       CAST(least(s + {CHUNK_TOKENS - 1}, len(t)) - s + 1 AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(t, s, least(s + {CHUNK_TOKENS - 1}, len(t))), ' ')
+         AS chunk_text
+FROM tok, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS u(s)
+"""
+
+
+@query(
+    "doc_chunks",
+    _CHUNKS_ORACLE,
+    doc=f"N3 context-window chunking: overlapping {CHUNK_TOKENS}-token "
+        f"windows at stride {CHUNK_STRIDE} per document — the pre-"
+        "tokenization splitting step of an LLM data pipeline. Map-side "
+        "explode (no shuffle); output rows ∝ input tokens / stride. "
+        "Trailing windows may be short (they keep the stride grid).",
+    tags=("text", "chunking", "north-star"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", "t",
+                F.explode(F.sequence(
+                    F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.col("s").cast("int").alias("chunk_start"),
+            F.size(F.slice(F.col("t"), F.col("s"), CHUNK_TOKENS))
+            .cast("long").alias("n_chunk_tokens"),
+            F.array_join(F.slice(F.col("t"), F.col("s"), CHUNK_TOKENS), " ")
+            .alias("chunk_text"),
+        )
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH tc AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf_count
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+  GROUP BY doc_id, tok
+), stats AS (
+  SELECT doc_id, term, tf_count,
+         sum(tf_count) OVER (PARTITION BY doc_id) AS n_tok,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM tc
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf_count,
+         CAST(tf_count * n_docs AS DOUBLE) / CAST(n_tok * df AS DOUBLE)
+           AS rarity,
+         round((CAST(tf_count AS DOUBLE) / CAST(n_tok AS DOUBLE))
+               * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM stats, n
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY rarity DESC, term) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf_count, round(rarity, 6) AS rarity, tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    _TFIDF_ORACLE,
+    doc=f"N3 keyword extraction: top-{TFIDF_TOP_K} terms per document. "
+        "Ranked by the exact-rational rarity score tf·N/(n_tok·df) "
+        "(bitwise-identical across engines — ln() would risk 1-ulp rank "
+        "flips); classic ln-idf TF-IDF emitted alongside, rounded. "
+        "Shuffle profile: explode → groupBy(doc, term) → window on doc "
+        "and on term — three compact-key exchanges; N broadcasts.",
+    tags=("text", "agg", "window", "north-star"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf_count"))
+    )
+    stats = tc.select(
+        "doc_id", "term", "tf_count",
+        F.sum("tf_count").over(Window.partitionBy("doc_id")).alias("n_tok"),
+        F.count(F.lit(1)).over(Window.partitionBy("term")).alias("df"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = stats.join(F.broadcast(n_docs)).select(
+        "doc_id", "term", "tf_count",
+        ((F.col("tf_count") * F.col("n_docs")).cast("double")
+         / (F.col("n_tok") * F.col("df")).cast("double")).alias("rarity"),
+        F.round((F.col("tf_count").cast("double") / F.col("n_tok").cast("double"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("rarity"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf_count",
+                F.round("rarity", 6).alias("rarity"), "tfidf", "rank")
+    )

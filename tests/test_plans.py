@@ -51,3 +51,22 @@ def test_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(query_map()["top_customers_by_spend"](spark, sf_dir),
                  "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_quality_ops_are_map_only(spark, sf_dir):
+    # doc_quality_gopher / doc_repetition_topngram / doc_chunks compute
+    # per-row array features — their plans must contain NO exchange
+    # (shuffle): they run at scan speed at any corpus size.
+    for name in ("doc_quality_gopher", "doc_repetition_topngram",
+                 "doc_chunks"):
+        plan = _plan(query_map()[name](spark, sf_dir), "simple")
+        assert "Exchange" not in plan, name
+
+
+def test_minhash_no_duplicate_pipeline(spark, sf_dir):
+    # the LSH candidate generation must not run the shingle explode
+    # twice (a band self-join would): exactly one Generate of the
+    # md5 shingle transform in the plan.
+    plan = _plan(query_map()["dedup_minhash_lsh"](spark, sf_dir),
+                 "simple")
+    assert plan.count("md5(concat_ws") <= 2  # hot-list + min branches
