@@ -8,6 +8,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     dedup,
     dedup_resolve,
     events_enrichment,
+    fingerprint,
     joins,
     similarity,
     sorts,

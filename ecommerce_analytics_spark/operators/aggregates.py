@@ -219,3 +219,60 @@ def q_daily_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_value"),
         F.countDistinct("user_id").alias("unique_users"),
     )
+
+
+HIST_WIDTH = 25.0  # events.value spans ~0..500 → ~20 buckets
+
+
+@query(
+    "value_histogram",
+    f"""
+    WITH b AS (
+      SELECT CAST(floor(value / {HIST_WIDTH}) AS INTEGER) AS bucket,
+             value
+      FROM events
+    ), agg AS (
+      SELECT bucket,
+             round(bucket * {HIST_WIDTH}, 2) AS lo,
+             round((bucket + 1) * {HIST_WIDTH}, 2) AS hi,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, lo, hi, n_events, sum_value,
+           round(CAST(n_events AS DOUBLE)
+                 / sum(n_events) OVER (), 6) AS share,
+           CAST(sum(n_events) OVER (
+             ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_events
+    FROM agg
+    """,
+    doc="Equi-width histogram over events.value (floor-bucket groupBy — "
+        "the distributed histogram primitive) + share and cumulative "
+        "counts via windows over the tiny bucket table. The wide scan "
+        "aggregates map-side; only (bucket, partials) shuffle.",
+    tags=("agg", "histogram"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_WIDTH).cast("int")
+    agg = (
+        events.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("bucket",
+                F.round(F.col("bucket") * HIST_WIDTH, 2).alias("lo"),
+                F.round((F.col("bucket") + 1) * HIST_WIDTH, 2).alias("hi"),
+                "n_events", "sum_value")
+    )
+    w_all = Window.partitionBy()
+    w_cum = (Window.partitionBy().orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return agg.select(
+        "bucket", "lo", "hi", "n_events", "sum_value",
+        F.round(F.col("n_events").cast("double")
+                / F.sum("n_events").over(w_all), 6).alias("share"),
+        F.sum("n_events").over(w_cum).cast("long").alias("cum_events"),
+    )

@@ -252,3 +252,116 @@ def q_market_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_order_value"),
         )
     )
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: local-supplier volume — six-table join where "
+        "the supplier must share the customer's nation (a join predicate "
+        "across two dims). Region/nation/supplier/customer broadcast; "
+        "the fact table joins without a shuffle; date filter pushes to "
+        "the orders scan.",
+    tags=("join", "agg", "bench"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem
+        .join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@query(
+    "top_returning_customers",
+    """
+    WITH scored AS (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS return_revenue,
+             CAST(count(*) AS BIGINT) AS n_return_lines
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate <  DATE '1996-07-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT c_custkey, c_name, nation_name, return_revenue, n_return_lines
+    FROM scored
+    ORDER BY return_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-line revenue in "
+        "a half-year window. Return flag and date predicates push to "
+        "the scans; dims broadcast; the limit cutoff orders by the "
+        "ROUNDED revenue with a custkey tiebreak so the top-20 set is "
+        "deterministic across engines.",
+    tags=("join", "agg", "topk", "bench"),
+)
+def q_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    scored = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("return_revenue"),
+             F.count(F.lit(1)).alias("n_return_lines"))
+    )
+    return (
+        scored
+        .orderBy(F.desc("return_revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "nation_name",
+                "return_revenue", "n_return_lines")
+    )
