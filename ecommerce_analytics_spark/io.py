@@ -121,3 +121,41 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
         df = df.coalesce(n_files)
     df.write.mode("overwrite").parquet(out_path)
     return len(glob.glob(os.path.join(out_path, "*.parquet")))
+
+
+def write_bucketed_table(df: DataFrame, table: str,
+                         bucket_cols: tuple[str, ...], n_buckets: int,
+                         sort_cols: tuple[str, ...] = (),
+                         path: str | None = None,
+                         mode: str = "overwrite") -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join
+    layout. Both sides of a recurring join written with the same
+    bucket count/columns join WITHOUT any shuffle: each task zips
+    bucket i ⋈ bucket i (and with ``sort_cols`` = join keys, without
+    a sort either — the files are pre-sorted for the merge join).
+    At 100 TB this converts the nightly lineitem⋈orders shuffle —
+    the single largest exchange in the warehouse — into a map-side
+    merge, paid once at write time. ``path`` makes it an external
+    table (data at path, metadata in the session catalog).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning surface as parquet (S1-S3
+    analog for the second columnar format a lake commonly holds)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_cols: tuple[str, ...] = ()) -> None:
+    """ORC sink with optional directory partitioning."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)

@@ -276,3 +276,83 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_events").over(w_all), 6).alias("share"),
         F.sum("n_events").over(w_cum).cast("long").alias("cum_events"),
     )
+
+
+@query(
+    "sliding_window_revenue",
+    """
+    WITH win AS (
+      SELECT strftime(make_timestamp(
+               (epoch_us(ts) // 900000000) * 900000000 - k * 900000000),
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+             value, user_id
+      FROM events, unnest(generate_series(0, 3)) AS u(k)
+    )
+    SELECT window_start,
+           round(sum(value), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+    FROM win GROUP BY window_start
+    """,
+    doc="T4 sliding window: 1-hour windows every 15 minutes (each event "
+        "contributes to 4 overlapping windows — Spark's window() slide "
+        "duration; the oracle materializes the same 4 aligned starts "
+        "per event). The streaming twin is the identical expression "
+        "behind readStream + withWatermark. Window starts emitted as "
+        "strings (timestamp reprs differ across engines).",
+    tags=("agg", "window", "tier-b", "stream-parity"),
+)
+def q_sliding_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("unique_users"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "revenue", "n_events", "unique_users")
+    )
+
+
+@query(
+    "post_purchase_attribution",
+    """
+    SELECT p.event_id AS purchase_event_id,
+           CAST(count(*) AS BIGINT) AS n_follow_events,
+           CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_event_types,
+           round(sum(e.value), 2) AS follow_value
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts > p.ts
+     AND e.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    doc="Range join (equi + band predicate): for every purchase, the "
+        "same user's events in the following hour — the attribution/"
+        "feature-window shape. Catalyst plans the equi key (user_id) as "
+        "the join and evaluates the time band as a residual — one "
+        "shuffle on the key, never a cross product; per-user event "
+        "rates bound the band fan-out at any scale.",
+    tags=("join", "range", "window"),
+)
+def q_post_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_event_id"),
+                 F.col("user_id").alias("p_user_id"),
+                 F.col("ts").alias("p_ts")))
+    return (
+        p.join(
+            events,
+            (events.user_id == F.col("p_user_id"))
+            & (events.ts > F.col("p_ts"))
+            & (events.ts <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")))
+        .groupBy(F.col("p_event_id").alias("purchase_event_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow_events"),
+             F.countDistinct("event_type").alias("n_event_types"),
+             F.round(F.sum("value"), 2).alias("follow_value"))
+    )

@@ -65,3 +65,22 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """A8/T6: event_id idempotence — state-backed dropDuplicates with
     watermark-bounded state (the Mongo unique-index replacement)."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def streaming_sliding_revenue(events: DataFrame,
+                              watermark: str = "2 hours") -> DataFrame:
+    """T4 sliding twin of operators/aggregates.q_sliding_window_revenue:
+    1-hour windows sliding every 15 minutes. Identical expression to
+    the batch op except the watermark (and approx distinct — same
+    streamability divergence as hourly_revenue, documented there)."""
+    return (
+        events
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.approx_count_distinct("user_id").alias("unique_users"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "revenue", "n_events", "unique_users")
+    )

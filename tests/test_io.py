@@ -131,3 +131,47 @@ def test_event_struct_json_edge(spark, sf_dir):
         | (F.col("e.timestamp")
            != F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")))
     assert bad.count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """S8/C7 scale layout: lineitem and orders written bucketed on the
+    join key with the same bucket count join with NO exchange and NO
+    sort (sortBy pre-orders the files for the merge) — the co-located
+    join that removes the warehouse's biggest shuffle at 100 TB."""
+    from ecommerce_analytics_spark.io import load_table, write_bucketed_table
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    try:
+        write_bucketed_table(li, "li_b", ("l_orderkey",), 4,
+                             sort_cols=("l_orderkey",),
+                             path=str(tmp_path / "li_b"))
+        write_bucketed_table(od, "ord_b", ("o_orderkey",), 4,
+                             sort_cols=("o_orderkey",),
+                             path=str(tmp_path / "ord_b"))
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == li.join(
+            od, li.l_orderkey == od.o_orderkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink → scan roundtrip; predicate pushdown reaches the ORC
+    reader just like parquet."""
+    from ecommerce_analytics_spark.io import load_table, read_orc, write_orc
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity")
+    write_orc(li, str(tmp_path / "li_orc"))
+    back = read_orc(spark, str(tmp_path / "li_orc"))
+    assert back.count() == li.count()
+    filtered = back.filter(F.col("l_returnflag") == "R")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+    assert filtered.count() == li.filter(F.col("l_returnflag") == "R").count()

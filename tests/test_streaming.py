@@ -184,3 +184,26 @@ def test_corrupt_record_routing(spark, tmp_path):
     assert [r["event_id"] for r in v] == [1, 2]
     assert v[0]["value"] == 10.5
     assert len(d) == 2  # the non-JSON line and the schema-miss line
+
+
+def test_streaming_sliding_revenue_matches_batch(spark, sf_dir,
+                                                 events_stream_dir):
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_events, streaming_sliding_revenue)
+    stream = streaming_events(spark, events_stream_dir)
+    agg = streaming_sliding_revenue(stream)
+    _run_to_memory(agg, "sliding_stream", "complete")
+    got = {r["window_start"]: r for r in
+           spark.sql("SELECT * FROM sliding_stream").collect()}
+
+    from ecommerce_analytics_spark.plans.registry import query_map
+    expected = {r["window_start"]: r for r in
+                query_map()["sliding_window_revenue"](spark, sf_dir).collect()}
+
+    assert set(got) == set(expected)
+    for w, exp in expected.items():
+        g = got[w]
+        assert g["revenue"] == pytest.approx(exp["revenue"])
+        assert g["n_events"] == exp["n_events"]
+        assert abs(g["unique_users"] - exp["unique_users"]) \
+            <= max(2, 0.1 * exp["unique_users"])
