@@ -300,3 +300,46 @@ def q_part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", "p_type").alias("brand_type_lev"),
         F.col("p_type").contains("BRASS").alias("is_brass"),
     )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(c.c_mktsegment, '(all)') AS segment,
+       coalesce(o.o_orderpriority, '(all)') AS priority,
+       CAST(grouping(c.c_mktsegment) AS INTEGER) AS is_segment_total,
+       CAST(grouping(o.o_orderpriority) AS INTEGER) AS is_priority_total,
+       round(sum(o.o_totalprice), 2) AS total_spend,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE(c.c_mktsegment, o.o_orderpriority)
+"""
+
+
+@query(
+    "spend_cube_segment_priority",
+    _CUBE_ORACLE,
+    doc="CUBE(segment, priority) with grouping flags — all four "
+        "grouping sets (detail, both marginals, grand total) in one "
+        "aggregation pass. Spark Expand replicates each input row per "
+        "grouping set BEFORE the partial agg, so the exchange carries "
+        "(set, keys, partials), not raw rows ×4 — same contract as "
+        "ROLLUP; combined they cover the GROUPING SETS family.",
+    tags=("agg", "rollup"),
+)
+def q_spend_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.grouping("c_mktsegment").cast("int").alias("is_segment_total"),
+             F.grouping("o_orderpriority").cast("int").alias("is_priority_total"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "is_segment_total", "is_priority_total",
+            "total_spend", "n_orders")
+    )

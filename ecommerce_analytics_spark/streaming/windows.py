@@ -84,3 +84,30 @@ def streaming_sliding_revenue(events: DataFrame,
                 .alias("window_start"),
                 "revenue", "n_events", "unique_users")
     )
+
+
+def streaming_purchase_attribution_join(purchases: DataFrame,
+                                        events: DataFrame,
+                                        watermark: str = "2 hours") -> DataFrame:
+    """T-coverage beyond the reference: stream-stream interval join.
+    Purchases joined to the same user's events in the following hour —
+    the streaming twin of operators/aggregates.q_post_purchase_
+    attribution (whose DuckDB oracle certifies the batch semantics;
+    the parity test certifies this join against that query).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends, so Spark can size and evict the join state —
+    the stream-stream join contract. State per side ≈ watermark-window
+    of rows hash-partitioned on user_id.
+    """
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_event_id"),
+                 F.col("user_id").alias("p_user_id"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", watermark))
+    e = (events.select("event_id", "user_id", "event_type", "ts", "value")
+         .withWatermark("ts", watermark))
+    return p.join(
+        e,
+        F.expr("user_id = p_user_id AND ts > p_ts "
+               "AND ts <= p_ts + INTERVAL 1 HOUR"))

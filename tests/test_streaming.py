@@ -207,3 +207,32 @@ def test_streaming_sliding_revenue_matches_batch(spark, sf_dir,
         assert g["n_events"] == exp["n_events"]
         assert abs(g["unique_users"] - exp["unique_users"]) \
             <= max(2, 0.1 * exp["unique_users"])
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir,
+                                                   events_stream_dir):
+    """The stream-stream interval join must produce exactly the pairs
+    the batch range join aggregates (post_purchase_attribution's
+    oracle certifies those semantics)."""
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_events, streaming_purchase_attribution_join)
+    joined = streaming_purchase_attribution_join(
+        streaming_events(spark, events_stream_dir),
+        streaming_events(spark, events_stream_dir))
+    _run_to_memory(joined, "ss_join", "append")
+    got = (spark.sql("SELECT p_event_id, count(*) AS n, "
+                     "count(DISTINCT event_type) AS nt, "
+                     "round(sum(value), 2) AS v "
+                     "FROM ss_join GROUP BY p_event_id"))
+    got_rows = {r["p_event_id"]: r for r in got.collect()}
+
+    from ecommerce_analytics_spark.plans.registry import query_map
+    exp_rows = {r["purchase_event_id"]: r for r in
+                query_map()["post_purchase_attribution"](
+                    spark, sf_dir).collect()}
+    assert set(got_rows) == set(exp_rows)
+    for k, exp in exp_rows.items():
+        g = got_rows[k]
+        assert g["n"] == exp["n_follow_events"]
+        assert g["nt"] == exp["n_event_types"]
+        assert g["v"] == pytest.approx(exp["follow_value"])
