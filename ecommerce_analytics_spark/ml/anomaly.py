@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
 from ecommerce_analytics_spark.plans.registry import query
 
 TRAIL = 24
@@ -17,7 +18,7 @@ Z_FLAG = 3.0
 
 _ANOMALY_ORACLE = f"""
 WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS hour_ts, round(sum(value), 2) AS revenue
+  SELECT date_trunc('hour', ts) AS hour_ts, {money_sum_sql('value')} AS revenue
   FROM events WHERE event_type = 'purchase'
   GROUP BY date_trunc('hour', ts)
 ),
@@ -54,7 +55,7 @@ def q_revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
-        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+        .agg(money_sum("value").alias("revenue"))
     )
     w = Window.orderBy("hour_ts").rowsBetween(-TRAIL, -1)
     rolled = hourly.select(

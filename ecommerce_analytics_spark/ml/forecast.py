@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
 from ecommerce_analytics_spark.plans.registry import query
 
 TRAIL_DAYS = 7
@@ -23,7 +24,7 @@ _FORECAST_ORACLE = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour_ts,
          CAST(hour(ts) AS INTEGER) AS hour_of_day,
-         round(sum(value), 2) AS revenue
+         {money_sum_sql('value')} AS revenue
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1, 2
 )
@@ -51,7 +52,7 @@ def q_hourly_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"),
                  F.hour("ts").alias("hour_of_day"))
-        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+        .agg(money_sum("value").alias("revenue"))
     )
     w = (Window.partitionBy("hour_of_day").orderBy("hour_ts")
          .rowsBetween(-TRAIL_DAYS, -1))

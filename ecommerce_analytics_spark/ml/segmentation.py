@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
 from ecommerce_analytics_spark.plans.registry import query
 
 K_SEGMENTS = 4
@@ -30,20 +31,20 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.any_value("d"), F.max("o_orderdate"))
             .cast("double").alias("recency_days"),
             F.count(F.lit(1)).cast("double").alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            money_sum("o_totalprice").alias("monetary"),
         )
     )
 
 
 @query(
     "rfm_features",
-    """
+    f"""
     WITH md AS (SELECT max(o_orderdate) AS d FROM orders)
     SELECT o_custkey AS customer_id,
            CAST(date_diff('day', max(o_orderdate), any_value(md.d)) AS DOUBLE)
              AS recency_days,
            CAST(count(*) AS DOUBLE) AS frequency,
-           round(sum(o_totalprice), 2) AS monetary
+           {money_sum_sql('o_totalprice')} AS monetary
     FROM orders CROSS JOIN md
     GROUP BY o_custkey
     """,

@@ -13,7 +13,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.numerics import (
+    disc_price_sum, disc_price_sum_sql, money_sum, money_sum_sql,
+)
 from ecommerce_analytics_spark.plans.registry import query
+
+# Money sums go through numerics.money_sum (exact DECIMAL accumulation)
+# so plan and oracle agree bit-for-bit regardless of partial-agg merge
+# order — see numerics.py for the round-1 failure this prevents.
+_VALUE_SUM_SQL = money_sum_sql("value")
 
 
 @query(
@@ -111,9 +119,9 @@ def q_returns_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hourly_revenue",
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS hour_timestamp,
-           round(sum(value), 2) AS total_revenue,
+           {_VALUE_SUM_SQL} AS total_revenue,
            CAST(count(*) AS BIGINT) AS order_count,
            CAST(count(DISTINCT user_id) AS BIGINT) AS unique_customers
     FROM events
@@ -131,7 +139,7 @@ def q_hourly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("hour", "ts").alias("hour_timestamp"))
         .agg(
-            F.round(F.sum("value"), 2).alias("total_revenue"),
+            money_sum("value").alias("total_revenue"),
             F.count(F.lit(1)).alias("order_count"),
             F.countDistinct("user_id").alias("unique_customers"),
         )
@@ -140,11 +148,11 @@ def q_hourly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "popular_products",
-    """
+    f"""
     SELECT l.l_partkey AS product_id,
            any_value(p.p_name) AS product_name,
            sum(l.l_quantity) AS total_quantity,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+           {disc_price_sum_sql('l.l_extendedprice', 'l.l_discount')} AS total_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY l.l_partkey
     ORDER BY total_quantity DESC, product_id
@@ -166,8 +174,7 @@ def q_popular_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value(F.col("p_name")).alias("product_name"),
             F.sum("l_quantity").alias("total_quantity"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("total_revenue"),
+            disc_price_sum().alias("total_revenue"),
         )
         .orderBy(F.desc("total_quantity"), F.asc("product_id"))
         .limit(20)
@@ -190,12 +197,12 @@ def q_distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "daily_revenue_rollup",
-    """
+    f"""
     SELECT strftime(ts, '%Y-%m-%d') AS event_date,
            event_type,
-           round(sum(value), 2) AS total_value,
+           {_VALUE_SUM_SQL} AS total_value,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(round(sum(value), 2) / count(*), 6) AS avg_value,
+           round({_VALUE_SUM_SQL} / count(*), 6) AS avg_value,
            CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
     FROM events
     GROUP BY 1, 2
@@ -211,11 +218,11 @@ def q_daily_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
         "event_type",
     ).agg(
-        # avg derived from the rounded sum: raw float avgs can straddle
+        # avg derived from the exact sum: raw float avgs can straddle
         # a rounding boundary across engines (seen at sf0.01)
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum("value").alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6)
+        F.round(money_sum("value") / F.count(F.lit(1)), 6)
         .alias("avg_value"),
         F.countDistinct("user_id").alias("unique_users"),
     )
@@ -236,7 +243,7 @@ HIST_WIDTH = 25.0  # events.value spans ~0..500 → ~20 buckets
              round(bucket * {HIST_WIDTH}, 2) AS lo,
              round((bucket + 1) * {HIST_WIDTH}, 2) AS hi,
              CAST(count(*) AS BIGINT) AS n_events,
-             round(sum(value), 2) AS sum_value
+             {money_sum_sql('value')} AS sum_value
       FROM b GROUP BY bucket
     )
     SELECT bucket, lo, hi, n_events, sum_value,
@@ -261,7 +268,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(bucket.alias("bucket"), "value")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             money_sum("value").alias("sum_value"))
         .select("bucket",
                 F.round(F.col("bucket") * HIST_WIDTH, 2).alias("lo"),
                 F.round((F.col("bucket") + 1) * HIST_WIDTH, 2).alias("hi"),
@@ -280,7 +287,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sliding_window_revenue",
-    """
+    f"""
     WITH win AS (
       SELECT strftime(make_timestamp(
                (epoch_us(ts) // 900000000) * 900000000 - k * 900000000),
@@ -289,7 +296,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, unnest(generate_series(0, 3)) AS u(k)
     )
     SELECT window_start,
-           round(sum(value), 2) AS revenue,
+           {_VALUE_SUM_SQL} AS revenue,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
     FROM win GROUP BY window_start
@@ -307,7 +314,7 @@ def q_sliding_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.round(F.sum("value"), 2).alias("revenue"),
+        .agg(money_sum("value").alias("revenue"),
              F.count(F.lit(1)).alias("n_events"),
              F.countDistinct("user_id").alias("unique_users"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
@@ -318,11 +325,11 @@ def q_sliding_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "post_purchase_attribution",
-    """
+    f"""
     SELECT p.event_id AS purchase_event_id,
            CAST(count(*) AS BIGINT) AS n_follow_events,
            CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_event_types,
-           round(sum(e.value), 2) AS follow_value
+           {money_sum_sql('e.value')} AS follow_value
     FROM events p
     JOIN events e
       ON e.user_id = p.user_id
@@ -354,5 +361,5 @@ def q_post_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_event_id").alias("purchase_event_id"))
         .agg(F.count(F.lit(1)).alias("n_follow_events"),
              F.countDistinct("event_type").alias("n_event_types"),
-             F.round(F.sum("value"), 2).alias("follow_value"))
+             money_sum("value").alias("follow_value"))
     )

@@ -38,18 +38,41 @@ def signed_amount() -> F.Column:
     )
 
 
+def signed_amount_dec() -> F.Column:
+    """Exact-decimal twin of ``signed_amount`` for sums (see
+    SIGNED_AMOUNT_DEC_SQL — associative, engine-deterministic)."""
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        F.when(F.col("event_type") == "purchase", v)
+        .when(F.col("event_type") == "error", -F.abs(v))
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+    )
+
+
 SIGNED_AMOUNT_SQL = """
 CASE WHEN event_type = 'purchase' THEN value
      WHEN event_type = 'error' THEN -abs(value)
      ELSE 0.0 END
 """
 
+# Sum variant in exact DECIMAL: DuckDB evaluates window sums with a
+# segment tree (different association order than Spark's running
+# accumulation), so double sums differ ~1e-12 between engines. `value`
+# is losslessly DECIMAL(18,2)-representable (verified at all SFs);
+# decimal addition is associative, so both engines agree exactly.
+SIGNED_AMOUNT_DEC_SQL = """
+CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+     WHEN event_type = 'error' THEN -abs(CAST(value AS DECIMAL(18,2)))
+     ELSE CAST(0 AS DECIMAL(18,2)) END
+"""
+
 _LTV_ORACLE = f"""
 SELECT event_id, user_id, ts, event_type, value,
        {SIGNED_AMOUNT_SQL} AS signed_amount,
-       sum({SIGNED_AMOUNT_SQL}) OVER (
+       CAST(sum({SIGNED_AMOUNT_DEC_SQL}) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS customer_ltv
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS customer_ltv
 FROM events
 """
 
@@ -66,11 +89,11 @@ def q_ltv_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    signed = signed_amount()
     return events.select(
         "event_id", "user_id", "ts", "event_type", "value",
-        signed.alias("signed_amount"),
-        F.sum(signed).over(w).alias("customer_ltv"),
+        signed_amount().alias("signed_amount"),
+        F.sum(signed_amount_dec()).over(w).cast("double")
+        .alias("customer_ltv"),
     )
 
 
@@ -130,7 +153,7 @@ def q_segment_and_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FINAL_LTV_ORACLE = f"""
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum({SIGNED_AMOUNT_SQL}), 2) AS final_ltv,
+       CAST(sum({SIGNED_AMOUNT_DEC_SQL}) AS DOUBLE) AS final_ltv,
        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
        CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_returns
 FROM events
@@ -151,7 +174,7 @@ def q_final_ltv_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(signed_amount()), 2).alias("final_ltv"),
+        F.sum(signed_amount_dec()).cast("double").alias("final_ltv"),
         F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
         F.count_if(F.col("event_type") == "error").alias("n_returns"),
     )

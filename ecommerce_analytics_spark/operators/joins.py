@@ -159,7 +159,7 @@ def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECS_ORACLE = _BASKET_CTE + """
+_RECS_RANKED_CTE = _BASKET_CTE + """
 , prod_counts AS (
   SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY l_partkey
 ), pairs AS (
@@ -185,6 +185,9 @@ _RECS_ORACLE = _BASKET_CTE + """
            ORDER BY similarity_score DESC, rec_product_id) AS INTEGER) AS rank
   FROM scored
 )
+"""
+
+_RECS_ORACLE = _RECS_RANKED_CTE + """
 SELECT product_id, rec_product_id, similarity_score, rank
 FROM ranked WHERE rank <= 5
 """
@@ -260,16 +263,13 @@ def q_product_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "recommendations_nested",
-    None,  # array<struct> output — rows-only driver check (SURVEY §5.3)
-    doc="C4 nested form: array<struct<product_id, similarity_score>> per "
-        "product, elements sorted (score desc, id) exactly as the MongoDB "
-        "validator requires (init-db.js:109-129). Values are parity-"
-        "checked against product_recommendations by tests.",
-    tags=("join", "nested", "tier-b"),
-)
-def q_recommendations_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+def recommendations_nested_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 nested form: array<struct<product_id, similarity_score,
+    product_name>> per product, elements sorted (score desc, id) exactly
+    as the MongoDB validator requires (init-db.js:109-129). This is the
+    true nested deliverable; the registered ``recommendations_nested``
+    query serializes it to JSON because the driver's pandas
+    canonicalization cannot hash list cells (round-1 ERR)."""
     flat = q_product_recommendations(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
     named = flat.join(
@@ -293,6 +293,57 @@ def q_recommendations_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                     r.product_name.alias("product_name")),
             ).alias("recommendations"),
         )
+    )
+
+
+# JSON twin of the nested view. Cross-engine determinism notes:
+#  * element order is fixed by rank (score desc, id asc) on both sides;
+#  * similarity_score is emitted as printf('%.6f') — the score doubles
+#    are bitwise identical across engines (integer counts, one divide,
+#    one sqrt — all IEEE correctly rounded), and C-printf formatting of
+#    the same double is identical, while raw to_json doubles diverge in
+#    scientific-notation style (Spark 1.0E-7 vs DuckDB 1e-7) and
+#    decimals diverge in trailing-zero trimming;
+#  * struct field order is declaration order in both engines.
+_RECS_NESTED_ORACLE = _RECS_RANKED_CTE + """
+, named AS (
+  SELECT r.product_id, r.rec_product_id, r.similarity_score, r.rank,
+         p.p_name AS product_name
+  FROM ranked r LEFT JOIN part p ON r.rec_product_id = p.p_partkey
+  WHERE r.rank <= 5
+)
+SELECT product_id,
+       CAST(to_json(list(struct_pack(
+              product_id := rec_product_id,
+              similarity_score := printf('%.6f', similarity_score),
+              product_name := product_name) ORDER BY rank)) AS VARCHAR)
+         AS recommendations
+FROM named
+GROUP BY product_id
+"""
+
+
+@query(
+    "recommendations_nested",
+    _RECS_NESTED_ORACLE,
+    doc="C4 nested form serialized with to_json so the driver gate can "
+        "hash it (round-1 ERR: pandas canonicalization dies on list "
+        "cells). Same plan as recommendations_nested_df; element order "
+        "(score desc, id) per init-db.js:109-129.",
+    tags=("join", "nested", "tier-b"),
+)
+def q_recommendations_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = recommendations_nested_df(spark, sf_dir)
+    return nested.select(
+        "product_id",
+        F.to_json(F.transform(
+            "recommendations",
+            lambda r: F.struct(
+                r.product_id.alias("product_id"),
+                F.format_string("%.6f", r.similarity_score)
+                .alias("similarity_score"),
+                r.product_name.alias("product_name")),
+        )).alias("recommendations"),
     )
 
 

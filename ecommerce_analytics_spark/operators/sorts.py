@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
 from ecommerce_analytics_spark.plans.registry import query
 
 
@@ -65,9 +66,9 @@ def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "top_customers_by_spend",
-    """
+    f"""
     SELECT o_custkey AS customer_id,
-           round(sum(o_totalprice), 2) AS total_spend,
+           {money_sum_sql('o_totalprice')} AS total_spend,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -82,7 +83,7 @@ def q_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.col("o_custkey").alias("customer_id"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        .agg(money_sum("o_totalprice").alias("total_spend"),
              F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("total_spend"), F.asc("customer_id"))
         .limit(25)

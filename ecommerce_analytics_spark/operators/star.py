@@ -13,46 +13,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table, register_views
+from ecommerce_analytics_spark.numerics import (
+    charge_sum, charge_sum_sql, disc_price_sum, disc_price_sum_sql,
+    money_sum, money_sum_sql,
+)
 from ecommerce_analytics_spark.plans.registry import query
 
 
 @query(
     "pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {money_sum_sql('l_extendedprice')} AS sum_base_price,
+           {disc_price_sum_sql()} AS sum_disc_price,
+           {charge_sum_sql()} AS sum_charge,
            avg(l_quantity) AS avg_qty,
-           round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
-           round(round(sum(l_discount), 4) / count(*), 8) AS avg_disc,
+           round({money_sum_sql('l_extendedprice')} / count(*), 6) AS avg_price,
+           round({money_sum_sql('l_discount')} / count(*), 8) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 shape: scan + pushed date filter + 8-agg groupBy on a "
-        "2-value key — pure map-side combine, minimal shuffle.",
+        "2-value key — pure map-side combine, minimal shuffle. Money "
+        "sums accumulate in exact DECIMAL (numerics.py); l_quantity is "
+        "integer-valued so its double sum/avg is already exact.",
     tags=("agg", "bench"),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # sums/avgs of doubles rounded in plan AND oracle: float
-            # accumulation order differs across engines (~1e-12 rel)
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            disc_price_sum().alias("sum_disc_price"),
+            charge_sum().alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6)
+            F.round(money_sum("l_extendedprice") / F.count(F.lit(1)), 6)
             .alias("avg_price"),
-            F.round(F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 8)
+            F.round(money_sum("l_discount") / F.count(F.lit(1)), 8)
             .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -61,9 +64,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shipping_priority",
-    """
+    f"""
     SELECT l.l_orderkey AS order_key,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {disc_price_sum_sql('l.l_extendedprice', 'l.l_discount')} AS revenue,
            o.o_orderdate AS order_date,
            o.o_orderpriority AS order_priority
     FROM customer c
@@ -95,19 +98,28 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("order_key"),
             F.col("o_orderdate").alias("order_date"),
             F.col("o_orderpriority").alias("order_priority"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(disc_price_sum().alias("revenue"))
         .select("order_key", "revenue", "order_date", "order_priority")
         .orderBy(F.desc("revenue"), F.asc("order_key"))
         .limit(10)
     )
 
 
-_STAR_SQL = """
+# Revenue is summed in exact DECIMAL, not DOUBLE (round-1 driver FAIL:
+# the pre-agg plan and the flat oracle summed doubles in different
+# association orders, and round(...,2) amplified a ~1e-9 difference
+# into a cent on 2/175 groups). Every money input is losslessly
+# DECIMAL(18,2)-representable (verified against all SF dirs), decimal
+# addition is associative, and both engines round decimals HALF_UP —
+# so plan and oracle agree bit-for-bit regardless of plan shape.
+_REV_DEC = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+
+_STAR_SQL = f"""
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
            CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum({_REV_DEC}), 2) AS DOUBLE) AS revenue,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem l
@@ -124,17 +136,17 @@ _STAR_SQL = """
 # plans a two-phase distinct that reshuffles every joined lineitem row
 # on (region, nation, year, orderkey); the pre-agg shuffles the fact
 # table once on its natural key and joins one row per order.
-_STAR_SQL_SPARK = """
+_STAR_SQL_SPARK = f"""
     WITH order_lines AS (
       SELECT l_orderkey,
-             sum(l_extendedprice * (1 - l_discount)) AS rev,
+             sum({_REV_DEC}) AS rev,
              count(*) AS n_lines
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
            CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-           round(sum(ol.rev), 2) AS revenue,
+           CAST(round(sum(ol.rev), 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(ol.n_lines) AS BIGINT) AS n_lineitems
     FROM order_lines ol
@@ -165,7 +177,9 @@ def q_sales_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "revenue_delta_forecast",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_increase,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS revenue_increase,
            CAST(count(*) AS BIGINT) AS n_qualifying
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -184,8 +198,9 @@ def q_revenue_delta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
                 & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
                 & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue_increase"),
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                           * F.col("l_discount").cast("decimal(4,2)")), 2)
+             .cast("double").alias("revenue_increase"),
              F.count(F.lit(1)).alias("n_qualifying"))
     )
 
@@ -223,12 +238,12 @@ def q_priority_shipping_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "market_segment_summary",
-    """
+    f"""
     SELECT c.c_mktsegment AS market_segment,
            CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_spend,
-           round(round(sum(o.o_totalprice), 2) / count(o.o_orderkey), 6)
+           {money_sum_sql('o.o_totalprice')} AS total_spend,
+           round({money_sum_sql('o.o_totalprice')} / count(o.o_orderkey), 6)
              AS avg_order_value
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -247,8 +262,8 @@ def q_market_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-            F.round(F.round(F.sum("o_totalprice"), 2) / F.count("o_orderkey"), 6)
+            money_sum("o_totalprice").alias("total_spend"),
+            F.round(money_sum("o_totalprice") / F.count("o_orderkey"), 6)
             .alias("avg_order_value"),
         )
     )
@@ -256,9 +271,9 @@ def q_market_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "local_supplier_volume",
-    """
+    f"""
     SELECT n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {disc_price_sum_sql('l.l_extendedprice', 'l.l_discount')} AS revenue,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -302,18 +317,17 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        .agg(disc_price_sum().alias("revenue"),
              F.count(F.lit(1)).alias("n_lineitems"))
     )
 
 
 @query(
     "top_returning_customers",
-    """
+    f"""
     WITH scored AS (
       SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             {disc_price_sum_sql('l.l_extendedprice', 'l.l_discount')}
                AS return_revenue,
              CAST(count(*) AS BIGINT) AS n_return_lines
       FROM customer c
@@ -353,9 +367,7 @@ def q_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2)
-             .alias("return_revenue"),
+        .agg(disc_price_sum().alias("return_revenue"),
              F.count(F.lit(1)).alias("n_return_lines"))
     )
     return (

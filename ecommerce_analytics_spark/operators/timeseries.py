@@ -10,11 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
 from ecommerce_analytics_spark.plans.registry import query
 
-_DENSE_ORACLE = """
+_DENSE_ORACLE = f"""
 WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS hour_ts, round(sum(value), 2) AS revenue,
+  SELECT date_trunc('hour', ts) AS hour_ts, {money_sum_sql("value")} AS revenue,
          CAST(count(*) AS BIGINT) AS n_purchases
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1
@@ -49,7 +50,7 @@ def q_hourly_revenue_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
-        .agg(F.round(F.sum("value"), 2).alias("revenue"),
+        .agg(money_sum("value").alias("revenue"),
              F.count(F.lit(1)).alias("n_purchases"))
     )
     spine = (

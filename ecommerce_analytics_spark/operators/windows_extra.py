@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
 from ecommerce_analytics_spark.plans.registry import query
 
 SESSION_GAP_MS = 30 * 60 * 1000
@@ -34,7 +35,7 @@ sess AS (
 SELECT user_id, session_no,
        min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value
+       {money_sum_sql('value')} AS total_value
 FROM sess GROUP BY user_id, session_no
 """
 
@@ -63,7 +64,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
              F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             money_sum("value").alias("total_value"))
     )
 
 
@@ -85,7 +86,7 @@ sess AS (
 SELECT user_id,
        min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value
+       {money_sum_sql('value')} AS total_value
 FROM sess GROUP BY user_id, session_no
 """
 
@@ -109,7 +110,7 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
              F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             money_sum("value").alias("total_value"))
         .select("user_id", "session_start", "session_end",
                 "n_events", "total_value")
     )
@@ -182,12 +183,12 @@ def q_daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROLLUP_ORACLE = """
+_ROLLUP_ORACLE = f"""
 SELECT coalesce(r.r_name, '(all)') AS region_name,
        coalesce(n.n_name, '(all)') AS nation_name,
        CAST(grouping(r.r_name) AS INTEGER) AS is_region_total,
        CAST(grouping(n.n_name) AS INTEGER) AS is_nation_total,
-       round(sum(o.o_totalprice), 2) AS total_spend,
+       {money_sum_sql('o.o_totalprice')} AS total_spend,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -218,7 +219,7 @@ def q_spend_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        .agg(money_sum("o_totalprice").alias("total_spend"),
              F.count(F.lit(1)).alias("n_orders"),
              F.grouping("r_name").cast("int").alias("is_region_total"),
              F.grouping("n_name").cast("int").alias("is_nation_total"))
@@ -302,12 +303,12 @@ def q_part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CUBE_ORACLE = """
+_CUBE_ORACLE = f"""
 SELECT coalesce(c.c_mktsegment, '(all)') AS segment,
        coalesce(o.o_orderpriority, '(all)') AS priority,
        CAST(grouping(c.c_mktsegment) AS INTEGER) AS is_segment_total,
        CAST(grouping(o.o_orderpriority) AS INTEGER) AS is_priority_total,
-       round(sum(o.o_totalprice), 2) AS total_spend,
+       {money_sum_sql('o.o_totalprice')} AS total_spend,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -333,7 +334,7 @@ def q_spend_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(customer), orders.o_custkey == customer.c_custkey)
     return (
         joined.cube("c_mktsegment", "o_orderpriority")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        .agg(money_sum("o_totalprice").alias("total_spend"),
              F.count(F.lit(1)).alias("n_orders"),
              F.grouping("c_mktsegment").cast("int").alias("is_segment_total"),
              F.grouping("o_orderpriority").cast("int").alias("is_priority_total"))

@@ -31,16 +31,24 @@ class Query:
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Local-harness float tolerance (significant digits). None = exact
+    # comparison, matching the driver's raw value hash. Only queries whose
+    # outputs are genuinely unrounded floats (and whose arithmetic cannot
+    # be made engine-deterministic) should set this — the driver still
+    # hashes them exactly, so it flags residual cross-engine risk.
+    float_sig: int | None = None
 
 
 def query(name: str, oracle: str | None, doc: str = "",
-          tags: tuple[str, ...] = ()) -> Callable[[SparkQuery], SparkQuery]:
+          tags: tuple[str, ...] = (),
+          float_sig: int | None = None) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = Query(name=name, spark_fn=fn, oracle=oracle,
-                              doc=doc or (fn.__doc__ or ""), tags=tuple(tags))
+                              doc=doc or (fn.__doc__ or ""), tags=tuple(tags),
+                              float_sig=float_sig)
         return fn
     return deco
 

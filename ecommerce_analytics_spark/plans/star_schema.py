@@ -28,13 +28,18 @@ _VIEWS = {
                p_size AS size, p_retailprice AS retail_price
         FROM part
     """,
+    # net_revenue is exact DECIMAL so any rollup over the fact view sums
+    # associatively — double sums diverge per-engine at round-2-cent
+    # boundaries (round-1 lesson; both money inputs are losslessly
+    # DECIMAL(18,2)-representable).
     "fact_sales": """
         SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
                o.o_custkey AS customer_id, l.l_partkey AS product_id,
                l.l_suppkey AS supplier_id,
                o.o_orderdate AS order_date, l.l_shipdate AS ship_date,
                l.l_quantity AS quantity,
-               l.l_extendedprice * (1 - l.l_discount) AS net_revenue,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS net_revenue,
                (l.l_returnflag = 'R') AS is_return
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
@@ -49,7 +54,7 @@ def create_star_views(spark: SparkSession, sf_dir: str) -> None:
 
 _SEGMENT_BRAND_SQL = """
     SELECT d.market_segment, p.brand,
-           round(sum(f.net_revenue), 2) AS revenue,
+           CAST(round(sum(f.net_revenue), 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(count(*) FILTER (WHERE f.is_return) AS BIGINT) AS n_returns
     FROM fact_sales f
@@ -69,11 +74,12 @@ _SEGMENT_BRAND_SQL = """
         SELECT p_partkey AS product_id, p_brand AS brand FROM part),
     fact_sales AS (
         SELECT o.o_custkey AS customer_id, l.l_partkey AS product_id,
-               l.l_extendedprice * (1 - l.l_discount) AS net_revenue,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS net_revenue,
                (l.l_returnflag = 'R') AS is_return
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
     SELECT d.market_segment, p.brand,
-           round(sum(f.net_revenue), 2) AS revenue,
+           CAST(round(sum(f.net_revenue), 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(count(*) FILTER (WHERE f.is_return) AS BIGINT) AS n_returns
     FROM fact_sales f

@@ -29,8 +29,11 @@ def test_als_recommendations_shape(spark, sf_dir):
 
 
 def test_recommendations_nested_matches_flat(spark, sf_dir):
+    from ecommerce_analytics_spark.operators.joins import (
+        recommendations_nested_df,
+    )
     flat = query_map()["product_recommendations"](spark, sf_dir)
-    nested = query_map()["recommendations_nested"](spark, sf_dir)
+    nested = recommendations_nested_df(spark, sf_dir)
     n_flat = flat.count()
     exploded = nested.select(
         "product_id", F.explode("recommendations").alias("r"))

@@ -10,7 +10,9 @@ from __future__ import annotations
 import pytest
 
 from ecommerce_analytics_spark.plans.registry import all_queries
-from ecommerce_analytics_spark.testing import compare_frames, duckdb_oracle
+from ecommerce_analytics_spark.testing import (
+    compare_frames, driver_canon, duckdb_oracle,
+)
 
 QUERIES = all_queries()
 
@@ -21,8 +23,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
     sdf = q.spark_fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     if q.oracle is None:
-        assert len(spark_pdf) >= 0  # rows-only check (driver parity)
+        # rows-only check — but the driver still canonicalizes the frame,
+        # so run the same canonicalization (crashes on list columns).
+        driver_canon(spark_pdf)
+        assert len(spark_pdf) >= 0
         return
     oracle_pdf = duckdb_oracle(q.oracle, sf_dir)
-    problems = compare_frames(spark_pdf, oracle_pdf, name)
+    problems = compare_frames(spark_pdf, oracle_pdf, name,
+                              float_sig=q.float_sig)
     assert not problems, "\n".join(problems)
