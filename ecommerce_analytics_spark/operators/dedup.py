@@ -33,6 +33,27 @@ SHINGLE_K = 3
 DF_CAP = 200  # drop shingles appearing in more docs (stop-shingles)
 JACCARD_THRESHOLD = 0.2
 
+# Hot-shingle lists are tiny by construction (≤ total_instances/DF_CAP
+# entries, and only the head of the Zipf curve exceeds the cap), but at
+# 100 TB "tiny" needs a guard, not a hope: above this row count the
+# anti-join falls back to a shuffle join instead of a broadcast.
+HOT_BROADCAST_MAX_ROWS = 5_000_000  # ~80 MB of (x1, x2) longs
+
+
+def _drop_hot(df: DataFrame, hot: DataFrame, keys: list[str]) -> DataFrame:
+    """Anti-join ``df`` against the (small) ``hot`` key list.
+
+    ``hot`` is materialized once (localCheckpoint) so the guard count
+    and the join don't recompute its aggregate subtree, then broadcast
+    when it fits — the skew-safe stop-shingle cap shape. A window-count
+    cap over the key would sort-shuffle the hottest keys (the exact
+    skew the cap exists to remove).
+    """
+    hot = hot.localCheckpoint(eager=True)
+    if hot.count() <= HOT_BROADCAST_MAX_ROWS:
+        hot = F.broadcast(hot)
+    return df.join(hot, keys, "left_anti")
+
 # -- shared corpus with injected near/exact duplicates ------------------
 _CORPUS_SQL = """
 corpus AS (
@@ -84,7 +105,14 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(corpus: DataFrame) -> DataFrame:
-    """(doc_id, sh) distinct, hot shingles capped at DF_CAP docs."""
+    """(doc_id, sh) distinct, hot shingles capped at DF_CAP docs.
+
+    The cap is a groupBy + broadcast anti-join of the hot list — the
+    same shape as the minhash path. (Round 1 used a count().over(
+    Window.partitionBy("sh")) single-pass cap; that sort-shuffles the
+    hottest key, which is precisely the skew the stop-shingle cap is
+    meant to eliminate.)
+    """
     sh = (
         corpus
         .select("doc_id", F.expr(
@@ -94,12 +122,9 @@ def _shingles(corpus: DataFrame) -> DataFrame:
             f"element_at(split(text, ' '), i + 2))))").alias("sh"))
         .distinct()
     )
-    # document-frequency cap as a single window pass (an anti-join
-    # against a separate hot-list aggregate recomputes the explode
-    # subtree; one partition-only window does not)
-    df_count = F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    return (sh.withColumn("df", df_count)
-            .filter(F.col("df") <= DF_CAP).drop("df"))
+    hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > DF_CAP).select("sh"))
+    return _drop_hot(sh, hot, ["sh"])
 
 
 @query(
@@ -318,7 +343,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.countDistinct("doc_id").alias("df"))
            .filter(F.col("df") > DF_CAP)
            .select("x1", "x2"))
-    mh = (hx_all.join(F.broadcast(hot), ["x1", "x2"], "left_anti")
+    mh = (_drop_hot(hx_all, hot, ["x1", "x2"])
           .groupBy("doc_id").agg(*[
               F.min(F.expr(e)).alias(f"h{i}")
               for i, e in enumerate(_minhash_exprs())]))
@@ -360,11 +385,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_bit_sums_sql() -> list[str]:
+def _simhash_bit_sums_sql(n_bits: int = 16) -> list[str]:
     return [
         f"sum(CASE WHEN (instr('0123456789abcdef', substring(md5(tok), {j}, 1)) - 1) % 2 = 1 "
         f"THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(1, 17)
+        for j in range(1, n_bits + 1)
     ]
 
 
@@ -410,4 +435,89 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "simhash",
         F.count(F.lit(1)).over(Window.partitionBy("simhash"))
         .cast("long").alias("n_same_bucket"),
+    )
+
+
+# The probe-join variant uses a WIDER 32-bit signature (all 32 md5 hex
+# digits): the 16-bit signature that keeps dedup_simhash's bucketing
+# oracle compact collides heavily on a topically-clustered corpus
+# (measured ~10k distance-≤2 pairs at sf0.001 — growing ~n²), while 32
+# bits leave only genuine near-duplicates inside radius 2 at any SF.
+HAMMING_BITS = 32
+HAMMING_RADIUS = 2  # pairs found: Hamming distance ≤ 2 (1-flip probes both sides)
+
+_SIMHASH_IV32_SQL = "(" + " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {1 << (HAMMING_BITS - j)} ELSE 0 END"
+    for j in range(1, HAMMING_BITS + 1)) + ")"
+
+_SIMHASH_HAMMING_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+sums AS (
+  SELECT doc_id, {', '.join(_simhash_bit_sums_sql(HAMMING_BITS))}
+  FROM tok GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, CAST({_SIMHASH_IV32_SQL} AS BIGINT) AS iv FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.iv, b.iv)) AS INTEGER) AS hamming_dist
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.iv, b.iv)) <= {HAMMING_RADIUS}
+"""
+
+
+@query(
+    "dedup_simhash_hamming",
+    _SIMHASH_HAMMING_ORACLE,
+    doc=f"N1 SimHash Hamming-radius probe join (the documented extension "
+        f"of dedup_simhash): each doc emits its {HAMMING_BITS}-bit "
+        f"signature plus all {HAMMING_BITS} single-bit flips; matching "
+        "probe buckets from both sides find every pair within Hamming "
+        f"distance {HAMMING_RADIUS} WITHOUT an all-pairs comparison "
+        f"(cost ∝ {HAMMING_BITS + 1} × docs). The oracle brute-forces "
+        "all pairs — the probe join must find the identical set, "
+        "including near-identical docs (one token removed) that exact-"
+        "signature bucketing misses.",
+    tags=("dedup", "join", "north-star"),
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same bucket-groupBy + within-bucket pair-explode shape as the
+    # minhash path (a probe self-join would run the token-sum pipeline
+    # twice). A pair at distance d ≤ 2 collides in ≥ 1 probe bucket
+    # (d=0: 17, d=1: 2, d=2 via the intermediate signature: 1), so
+    # dedup by (doc_a, doc_b) then filter on the exact distance.
+    corpus = _corpus(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    sums = tok.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _simhash_bit_sums_sql(HAMMING_BITS)])
+    sh = sums.select(
+        "doc_id", F.expr(_SIMHASH_IV32_SQL).cast("long").alias("iv"))
+    masks = F.array(*[F.lit(m) for m in
+                      [0] + [1 << k for k in range(HAMMING_BITS)]])
+    probes = sh.select(
+        "doc_id", "iv",
+        F.explode(masks).alias("mask"),
+    ).select("doc_id", "iv",
+             F.col("iv").bitwiseXOR(F.col("mask")).alias("probe"))
+    buckets = (
+        probes.groupBy("probe")
+        .agg(F.collect_list(F.struct("doc_id", "iv")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(members, a -> "
+        "  transform(filter(members, b -> a.doc_id < b.doc_id), b -> "
+        "    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, "
+        "                 'iva', a.iv, 'ivb', b.iv))))")).alias("p"))
+    return (
+        pairs.select("p.doc_a", "p.doc_b",
+                     F.bit_count(F.col("p.iva").bitwiseXOR(F.col("p.ivb")))
+                     .cast("int").alias("hamming_dist"))
+        .filter(F.col("hamming_dist") <= HAMMING_RADIUS)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming_dist").alias("hamming_dist"))
     )

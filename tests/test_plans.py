@@ -70,3 +70,13 @@ def test_minhash_no_duplicate_pipeline(spark, sf_dir):
     plan = _plan(query_map()["dedup_minhash_lsh"](spark, sf_dir),
                  "simple")
     assert plan.count("md5(concat_ws") <= 2  # hot-list + min branches
+
+
+def test_jaccard_cap_has_no_window_on_shingle(spark, sf_dir):
+    # The DF_CAP must be a groupBy + anti-join of the hot list, never a
+    # count().over(Window.partitionBy("sh")) — a sort-based window on
+    # the hottest key is the skew the cap exists to remove.
+    plan = _plan(query_map()["dedup_ngram_jaccard"](spark, sf_dir),
+                 "simple")
+    assert "Window" not in plan
+    assert "LeftAnti" in plan

@@ -72,3 +72,19 @@ def test_exact_dedup_idempotent(spark_h, rows):
     once = doubled.dropDuplicates(["event_id"])
     assert once.count() == df.count()
     assert once.dropDuplicates(["event_id"]).count() == df.count()
+
+
+def test_simhash_hamming_probe_finds_near_identical(spark, sf_dir):
+    """The Hamming probe join must recover injected near-duplicates
+    (first token removed → a few signature bits flip) that exact-
+    signature bucketing cannot see, plus the verbatim copies at
+    distance 0."""
+    from ecommerce_analytics_spark.plans.registry import query_map
+    pdf = query_map()["dedup_simhash_hamming"](spark, sf_dir).toPandas()
+    near = pdf[pdf.doc_a + 10_000_000 == pdf.doc_b]   # 1-token-trimmed
+    exact = pdf[pdf.doc_a + 20_000_000 == pdf.doc_b]  # verbatim copies
+    assert len(exact) > 0 and (exact.hamming_dist == 0).all()
+    assert len(near) > 0
+    # at least some trimmed docs land at distance 1-2 — invisible to
+    # the exact-bucket query, visible to the probe join
+    assert (near.hamming_dist > 0).any()
