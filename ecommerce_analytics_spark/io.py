@@ -28,7 +28,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is set by session.get_spark/tune (session contract,
+        # not a per-reader toggle); every entry point runs one of them.
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

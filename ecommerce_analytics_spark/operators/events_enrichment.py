@@ -116,6 +116,34 @@ FROM events
 """
 
 
+def segment_expr() -> F.Column:
+    """P13 user-segment CASE (EnrichmentFunction.java:38-52) — shared by
+    the batch query and the streaming/Kafka enrichment pipeline."""
+    v = F.col("value")
+    is_hv_purchase = (F.col("event_type") == "purchase") & (v > RISK_MID_AMOUNT)
+    return (
+        F.when(F.col("user_id") % 7 == 0, "anonymous")
+        .when(F.col("event_type") == "signup", "new")
+        .when(is_hv_purchase, "vip")
+        .when((F.col("event_type") == "purchase") & (v > 50), "wholesale")
+        .when(F.col("event_type") == "error", "return_customer")
+        .otherwise("regular")
+    )
+
+
+def risk_expr() -> F.Column:
+    """P14 capped additive risk score (EnrichmentFunction.java:132-168)."""
+    v = F.col("value")
+    is_hv_purchase = (F.col("event_type") == "purchase") & (v > RISK_MID_AMOUNT)
+    return F.least(
+        F.lit(1.0),
+        F.when(is_hv_purchase, 0.3).otherwise(0.0)
+        + F.when(F.col("event_type") == "signup", 0.2).otherwise(0.0)
+        + F.when(v > RISK_HIGH_AMOUNT, 0.5)
+        .when(v > RISK_MID_AMOUNT, 0.2).otherwise(0.0),
+    )
+
+
 @query(
     "segment_and_risk",
     _SEGMENT_RISK_ORACLE,
@@ -127,26 +155,9 @@ FROM events
 )
 def q_segment_and_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    v = F.col("value")
-    is_hv_purchase = (F.col("event_type") == "purchase") & (v > RISK_MID_AMOUNT)
-    segment = (
-        F.when(F.col("user_id") % 7 == 0, "anonymous")
-        .when(F.col("event_type") == "signup", "new")
-        .when(is_hv_purchase, "vip")
-        .when((F.col("event_type") == "purchase") & (v > 50), "wholesale")
-        .when(F.col("event_type") == "error", "return_customer")
-        .otherwise("regular")
-    )
-    risk = F.least(
-        F.lit(1.0),
-        F.when(is_hv_purchase, 0.3).otherwise(0.0)
-        + F.when(F.col("event_type") == "signup", 0.2).otherwise(0.0)
-        + F.when(v > RISK_HIGH_AMOUNT, 0.5)
-        .when(v > RISK_MID_AMOUNT, 0.2).otherwise(0.0),
-    )
     return events.select(
         "event_id", "user_id", "ts", "event_type", "value",
-        segment.alias("user_segment"), risk.alias("risk_score"),
+        segment_expr().alias("user_segment"), risk_expr().alias("risk_score"),
     )
 
 

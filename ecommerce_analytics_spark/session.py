@@ -19,9 +19,30 @@ from pyspark.sql import SparkSession
 _BROADCAST_THRESHOLD = str(64 * 1024 * 1024)
 
 
+def _default_driver_mem() -> str:
+    """Driver heap sized to the host: half of available RAM, capped at
+    48g, floored at 2g. (Only applies to a freshly launched JVM —
+    getOrCreate silently ignores it when reusing a running session.)"""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = {line.split(":")[0]: int(line.split()[1]) for line in f}
+        avail_gb = kb.get("MemAvailable", kb.get("MemTotal", 0)) // (1024 * 1024)
+    except (OSError, ValueError, IndexError):
+        avail_gb = 8
+    return f"{max(2, min(48, avail_gb // 2))}g"
+
+
 def get_spark(app_name: str = "ecommerce_analytics_spark",
               cpus: int | None = None) -> SparkSession:
-    """Build (or fetch) the tuned local SparkSession."""
+    """Build (or fetch) the tuned local SparkSession.
+
+    Session contract: spark.sql.legacy.parquet.nanosAsLong is part of
+    the session, not a per-reader toggle — the driver events table
+    stores nanosecond timestamps, and flipping the conf inside a reader
+    would make OTHER tables' behavior depend on read order. It is
+    harmless for non-nanos parquet (only changes how TIMESTAMP(NANOS)
+    columns, which Spark otherwise rejects, are surfaced).
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     builder = (
@@ -33,8 +54,11 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
@@ -53,6 +77,7 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
