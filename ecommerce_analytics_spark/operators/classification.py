@@ -39,18 +39,34 @@ from ecommerce_analytics_spark.plans.registry import query
 
 
 def classify_events(txn: DataFrame) -> DataFrame:
-    """Add prior_purchases / last_purchase_qty / event_type columns."""
+    """Add prior_purchases / last_purchase_qty / event_type columns.
+
+    Both window specs partition by customer_id ALONE so Catalyst plans
+    ONE exchange (hash on customer) followed by two sorts — previously
+    the product window partitioned by (customer, stock_code) and paid a
+    second full shuffle of the fact table. The product-scoped lookup
+    still works under the customer-only partition: ordering by
+    (stock_code, time) makes each stock's history contiguous, so the
+    last prior purchase struct in the frame either belongs to the
+    current row's stock_code (→ its qty) or to an earlier stock block
+    (→ this stock has no prior purchase → null), which is exactly the
+    (customer, stock_code)-partitioned semantics.
+    """
     order_cols = [F.col(c) for c in ORDER_KEYS]
     w_cust = (Window.partitionBy("customer_id").orderBy(*order_cols)
               .rowsBetween(Window.unboundedPreceding, -1))
-    w_prod = (Window.partitionBy("customer_id", "stock_code")
-              .orderBy(*order_cols)
+    w_prod = (Window.partitionBy("customer_id")
+              .orderBy(F.col("stock_code"), *order_cols)
               .rowsBetween(Window.unboundedPreceding, -1))
 
     not_return = ~F.col("is_return")
     prior_purchases = F.count(F.when(not_return, F.lit(1))).over(w_cust)
-    last_purchase_qty = F.last(
-        F.when(not_return, F.col("quantity")), ignorenulls=True).over(w_prod)
+    last_purchase = F.last(
+        F.when(not_return, F.struct("stock_code", "quantity")),
+        ignorenulls=True).over(w_prod)
+    last_purchase_qty = F.when(
+        last_purchase["stock_code"] == F.col("stock_code"),
+        last_purchase["quantity"])
 
     classified = (
         txn
