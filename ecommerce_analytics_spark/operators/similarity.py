@@ -21,6 +21,8 @@ oracle certifies.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -30,7 +32,27 @@ from ecommerce_analytics_spark.plans.registry import query
 N_QUERIES = 16      # vec_id < 16 form the query set
 TOP_K = 5
 N_CENTROIDS = 8     # vec_id < 8 serve as fixed IVF centroids
+N_PROBE = 2         # multi-probe IVF: queries search their top-2 cells
 NEARDUP_COS = 0.999
+
+EMB_DIM = 64
+# Random-hyperplane LSH sized for the near-dup regime (cos >= 0.999 →
+# angle ~2.6° → per-bit agree ~0.986): 2 bands of 16 bits give ~96%
+# theoretical recall on true near-dups while a random pair collides
+# with probability ~2·2⁻¹⁶ — candidate count stays linear in N.
+LSH_BITS = 32
+LSH_BANDS = 2
+LSH_R = LSH_BITS // LSH_BANDS
+
+
+def _hyperplane(bit: int) -> list[float]:
+    """Deterministic ±1 hyperplane — md5-derived, no RNG state, so the
+    Spark plan and the DuckDB oracle embed the same literals."""
+    return [1.0 if hashlib.md5(f"hp:{bit}:{i}".encode()).digest()[0] & 1
+            else -1.0 for i in range(EMB_DIM)]
+
+
+_HYPERPLANES = [_hyperplane(b) for b in range(LSH_BITS)]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -261,4 +283,215 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= NEARDUP_COS)
         .select("vec_a", "vec_b", "label",
                 F.round("cos_sim", 9).alias("cos_sim"))
+    )
+
+
+_MULTIPROBE_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+ranked_cells AS (
+  SELECT e.vec_id, cent.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos_sql('e.embedding', 'cent.c_emb')} DESC, cent.cell_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cell_id FROM ranked_cells WHERE rn = 1),
+probes AS (
+  SELECT vec_id, cell_id FROM ranked_cells
+  WHERE rn <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_emb, p.cell_id
+  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, a.cell_id,
+         {_cos_sql('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM q
+  JOIN assign a ON a.cell_id = q.cell_id
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cell_id, round(cos_sim, 9) AS cos_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query(
+    "knn_ivf_multiprobe",
+    _MULTIPROBE_ORACLE,
+    doc=f"N2 multi-probe IVF ANN: same cell assignment as knn_ivf, but "
+        f"each query searches its top-{N_PROBE} cells instead of one — "
+        "the standard recall lever (candidates stay an equi-join on "
+        "cell_id; cost grows by the probe factor, not the corpus). "
+        "tests/test_similarity_recall.py certifies recall@k >= probe-1 "
+        "against the exact brute-force baseline.",
+    tags=("similarity", "north-star"),
+)
+def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", norm(F.col("embedding")))
+    cent = (emb.filter(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("cell_id"),
+                    F.col("embedding").alias("c_emb"),
+                    F.col("v_norm").alias("c_norm")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cell_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell_id",
+                (dot(F.col("embedding"), F.col("c_emb"))
+                 / (F.col("v_norm") * F.col("c_norm"))).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    probes = (ranked.filter((F.col("rn") <= N_PROBE)
+                            & (F.col("vec_id") < N_QUERIES))
+              .select("vec_id", "cell_id"))
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(probes, "vec_id")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("v_norm").alias("q_norm"), "cell_id")
+    )
+    cand = (
+        assign.withColumnRenamed("vec_id", "neighbor_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("n_emb"),
+                         F.col("v_norm").alias("n_norm")), "neighbor_id")
+    )
+    scored = (
+        q.join(cand, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cell_id",
+                (dot(F.col("q_emb"), F.col("n_emb"))
+                 / (F.col("q_norm") * F.col("n_norm"))).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell_id",
+                F.round("cos_sim", 9).alias("cos_sim"), "rank")
+    )
+
+
+# ---- random-hyperplane LSH near-dup ----------------------------------
+
+def _proj(emb: Column, hp: list[float]) -> Column:
+    """Sequential double fold of emb·hp — bitwise-equal across engines."""
+    arr = F.array(*[F.lit(v) for v in hp])
+    return F.aggregate(
+        F.zip_with(emb, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_band_cols(emb: Column) -> list[Column]:
+    """LSH_BANDS integer band values (LSH_R sign bits each, MSB-first)."""
+    bits = [(_proj(emb, _HYPERPLANES[b]) >= 0).cast("int")
+            for b in range(LSH_BITS)]
+    bands = []
+    for j in range(LSH_BANDS):
+        val: Column = F.lit(0)
+        for k in range(LSH_R):
+            val = val * 2 + bits[j * LSH_R + k]
+        bands.append(val)
+    return bands
+
+
+def _hp_sql(hp: list[float]) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in hp) + "]"
+
+
+def _proj_sql(col: str, hp: list[float]) -> str:
+    return (f"(SELECT sum(CAST(x.av AS DOUBLE) * x.hv) FROM "
+            f"(SELECT unnest({col}) AS av, unnest({_hp_sql(hp)}) AS hv) x)")
+
+
+def _band_sql(col: str, j: int) -> str:
+    terms = [
+        f"(CASE WHEN {_proj_sql(col, _HYPERPLANES[j * LSH_R + k])} >= 0 "
+        f"THEN {2 ** (LSH_R - 1 - k)} ELSE 0 END)"
+        for k in range(LSH_R)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_BAND_MATCH = " OR ".join(
+    f"a.band{j} = b.band{j}" for j in range(LSH_BANDS))
+
+_NEARDUP_LSH_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 0
+),
+sig AS (
+  SELECT vec_id, embedding,
+         {", ".join(f'{_band_sql("embedding", j)} AS band{j}'
+                    for j in range(LSH_BANDS))}
+  FROM corpus
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 9) AS cos_sim
+FROM sig a JOIN sig b
+  ON a.vec_id < b.vec_id AND ({_LSH_BAND_MATCH})
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COS}
+"""
+
+
+@query(
+    "embedding_neardup_lsh",
+    _NEARDUP_LSH_ORACLE,
+    doc=f"N1/N2 embedding near-dup with REAL LSH blocking (vs the label "
+        f"blocks of embedding_neardup): {LSH_BITS} md5-derived "
+        f"hyperplane sign bits → {LSH_BANDS} bands of {LSH_R}; candidate "
+        "pairs share a band value, then exact cosine >= "
+        f"{NEARDUP_COS} filters. Candidates come from an equi-join on "
+        "(band_idx, band_value) — cost ∝ N·P(collision), never all "
+        "pairs; a random pair collides w.p. ~2·2⁻¹⁶ while a true "
+        "near-dup (cos 0.999 → per-bit agree ~0.986) is caught with "
+        "~96% probability per the standard SimHash bound. The "
+        "scale-invariant ×2 copies are guaranteed catches (identical "
+        "direction → identical signature).",
+    tags=("dedup", "similarity", "north-star"),
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = (
+        emb.filter(F.col("vec_id") % 40 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                F.transform("embedding",
+                            lambda x: x * F.lit(2.0).cast("float"))
+                .alias("embedding"))
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(copies)
+    bands = lsh_band_cols(F.col("embedding"))
+    sig = corpus.select(
+        "vec_id", "embedding",
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("cos_raw", 9).alias("cos_sim"))
+        .distinct()
     )
