@@ -377,3 +377,131 @@ def q_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "nation_name",
                 "return_revenue", "n_return_lines")
     )
+
+
+@query(
+    "customer_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: LEFT OUTER join with a non-key join predicate "
+        "(customers keep their zero row), per-customer order count, then "
+        "a second aggregation into the count-of-counts distribution. Two "
+        "shuffles (custkey, then the tiny c_count key); the outer join "
+        "preserves customers with no qualifying orders — the shape that "
+        "an inner-join formulation silently gets wrong.",
+    tags=("join", "agg", "bench"),
+)
+def q_customer_order_distribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    f"""
+    WITH avg_qty AS (
+      SELECT l.l_partkey, 0.2 * avg(l.l_quantity) AS qty_limit
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#23'
+      GROUP BY l.l_partkey
+    )
+    SELECT CAST(round({money_sum_sql('l.l_extendedprice')} / 7.0, 2)
+                AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_lines
+    FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.qty_limit
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery per group — the "
+        "per-part average quantity — decorrelated into an aggregate + "
+        "self-join on partkey (what Catalyst does to the subquery form). "
+        "The brand filter shrinks the agg side so AQE broadcasts it; the "
+        "fact table is scanned once per side with the partkey filter "
+        "pushed. The 0.2·avg threshold is bitwise-identical across "
+        "engines (integer-valued quantities sum exactly in doubles), so "
+        "the strict < cut is deterministic.",
+    tags=("join", "agg", "subquery", "bench"),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_lines = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#23")
+                    .select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = (brand_lines.groupBy("l_partkey")
+               .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit"))
+               .withColumnRenamed("l_partkey", "a_partkey"))
+    return (
+        lineitem.join(F.broadcast(avg_qty),
+                      F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(money_sum("l_extendedprice") / F.lit(7.0), 2)
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_small_lines"))
+    )
+
+
+@query(
+    "large_order_customers",
+    """
+    WITH big_orders AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey AS order_key,
+           o.o_orderdate AS order_date, o.o_totalprice AS total_price,
+           b.sum_qty
+    FROM big_orders b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_price DESC, order_key
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate (orders whose line "
+        "quantities sum past 250) used as a semi-join driver back into "
+        "orders and customer, top-100 by order value. The aggregate "
+        "output is tiny after HAVING, so both enrichment joins broadcast "
+        "it; sum_qty is exact (integer-valued doubles) and the limit "
+        "tiebreaks on the unique orderkey.",
+    tags=("join", "agg", "topk", "bench"),
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    return (
+        F.broadcast(big)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey",
+                F.col("o_orderkey").alias("order_key"),
+                F.col("o_orderdate").alias("order_date"),
+                F.col("o_totalprice").alias("total_price"), "sum_qty")
+        .orderBy(F.desc("total_price"), F.asc("order_key"))
+        .limit(100)
+    )
