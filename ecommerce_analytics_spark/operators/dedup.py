@@ -33,25 +33,22 @@ SHINGLE_K = 3
 DF_CAP = 200  # drop shingles appearing in more docs (stop-shingles)
 JACCARD_THRESHOLD = 0.2
 
-# Hot-shingle lists are tiny by construction (≤ total_instances/DF_CAP
-# entries, and only the head of the Zipf curve exceeds the cap), but at
-# 100 TB "tiny" needs a guard, not a hope: above this row count the
-# anti-join falls back to a shuffle join instead of a broadcast.
-HOT_BROADCAST_MAX_ROWS = 5_000_000  # ~80 MB of (x1, x2) longs
-
-
 def _drop_hot(df: DataFrame, hot: DataFrame, keys: list[str]) -> DataFrame:
-    """Anti-join ``df`` against the (small) ``hot`` key list.
+    """Anti-join ``df`` against the hot key list, skew-safely.
 
-    ``hot`` is materialized once (localCheckpoint) so the guard count
-    and the join don't recompute its aggregate subtree, then broadcast
-    when it fits — the skew-safe stop-shingle cap shape. A window-count
-    cap over the key would sort-shuffle the hottest keys (the exact
-    skew the cap exists to remove).
+    Hot lists are tiny by construction (≤ total_instances/DF_CAP rows —
+    only the head of the Zipf curve exceeds the cap), but at 100 TB
+    "tiny" needs a guard, not a hope. The guard is AQE: with no
+    broadcast hint, the runtime size of the materialized hot-list
+    exchange decides broadcast-anti (under
+    spark.sql.adaptive.autoBroadcastJoinThreshold) vs shuffle-anti —
+    exactly the fallback we want, with no driver-side count. An earlier
+    version counted via localCheckpoint to pick the hint itself; that
+    ran the whole shingle subtree in a separate job and lost exchange
+    reuse, doubling the dedup queries' wall time. A window-count cap
+    over the key would be worse still: it sort-shuffles the hottest key,
+    the exact skew the cap exists to remove.
     """
-    hot = hot.localCheckpoint(eager=True)
-    if hot.count() <= HOT_BROADCAST_MAX_ROWS:
-        hot = F.broadcast(hot)
     return df.join(hot, keys, "left_anti")
 
 # -- shared corpus with injected near/exact duplicates ------------------
