@@ -183,24 +183,41 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
     tags=("dedup", "join", "north-star"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Intersection counts via posting-list explode, not a self-join:
+    # group the capped index by shingle (lists are ≤ DF_CAP docs by
+    # construction — the cap runs FIRST, so no unbounded collect) and
+    # explode within-list ordered pairs PLUS a singleton marker row
+    # (doc_b NULL) per posting, so intersection counts AND per-doc
+    # shingle counts come out of ONE aggregation — the recommendations
+    # NULL-marker shape. The naive formulation referenced the shingle
+    # subtree four times (self-join sides + sizes ×2 = 18 file scans in
+    # the logical plan, ~10s at sf0.1); this lineage scans the corpus
+    # once and every downstream branch hangs off one reused exchange.
     shingle = _shingles(_corpus(spark, sf_dir))
-    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingle.alias("a")
-    b = shingle.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    counts = (
+        shingle.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .select(F.explode(F.expr(
+            "flatten(transform(docs, a -> "
+            "  concat(array(named_struct('doc_a', a, 'doc_b', CAST(NULL AS BIGINT))), "
+            "         transform(filter(docs, b -> a < b), "
+            "                   b -> named_struct('doc_a', a, 'doc_b', b)))))")
+        ).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    sizes = (counts.filter(F.col("doc_b").isNull())
+             .select(F.col("doc_a").alias("doc_id"), F.col("c").alias("n")))
+    inter = (counts.filter(F.col("doc_b").isNotNull())
+             .withColumnRenamed("c", "n_common"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = (F.col("n_common").cast("double")
            / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
