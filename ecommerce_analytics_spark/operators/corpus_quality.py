@@ -94,29 +94,51 @@ FROM feat
     tags=("text", "quality", "north-star"),
 )
 def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All token features come from ONE struct expression: the
+    # single-element transform(array(split(...)), t -> ...) binds the
+    # token array once per row (Spark SQL has no LET; the naive form
+    # re-split the text inside every lambda element — O(n²) splits,
+    # 5.1s at sf0.1 → 0.4s). Counts use sort + run-length folds, not
+    # distinct×filter rescans (HOFs are interpreted, so O(distinct·n)
+    # is real). The struct is referenced by several output columns, so
+    # CollapseProject keeps it materialized once instead of inlining.
+    # Values are the exact same integers the oracle computes.
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    n = F.size(t)
-    mean_len = (F.length("text") - n + 1).cast("double") / n
-    top_frac = F.expr(
-        "CAST(array_max(transform(array_distinct(split(text, ' ')), "
-        "x -> size(filter(split(text, ' '), y -> y = x)))) AS DOUBLE)"
-    ) / n
-    dup_bigram = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-        "CAST(size(split(text, ' ')) - 1 "
-        "  - size(array_distinct(transform("
-        "      sequence(1, size(split(text, ' ')) - 1), "
-        "      i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "                     element_at(split(text, ' '), i + 1))))) AS DOUBLE) "
-        "  / (size(split(text, ' ')) - 1) ELSE 0.0D END")
+    feat = docs.select(
+        "doc_id", "lang", F.length("text").alias("n_chars"),
+        F.expr("""
+          transform(array(split(text, ' ')), t -> named_struct(
+            'n', size(t),
+            'top_cnt', aggregate(array_sort(t),
+              named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+              (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(x <=> acc.prev, acc.run + 1, 1),
+                'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),
+              acc -> acc.best),
+            'n_distinct_bigrams', IF(size(t) >= 2,
+              aggregate(array_sort(transform(sequence(1, size(t) - 1),
+                  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))),
+                named_struct('prev', CAST(NULL AS STRING), 'cnt', 0),
+                (acc, x) -> named_struct('prev', x,
+                  'cnt', acc.cnt + IF(x <=> acc.prev, 0, 1)),
+                acc -> acc.cnt), 0)
+          ))[0]
+        """).alias("ft"))
+    n = F.col("ft.n")
+    mean_len = (F.col("n_chars") - n + 1).cast("double") / n
+    top_frac = F.col("ft.top_cnt").cast("double") / n
+    dup_bigram = F.when(
+        n >= 2,
+        (n - 1 - F.col("ft.n_distinct_bigrams")).cast("double") / (n - 1)
+    ).otherwise(F.lit(0.0))
     passes = (
         (n.cast("long") >= MIN_TOKENS)
         & (mean_len >= MEAN_LEN_LO) & (mean_len <= MEAN_LEN_HI)
         & (top_frac <= TOP_TOKEN_FRAC_MAX)
         & (dup_bigram <= DUP_BIGRAM_FRAC_MAX)
     )
-    return docs.select(
+    return feat.select(
         "doc_id", "lang",
         n.cast("long").alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
@@ -173,20 +195,32 @@ def q_doc_repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
         ).alias("grams"))
     )
+    # One sort + run-length fold finds the max count AND its gram: the
+    # sorted scan visits grams in ascending order, and best_gram only
+    # updates on a STRICTLY larger run, so ties resolve to the
+    # lexicographically smallest gram — the oracle's array_min tie rule
+    # — without the O(distinct·n) distinct×filter rescans.
     scored = grams.select(
         "doc_id",
         F.size("grams").cast("long").alias("n_bigrams"),
-        F.expr("array_max(transform(array_distinct(grams), "
-               "g -> size(filter(grams, x -> x = g))))").alias("top_cnt"),
-        "grams",
+        F.expr(
+            "aggregate(array_sort(grams), "
+            "  named_struct('prev', CAST(NULL AS STRING), 'run', 0, "
+            "               'best', 0, 'best_gram', CAST(NULL AS STRING)), "
+            "  (acc, x) -> named_struct("
+            "    'prev', x, "
+            "    'run', IF(x <=> acc.prev, acc.run + 1, 1), "
+            "    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1)), "
+            "    'best_gram', IF(IF(x <=> acc.prev, acc.run + 1, 1) > acc.best, "
+            "                    x, acc.best_gram)), "
+            "  acc -> named_struct('cnt', acc.best, 'gram', acc.best_gram))"
+        ).alias("top"),
     )
     return scored.select(
         "doc_id", "n_bigrams",
-        F.expr("array_min(filter(array_distinct(grams), "
-               "g -> size(filter(grams, x -> x = g)) = top_cnt))")
-        .alias("top_bigram"),
-        F.col("top_cnt").cast("long").alias("top_bigram_count"),
-        F.round(F.col("top_cnt").cast("double") / F.col("n_bigrams"), 6)
+        F.col("top.gram").alias("top_bigram"),
+        F.col("top.cnt").cast("long").alias("top_bigram_count"),
+        F.round(F.col("top.cnt").cast("double") / F.col("n_bigrams"), 6)
         .alias("top_bigram_frac"),
     )
 

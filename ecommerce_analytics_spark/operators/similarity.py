@@ -269,10 +269,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda x: x * F.lit(2.0).cast("float"))
                 .alias("embedding"))
     )
-    corpus = emb.select("vec_id", "label", "embedding").unionAll(copies)
+    # norms precomputed per vector: the within-block pair join would
+    # otherwise run THREE interpreted 64-element folds per pair (dot +
+    # both norms) — profiled 6.9s → 2.3s at sf0.1. sqrt of the same
+    # double is bitwise-identical to the oracle's inline form.
+    corpus = (emb.select("vec_id", "label", "embedding").unionAll(copies)
+              .withColumn("nrm", norm(F.col("embedding"))))
     a = corpus.alias("a")
     b = corpus.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = (dot(F.col("a.embedding"), F.col("b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -479,19 +485,29 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding").unionAll(copies)
     bands = lsh_band_cols(F.col("embedding"))
+    # norms ride along so the per-pair work is ONE dot fold, not three
+    # (dot + both norms); sqrt of the same double is bitwise-identical
+    # to the oracle's inline sqrt(dot(x,x)) form
     sig = corpus.select(
-        "vec_id", "embedding",
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"),
         F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
     a, b = sig.alias("a"), sig.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
+    cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_val") == F.col("b.band_val"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
-                cos.alias("cos_raw"))
+                F.col("a.embedding").alias("ea"),
+                F.col("b.embedding").alias("eb"),
+                F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"))
+        # a pair matching BOTH bands (identical sigs — the common case
+        # for true near-dups) would pay the cosine twice; dedupe first
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") >= NEARDUP_COS)
         .select("vec_a", "vec_b", F.round("cos_raw", 9).alias("cos_sim"))
-        .distinct()
     )
