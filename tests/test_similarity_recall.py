@@ -44,6 +44,18 @@ def test_multiprobe_recall_dominates_probe1(spark, sf_dir):
     assert n2 >= n1
 
 
+def test_kmeans_ivf_recall_beats_fixed_probe1(spark, sf_dir):
+    """Trained centroids + multi-probe must retrieve better than the
+    probe-1 index over arbitrary fixed centroids (the claim in
+    knn_ivf_kmeans's doc). Deterministic: fixed seed, fixed data."""
+    exact = _topk_sets(sim.q_knn_bruteforce(spark, sf_dir).collect())
+    fixed1 = _topk_sets(sim.q_knn_ivf(spark, sf_dir).collect())
+    trained = _topk_sets(sim.q_knn_ivf_kmeans(spark, sf_dir).collect())
+    r_fixed1, r_trained = _recall(fixed1, exact), _recall(trained, exact)
+    assert r_trained >= r_fixed1, \
+        f"kmeans-ivf recall {r_trained} < fixed probe-1 {r_fixed1}"
+
+
 def test_lsh_neardup_finds_all_injected_copies(spark, sf_dir):
     found = {(r["vec_a"], r["vec_b"])
              for r in sim.q_embedding_neardup_lsh(spark, sf_dir).collect()}
