@@ -80,3 +80,42 @@ def test_jaccard_cap_has_no_window_on_shingle(spark, sf_dir):
                  "simple")
     assert "Window" not in plan
     assert "LeftAnti" in plan
+
+
+def test_tpch_shapes_broadcast_small_sides(spark, sf_dir):
+    # Q17: the per-part avg-qty aggregate (brand-filtered, tiny) must
+    # broadcast back into the fact scan; Q18: the HAVING-filtered
+    # order aggregate and the customer dim must broadcast.
+    plan17 = _plan(query_map()["small_quantity_revenue"](spark, sf_dir),
+                   "simple")
+    assert "BroadcastHashJoin" in plan17
+    plan18 = _plan(query_map()["large_order_customers"](spark, sf_dir),
+                   "simple")
+    assert plan18.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan18
+
+
+def test_q13_outer_join_preserved(spark, sf_dir):
+    # the LEFT OUTER must survive optimization (an inner join silently
+    # drops zero-order customers — the bug Q13 exists to catch)
+    plan = _plan(query_map()["customer_order_distribution"](spark, sf_dir),
+                 "simple")
+    assert "LeftOuter" in plan
+
+
+def test_lsh_neardup_no_cartesian(spark, sf_dir):
+    # candidates must come from the (band_idx, band_val) equi-join —
+    # never a cartesian/nested-loop over the corpus
+    plan = _plan(query_map()["embedding_neardup_lsh"](spark, sf_dir),
+                 "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiprobe_candidates_equi_join(spark, sf_dir):
+    # the scored join must be an equi-join on cell_id (hash-partition-
+    # able at scale); only the tiny centroid table may nested-loop
+    plan = _plan(query_map()["knn_ivf_multiprobe"](spark, sf_dir),
+                 "formatted")
+    assert "cell_id" in plan
+    assert "CartesianProduct" not in plan
