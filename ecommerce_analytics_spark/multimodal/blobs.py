@@ -106,6 +106,65 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(with_blob(docs))
 
 
+FRAME_STRIDE = 2
+
+_FRAME_FP_SQL = "(" + " + ".join(
+    f"CAST((instr('0123456789abcdef', substring(md5(text || ':' || CAST(s AS STRING)), {d + 1}, 1)) - 1) AS BIGINT)"
+    f" * {16 ** (8 - 1 - d)}" for d in range(8)) + ")"
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH dec AS (
+  SELECT doc_id, text,
+         1 + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) % 8
+           AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(s AS INTEGER) AS frame_idx,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       {_FRAME_FP_SQL} AS frame_fp
+FROM dec, unnest(generate_series(1, n_frames, {FRAME_STRIDE})) AS u(s)
+"""
+
+
+@query(
+    "multimodal_frame_sample",
+    _FRAME_SAMPLE_ORACLE,
+    doc=f"N4 frame sampling: every blob fans out to its sampled frames "
+        f"(stride {FRAME_STRIDE} over the decoded frame count) through "
+        "the same Arrow mapInPandas surface — the 1→N batch shape video "
+        "pipelines need (a real decoder emits pixel tensors here; the "
+        "deterministic fake emits md5-derived frame fingerprints the "
+        "SQL oracle reproduces, certifying the fan-out row set exactly). "
+        "decode_real() remains the single swap-in point.",
+    tags=("multimodal", "pandas-udf", "north-star"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_blob(docs)
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [],
+                   "frame_fp": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                d = hashlib.md5(blob).hexdigest()
+                nf = 1 + int(d[2], 16) % 8
+                for idx in range(1, nf + 1, FRAME_STRIDE):
+                    fp = int(hashlib.md5(
+                        blob + b":" + str(idx).encode()).hexdigest()[:8], 16)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(nf)
+                    out["frame_fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, n_frames int, frame_fp long")
+
+
 @query(
     "multimodal_blob_stats",
     """
