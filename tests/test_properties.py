@@ -88,3 +88,29 @@ def test_simhash_hamming_probe_finds_near_identical(spark, sf_dir):
     # at least some trimmed docs land at distance 1-2 — invisible to
     # the exact-bucket query, visible to the probe join
     assert (near.hamming_dist > 0).any()
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(
+    st.tuples(
+        st.lists(st.floats(-10, 10, allow_nan=False, width=32),
+                 min_size=64, max_size=64),
+        st.floats(0.1, 100.0, allow_nan=False),
+    ),
+    min_size=1, max_size=8))
+def test_lsh_signature_scale_invariant(spark_h, vecs):
+    """Hyperplane LSH band values depend only on vector DIRECTION:
+    scaling by any positive constant must leave every band unchanged
+    (the property the injected-copy guarantee rests on). Holds exactly
+    in IEEE arithmetic: each product and the fold scale monotonically,
+    so projection signs are preserved."""
+    from ecommerce_analytics_spark.operators.similarity import lsh_band_cols
+    rows = [(i, [float(x) for x in v], [float(x * s) for x in v])
+            for i, (v, s) in enumerate(vecs)]
+    df = spark_h.createDataFrame(
+        rows, "vec_id long, orig array<float>, scaled array<float>")
+    orig = [F.array(*lsh_band_cols(F.col("orig"))).alias("b_orig")]
+    scaled = [F.array(*lsh_band_cols(F.col("scaled"))).alias("b_scaled")]
+    out = df.select("vec_id", *orig, *scaled).collect()
+    for r in out:
+        assert r["b_orig"] == r["b_scaled"], r["vec_id"]
