@@ -275,6 +275,26 @@ def q_building_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "brand_exclusive_types",
+    """
+    SELECT p_type FROM part WHERE p_brand = 'Brand#12'
+    EXCEPT
+    SELECT p_type FROM part WHERE p_brand = 'Brand#34'
+    """,
+    doc="Set op EXCEPT (distinct semantics) — part types one brand "
+        "sells that another never does; compiles to a left-anti "
+        "aggregate join (completes the set-op family with INTERSECT "
+        "at building_customers_with_orders and the anti/semi joins).",
+    tags=("setop",),
+)
+def q_brand_exclusive_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = (part.filter(F.col("p_brand") == "Brand#12").select("p_type"))
+    b = (part.filter(F.col("p_brand") == "Brand#34").select("p_type"))
+    return a.subtract(b)
+
+
+@query(
     "part_name_analysis",
     """
     SELECT p_partkey,
