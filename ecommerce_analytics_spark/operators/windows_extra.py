@@ -275,6 +275,53 @@ def q_building_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "trailing_7day_revenue",
+    f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+               AS day_num,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+             {money_sum_sql('value')} AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT event_date, revenue,
+           CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER (
+             ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_7d
+    FROM daily
+    """,
+    doc="RANGE-frame window (the frame type ROWS can't express): "
+        "per-day revenue plus the trailing-7-calendar-day sum, ordered "
+        "by integer day number so gaps in the calendar shrink the frame "
+        "— a ROWS frame would wrongly span 7 *observed* days. The "
+        "windowed sum accumulates in DECIMAL: segment-tree (DuckDB) vs "
+        "running (Spark) frame evaluation associate double adds "
+        "differently, decimal is order-free. Fact-table work is the "
+        "same single-shuffle daily partial agg as hourly_revenue; the "
+        "window runs on the tiny daily series.",
+    tags=("window", "agg"),
+)
+def q_trailing_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(money_sum("value").alias("revenue"))
+        .select(F.datediff("day", F.lit("1970-01-01").cast("date"))
+                .cast("long").alias("day_num"),
+                F.date_format("day", "yyyy-MM-dd").alias("event_date"),
+                "revenue")
+    )
+    w = (Window.orderBy("day_num").rangeBetween(-6, Window.currentRow))
+    return daily.select(
+        "event_date", "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("revenue_7d"))
+
+
+@query(
     "brand_exclusive_types",
     """
     SELECT p_type FROM part WHERE p_brand = 'Brand#12'
