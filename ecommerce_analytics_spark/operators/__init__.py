@@ -16,6 +16,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     text,
     text_pipeline,
     timeseries,
+    tpch_extra,
     validate,
     windows_extra,
 )
