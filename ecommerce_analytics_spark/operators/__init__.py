@@ -11,6 +11,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     fingerprint,
     joins,
     similarity,
+    sketches,
     sorts,
     star,
     text,

@@ -535,3 +535,243 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.first("hamming_dist").alias("hamming_dist"))
     )
+
+
+# -- incremental dedup: new batch vs an existing corpus index -----------
+
+NEARDUP_MIN_EST = 0.5  # ≥ 8/16 matching min-hashes
+
+_INCR_ORACLE = f"""
+WITH existing AS (
+  SELECT doc_id, text FROM documents
+),
+incoming AS (
+  SELECT doc_id + 30000000 AS doc_id, text
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id,
+         substr(text, instr(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 50000000 AS doc_id,
+         substr(text, 1, n_chars // 2) AS text
+  FROM documents WHERE doc_id % 40 = 0
+),
+x_fp AS (SELECT DISTINCT md5(text) AS fp FROM existing),
+sh_e_all AS (
+  SELECT DISTINCT doc_id, {_hex_chunk_sql('h', 0)} AS x1,
+         {_hex_chunk_sql('h', 8)} AS x2
+  FROM (
+    SELECT doc_id, md5(unnest(list_transform(
+             generate_series(1, len(tokens) - {SHINGLE_K - 1}),
+             i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]
+           ))) AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM existing)
+  )
+),
+hot AS (
+  SELECT x1, x2 FROM sh_e_all GROUP BY x1, x2 HAVING count(*) > {DF_CAP}
+),
+sh_i_all AS (
+  SELECT DISTINCT doc_id, {_hex_chunk_sql('h', 0)} AS x1,
+         {_hex_chunk_sql('h', 8)} AS x2
+  FROM (
+    SELECT doc_id, md5(unnest(list_transform(
+             generate_series(1, len(tokens) - {SHINGLE_K - 1}),
+             i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]
+           ))) AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM incoming)
+  )
+),
+mh_e AS (
+  SELECT doc_id,
+         {', '.join(f'min({e}) AS h{i}' for i, e in enumerate(_minhash_exprs()))}
+  FROM sh_e_all ANTI JOIN hot USING (x1, x2) GROUP BY doc_id
+),
+mh_i AS (
+  SELECT doc_id,
+         {', '.join(f'min({e}) AS h{i}' for i, e in enumerate(_minhash_exprs()))}
+  FROM sh_i_all ANTI JOIN hot USING (x1, x2) GROUP BY doc_id
+),
+bands_e AS (
+  SELECT doc_id, band,
+         CASE band {' '.join(
+             f"WHEN {b} THEN CAST(h{b*4} AS VARCHAR) || '_' || CAST(h{b*4+1} AS VARCHAR)"
+             f" || '_' || CAST(h{b*4+2} AS VARCHAR) || '_' || CAST(h{b*4+3} AS VARCHAR)"
+             for b in range(N_BANDS))} END AS sig
+  FROM mh_e CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
+),
+bands_i AS (
+  SELECT doc_id, band,
+         CASE band {' '.join(
+             f"WHEN {b} THEN CAST(h{b*4} AS VARCHAR) || '_' || CAST(h{b*4+1} AS VARCHAR)"
+             f" || '_' || CAST(h{b*4+2} AS VARCHAR) || '_' || CAST(h{b*4+3} AS VARCHAR)"
+             for b in range(N_BANDS))} END AS sig
+  FROM mh_i CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
+),
+cand AS (
+  SELECT i.doc_id AS doc_a, e.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM bands_i i JOIN bands_e e ON i.band = e.band AND i.sig = e.sig
+  GROUP BY i.doc_id, e.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         round(({' + '.join(f'CASE WHEN mi.h{i} = me.h{i} THEN 1 ELSE 0 END'
+                            for i in range(N_MINHASH))}) / {float(N_MINHASH)}, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN mh_i mi ON mi.doc_id = c.doc_a
+  JOIN mh_e me ON me.doc_id = c.doc_b
+),
+best AS (
+  SELECT doc_a, doc_b, n_shared_bands, est_jaccard,
+         CAST(count(*) OVER (PARTITION BY doc_a) AS BIGINT) AS n_candidates
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_a
+                             ORDER BY est_jaccard DESC, doc_b) = 1
+)
+SELECT i.doc_id,
+       CASE WHEN x.fp IS NOT NULL THEN 'exact_dup'
+            WHEN b.est_jaccard >= {NEARDUP_MIN_EST} THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       coalesce(b.n_candidates, 0) AS n_candidates,
+       b.doc_b AS best_match_id,
+       b.est_jaccard AS best_est
+FROM incoming i
+LEFT JOIN (SELECT fp FROM x_fp) x ON md5(i.text) = x.fp
+LEFT JOIN best b ON b.doc_a = i.doc_id
+"""
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, x1, x2): the two 32-bit halves of md5 per 3-gram shingle
+    (same hashing as q_dedup_minhash_lsh — one digest per shingle,
+    int-only downstream)."""
+    return (
+        docs
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.expr(
+            f"explode(transform(sequence(1, size(toks) - {SHINGLE_K - 1}), "
+            f"i -> md5(concat_ws(' ', element_at(toks, i), "
+            f"element_at(toks, i + 1), element_at(toks, i + 2)))))").alias("h"))
+        .select("doc_id",
+                F.expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").alias("x1"),
+                F.expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").alias("x2"))
+    )
+
+
+def _band_sigs(hx: DataFrame, hot: DataFrame) -> DataFrame:
+    """(doc_id, band, sig, hv): LSH band signatures + the full min-hash
+    vector, after dropping the hot (stop-)shingles."""
+    mh = (_drop_hot(hx, hot, ["x1", "x2"])
+          .groupBy("doc_id").agg(*[
+              F.min(F.expr(e)).alias(f"h{i}")
+              for i, e in enumerate(_minhash_exprs())]))
+    rows_per_band = N_MINHASH // N_BANDS
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("_", *[F.col(f"h{b * rows_per_band + j}")
+                                    for j in range(rows_per_band)]).alias("sig"))
+        for b in range(N_BANDS)
+    ]
+    return (mh.select(
+        "doc_id",
+        F.explode(F.array(*band_structs)).alias("bs"),
+        F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("hv"))
+        .select("doc_id", F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"), "hv"))
+
+
+@query(
+    "dedup_incremental",
+    _INCR_ORACLE,
+    doc="Incremental corpus dedup — the production ingestion shape: a "
+        "new batch is admitted against an EXISTING corpus, not "
+        "self-joined. Exact layer: md5 semi-join against the index's "
+        "fingerprint set. Near layer: MinHash band signatures on both "
+        "sides, incoming bands equi-joined to index bands on (band, "
+        "sig) — never incoming×index. The stop-shingle list comes from "
+        "the index side only (an index artifact, applied to both "
+        "sides), matching how a deployed pipeline keeps it static per "
+        "index generation. Per incoming doc: verdict (exact_dup | "
+        "near_dup at est≥0.5 | unique), candidate count, best match by "
+        "(est desc, id) — deterministic argmax via row_number. At 100 "
+        "TB the index's fingerprints/bands are precomputed once and "
+        "bucket-partitioned; each nightly batch shuffles only itself "
+        "plus the matched band buckets. Incoming batch = exact copies "
+        "(doc_id%25), prefix-trimmed near-dups (%50), and half-length "
+        "fresh docs (%40) — injected positives AND negatives.",
+    tags=("dedup", "join", "north-star", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.select("doc_id", "text")
+    inc_exact = (docs.filter(F.col("doc_id") % 25 == 0)
+                 .select((F.col("doc_id") + 30000000).alias("doc_id"), "text"))
+    inc_near = (docs.filter(F.col("doc_id") % 50 == 0)
+                .select((F.col("doc_id") + 40000000).alias("doc_id"),
+                        F.expr("substr(text, instr(text, ' ') + 1)")
+                        .alias("text")))
+    inc_fresh = (docs.filter(F.col("doc_id") % 40 == 0)
+                 .select((F.col("doc_id") + 50000000).alias("doc_id"),
+                         F.expr("substring(text, 1, n_chars div 2)")
+                         .alias("text")))
+    n_part = spark.sparkContext.defaultParallelism
+    incoming = (inc_exact.unionAll(inc_near).unionAll(inc_fresh)
+                .repartition(n_part, "doc_id"))
+    existing = existing.repartition(n_part, "doc_id")
+
+    # exact layer — in production x_fp is the stored fingerprint index
+    x_fp = existing.select(F.md5("text").alias("fp")).distinct()
+    exact_hits = (incoming.select("doc_id", F.md5("text").alias("fp"))
+                  .join(x_fp, "fp", "left_semi")
+                  .select("doc_id").withColumn("is_exact", F.lit(True)))
+
+    # near layer — index-side artifacts (hot list, band sigs) are what a
+    # deployment stores; the incoming side recomputes per batch
+    hx_e = _shingle_hashes(existing).distinct()
+    hot = (hx_e.groupBy("x1", "x2")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > DF_CAP).select("x1", "x2"))
+    bands_e = _band_sigs(hx_e, hot)
+    bands_i = _band_sigs(_shingle_hashes(incoming).distinct(), hot)
+
+    nm = F.expr("aggregate(zip_with(hv_i, hv_e, (x, y) -> IF(x = y, 1, 0)), "
+                "0, (s, v) -> s + v)")
+    scored = (
+        bands_i.select(F.col("doc_id").alias("doc_a"), "band", "sig",
+                       F.col("hv").alias("hv_i"))
+        .join(bands_e.select(F.col("doc_id").alias("doc_b"), "band", "sig",
+                             F.col("hv").alias("hv_e")),
+              ["band", "sig"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"),
+             F.round(F.first(nm) / F.lit(float(N_MINHASH)), 6)
+             .alias("est_jaccard"))
+    )
+    w = Window.partitionBy("doc_a")
+    best = (scored
+            .withColumn("n_candidates",
+                        F.count(F.lit(1)).over(w).cast("bigint"))
+            .withColumn("rn", F.row_number().over(
+                w.orderBy(F.desc("est_jaccard"), F.asc("doc_b"))))
+            .filter(F.col("rn") == 1))
+
+    return (
+        incoming.select("doc_id")
+        .join(exact_hits, "doc_id", "left")
+        .join(best.select(F.col("doc_a").alias("doc_id"), "n_candidates",
+                          F.col("doc_b").alias("best_match_id"),
+                          "est_jaccard"),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("est_jaccard") >= NEARDUP_MIN_EST, "near_dup")
+            .otherwise("unique").alias("verdict"),
+            F.coalesce("n_candidates", F.lit(0).cast("bigint"))
+            .alias("n_candidates"),
+            "best_match_id",
+            F.col("est_jaccard").alias("best_est"))
+    )

@@ -352,16 +352,25 @@ def q_recommendations_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1997)
     """,
-    doc="Left-anti join (NOT EXISTS) — §2.4 required join form.",
+    doc="Left-anti join (NOT EXISTS) — §2.4 required join form. Scoped "
+        "to customers inactive during 1997: the driver data gives every "
+        "customer at least one order overall, so the unscoped anti-join "
+        "returns 0 rows at sf≤0.01 and certifies nothing; the year "
+        "filter pushes into the orders scan and yields a non-trivial "
+        "result at every SF (323 rows at sf0.01).",
     tags=("join", "tier-a"),
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    active_1997 = orders.filter(F.year("o_orderdate") == 1997)
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey,
+        customer.join(active_1997,
+                      customer.c_custkey == active_1997.o_custkey,
                       "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     )

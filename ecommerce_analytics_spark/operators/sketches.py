@@ -1,0 +1,77 @@
+"""Mergeable-sketch aggregation (Apache DataSketches HLL via Spark SQL).
+
+The 100 TB pattern this certifies: distinct-count rollups that must
+compose ACROSS partitions, days, and re-aggregations. An exact
+countDistinct over a 100 TB fact is a full shuffle of every key per
+query; the sketch pipeline aggregates each day ONCE into a few-KB
+binary sketch, and every later rollup (week, month, ad-hoc ranges)
+is a cheap union of stored sketches — no re-scan of the fact table.
+Spark exposes this natively (`hll_sketch_agg` / `hll_union_agg` /
+`hll_sketch_estimate`, Datasketches HLL_4), so the whole pipeline
+stays JVM-side and partially aggregable.
+
+No DuckDB oracle: DuckDB's approx_distinct is a different HLL
+implementation, so cross-engine estimate equality is impossible by
+construction — this is the one operator family whose correctness
+contract is statistical, not relational. Registered rows-only for the
+driver; the REAL certification is tests/test_skew_approx.py:
+
+* mergeability — union of daily sketches == one-shot sketch over the
+  whole range, exact estimate equality (same algorithm, same data);
+* accuracy — per-day estimate within 5% of exact countDistinct
+  (HLL_4 lgK=12 standard error ≈ 1.6%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+HLL_LGK = 12  # Datasketches default; ~1.6% relative standard error
+
+
+def daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, sketch binary, n_events) — the stored per-day sketch table.
+
+    This is the materialization a deployment writes: one row per
+    (partition-key) day, a few KB each, computed with ONE pass over
+    the day's events (map-side partial sketches merge in the shuffle).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "daily_unique_users_hll",
+    None,  # statistical contract — see module docstring
+    doc="Mergeable HLL distinct-count rollup: per-day Datasketches HLL "
+        "sketches of user_id (one pass, partially aggregable), "
+        "estimated per day AND re-aggregated to a global estimate via "
+        "sketch union — the stored-sketch pattern that replaces "
+        "re-scanning the fact table for every distinct-count rollup at "
+        "100 TB. Rows-only driver check (no cross-engine HLL "
+        "equivalence exists); mergeability and 5%-accuracy are "
+        "pytest-certified (test_skew_approx.py).",
+    tags=("agg", "sketch", "approx", "scale"),
+)
+def q_daily_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_user_sketches(spark, sf_dir)
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sketch").alias("est_unique_users"),
+        "n_events")
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .alias("est_unique_users"),
+        F.sum("n_events").alias("n_events")).select(
+        F.lit(None).cast("date").alias("day"),
+        "est_unique_users", "n_events")
+    return per_day.unionAll(total)

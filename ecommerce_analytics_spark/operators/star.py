@@ -105,21 +105,25 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Revenue is summed in exact DECIMAL, not DOUBLE (round-1 driver FAIL:
+# Revenue is summed exactly, never in bare DOUBLE (round-1 driver FAIL:
 # the pre-agg plan and the flat oracle summed doubles in different
 # association orders, and round(...,2) amplified a ~1e-9 difference
-# into a cent on 2/175 groups). Every money input is losslessly
-# DECIMAL(18,2)-representable (verified against all SF dirs), decimal
-# addition is associative, and both engines round decimals HALF_UP —
-# so plan and oracle agree bit-for-bit regardless of plan shape.
-_REV_DEC = ("CAST(l_extendedprice AS DECIMAL(18,2))"
-            " * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+# into a cent on 2/175 groups). The arithmetic is the integer-cents
+# shape from numerics.py: per-row product on LONGs (exact 1e-4-dollar
+# units), summed through a long-backed DECIMAL(18,0), scaled back to
+# dollars once per group — associative, engine-independent, and off
+# the per-row BigDecimal path (see numerics.disc_price_sum).
+_REV_CENTS = ("CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+              " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+              " AS DECIMAL(18,0))")
+_CENTS_TO_USD = "CAST(0.0001 AS DECIMAL(5,4))"
 
 _STAR_SQL = f"""
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
            CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-           CAST(round(sum({_REV_DEC}), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum({_REV_CENTS}) * {_CENTS_TO_USD}, 2) AS DOUBLE)
+             AS revenue,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem l
@@ -139,14 +143,14 @@ _STAR_SQL = f"""
 _STAR_SQL_SPARK = f"""
     WITH order_lines AS (
       SELECT l_orderkey,
-             sum({_REV_DEC}) AS rev,
+             sum({_REV_CENTS}) AS rev,
              count(*) AS n_lines
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
            CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-           CAST(round(sum(ol.rev), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(ol.rev) * {_CENTS_TO_USD}, 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(ol.n_lines) AS BIGINT) AS n_lineitems
     FROM order_lines ol
@@ -176,10 +180,11 @@ def q_sales_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "revenue_delta_forecast",
-    """
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
-             AS revenue_increase,
+    f"""
+    SELECT CAST(round(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * CAST(round(l_discount * 100) AS BIGINT)
+                               AS DECIMAL(18,0))) * {_CENTS_TO_USD}, 2)
+                AS DOUBLE) AS revenue_increase,
            CAST(count(*) AS BIGINT) AS n_qualifying
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -198,8 +203,11 @@ def q_revenue_delta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
                 & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
                 & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                           * F.col("l_discount").cast("decimal(4,2)")), 2)
+        .agg(F.round(
+            F.sum((F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                   * F.round(F.col("l_discount") * 100).cast("bigint"))
+                  .cast("decimal(18,0)"))
+            * F.lit("0.0001").cast("decimal(5,4)"), 2)
              .cast("double").alias("revenue_increase"),
              F.count(F.lit(1)).alias("n_qualifying"))
     )

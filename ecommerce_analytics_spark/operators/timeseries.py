@@ -129,3 +129,77 @@ def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o.o_totalprice").alias("old_price"),
             F.col("n.o_totalprice").alias("new_price"))
     )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w != o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+versioned AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM ordered
+),
+runs AS (
+  SELECT o_custkey AS custkey, version,
+         min(o_orderpriority) AS priority,
+         min(o_orderdate) AS effective_from,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM versioned GROUP BY o_custkey, version
+)
+SELECT custkey, version, priority, effective_from,
+       lead(effective_from) OVER (PARTITION BY custkey ORDER BY version)
+         AS effective_to,
+       (lead(effective_from) OVER (PARTITION BY custkey ORDER BY version)
+         IS NULL) AS is_current,
+       n_orders
+FROM runs
+"""
+
+
+@query(
+    "scd2_customer_priority",
+    _SCD2_ORACLE,
+    doc="SCD Type-2 dimension build from a change log: each customer's "
+        "order stream is an attribute feed (o_orderpriority); "
+        "consecutive equal values collapse into one versioned row with "
+        "[effective_from, effective_to) validity and an is_current "
+        "flag. Change points via lag() != current, version id via a "
+        "running sum over the same window — the two windows share one "
+        "hash exchange on custkey (same partition key and ordering), "
+        "then one groupBy on (custkey, version) re-uses that "
+        "partitioning. The warehouse-dimension maintenance shape: at "
+        "100 TB the only shuffle that matters is the per-entity one, "
+        "and entity cardinality bounds state, not history length.",
+    tags=("window", "timeseries", "warehouse"),
+)
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderpriority").over(w).isNull()
+        | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+        1).otherwise(0)
+    versioned = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"))
+    runs = (versioned.groupBy(F.col("o_custkey").alias("custkey"), "version")
+            .agg(F.min("o_orderpriority").alias("priority"),
+                 F.min("o_orderdate").alias("effective_from"),
+                 F.count(F.lit(1)).alias("n_orders")))
+    w_v = Window.partitionBy("custkey").orderBy("version")
+    return runs.select(
+        "custkey", "version", "priority", "effective_from",
+        F.lead("effective_from").over(w_v).alias("effective_to"),
+        F.lead("effective_from").over(w_v).isNull().alias("is_current"),
+        "n_orders")

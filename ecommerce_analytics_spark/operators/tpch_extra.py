@@ -619,12 +619,12 @@ def q_dormant_high_balance_customers(spark: SparkSession,
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation ns ON ns.n_nationkey = s.s_nationkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%red%'
     GROUP BY ns.n_name, year(o.o_orderdate)
     ORDER BY nation_name, order_year DESC
     """,
     doc="TPC-H Q9 shape: profit by supplier nation and order year over "
-        "a part-name segment. No partsupp in the driver schema, so unit "
+        "a part-name segment ('red' — a token that exists in the driver's part names at every SF; TPC-H's 'green' matches zero rows there). No partsupp in the driver schema, so unit "
         "cost is 60% of p_retailprice (a clean 2-decimal money column) "
         "— the entire profit expression stays in exact DECIMAL "
         "(price·discount minus retail·qty·0.6), making the grouped sum "
@@ -644,7 +644,7 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit("0.6").cast("decimal(2,1)"))
     return (
         lineitem
-        .join(F.broadcast(part.filter(F.col("p_name").like("%green%"))
+        .join(F.broadcast(part.filter(F.col("p_name").like("%red%"))
                           .select("p_partkey", "p_retailprice")),
               F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
