@@ -173,3 +173,63 @@ def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+_FUNNEL_ORACLE = TXN_CTE + """
+SELECT CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(*) FILTER (WHERE quantity > -100000 AND quantity < 100000)
+            AS BIGINT) AS n_after_quantity_filter,
+       CAST(count(*) FILTER (WHERE quantity > -100000 AND quantity < 100000
+                               AND unit_price > 0 AND unit_price < 100000)
+            AS BIGINT) AS n_clean,
+       CAST(count(*) FILTER (WHERE quantity > -100000 AND quantity < 100000
+                               AND unit_price > 0 AND unit_price < 100000
+                               AND is_return)
+            AS BIGINT) AS n_returns,
+       round(CAST(count(*) FILTER (WHERE quantity > -100000
+                                     AND quantity < 100000
+                                     AND unit_price > 0
+                                     AND unit_price < 100000
+                                     AND is_return) AS DOUBLE)
+             / count(*) FILTER (WHERE quantity > -100000
+                                  AND quantity < 100000
+                                  AND unit_price > 0 AND unit_price < 100000),
+             6) AS return_pct,
+       CAST(count(*) FILTER (WHERE customer_id % 10 = 0) AS BIGINT)
+         AS n_anonymous,
+       round(CAST(count(*) FILTER (WHERE customer_id % 10 = 0) AS DOUBLE)
+             / count(*), 6) AS anonymous_pct
+FROM txn
+"""
+
+
+@query(
+    "cleaning_funnel",
+    _FUNNEL_ORACLE,
+    doc="The reference's log-based invariant reporting as a first-class "
+        "query (data_loader.py:43,71,76,91 logs row counts in/out of "
+        "every filter; :87-89 return ratio; :194-196 anonymous ratio): "
+        "the whole filter funnel — raw → quantity-range → price-range — "
+        "plus return/anonymous ratios, in ONE conditional-count scan "
+        "(count_if), zero shuffles beyond the final partial combine. At "
+        "100 TB this replaces four sequential count() jobs (four full "
+        "scans) with one.",
+    tags=("agg", "quality", "tier-a"),
+)
+def q_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txn = transactions(spark, sf_dir)
+    qty_ok = (F.col("quantity") > -100000) & (F.col("quantity") < 100000)
+    price_ok = (F.col("unit_price") > 0) & (F.col("unit_price") < 100000)
+    clean = qty_ok & price_ok
+    anon = F.col("customer_id") % 10 == 0
+    return txn.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_if(qty_ok).alias("n_after_quantity_filter"),
+        F.count_if(clean).alias("n_clean"),
+        F.count_if(clean & F.col("is_return")).alias("n_returns"),
+        F.round(F.count_if(clean & F.col("is_return")).cast("double")
+                / F.count_if(clean), 6).alias("return_pct"),
+        F.count_if(anon).alias("n_anonymous"),
+        F.round(F.count_if(anon).cast("double") / F.count(F.lit(1)), 6)
+        .alias("anonymous_pct"),
+    )

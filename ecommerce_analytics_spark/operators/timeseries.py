@@ -106,13 +106,7 @@ FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
     tags=("join", "cdc"),
 )
 def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    old_snap = (orders.filter(F.col("o_orderkey") % 3 != 0)
-                .select("o_orderkey",
-                        F.round(F.col("o_totalprice") + 1.11, 2)
-                        .alias("o_totalprice"), "o_orderstatus"))
-    new_snap = (orders.filter(F.col("o_orderkey") % 5 != 0)
-                .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    old_snap, new_snap = _snapshots(spark, sf_dir)
     o = old_snap.alias("o")
     n = new_snap.alias("n")
     return (
@@ -129,6 +123,77 @@ def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o.o_totalprice").alias("old_price"),
             F.col("n.o_totalprice").alias("new_price"))
     )
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The deterministic synthetic snapshot pair used by the CDC ops
+    (same derivation as the oracle CTEs in _DIFF_ORACLE)."""
+    orders = load_table(spark, sf_dir, "orders")
+    old_snap = (orders.filter(F.col("o_orderkey") % 3 != 0)
+                .select("o_orderkey",
+                        F.round(F.col("o_totalprice") + 1.11, 2)
+                        .alias("o_totalprice"), "o_orderstatus"))
+    new_snap = (orders.filter(F.col("o_orderkey") % 5 != 0)
+                .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    return old_snap, new_snap
+
+
+def merge_upsert(target: DataFrame, changes: DataFrame,
+                 key: str) -> DataFrame:
+    """MERGE INTO emulation for plain-parquet engines: ``changes`` rows
+    carry ``change_type`` ∈ {insert, update, delete} plus the full new
+    row; the result is the target with deletes/updates anti-joined out
+    and inserts/updates unioned in. Both legs reuse ONE shuffle of the
+    (small) change set; at scale the anti-join broadcasts the change
+    keys and the union is append-only — the same physical work a real
+    MERGE does under copy-on-write."""
+    data_cols = [c for c in changes.columns if c != "change_type"]
+    touched = changes.filter(
+        F.col("change_type").isin("update", "delete")).select(key)
+    survivors = target.join(touched, key, "left_anti")
+    incoming = (changes.filter(F.col("change_type").isin("insert", "update"))
+                .select(*data_cols))
+    return survivors.unionByName(incoming)
+
+
+@query(
+    "merge_apply_cdc",
+    """
+    SELECT o_orderkey AS order_key, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 5 != 0
+    """,
+    doc="MERGE INTO emulation, certified end-to-end: diff the two CDC "
+        "snapshots (full-outer join → insert/update/delete), then APPLY "
+        "the diff to the old snapshot via anti-join + union "
+        "(merge_upsert). The oracle is simply the new snapshot — the "
+        "apply step is correct iff old ⊕ diff reproduces it exactly, "
+        "row for row. The engine never reads the new snapshot except "
+        "inside the diff, so the oracle is independent of the code "
+        "under test.",
+    tags=("join", "cdc", "warehouse"),
+)
+def q_merge_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old_snap, new_snap = _snapshots(spark, sf_dir)
+    o = old_snap.alias("o")
+    n = new_snap.alias("n")
+    diff = (
+        o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .select(
+            F.when(F.col("o.o_orderkey").isNull(), "insert")
+            .when(F.col("n.o_orderkey").isNull(), "delete")
+            .when((F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+                  | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+                  "update")
+            .otherwise("unchanged").alias("change_type"),
+            F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey"))
+            .alias("o_orderkey"),
+            F.col("n.o_totalprice").alias("o_totalprice"),
+            F.col("n.o_orderstatus").alias("o_orderstatus"))
+        .filter(F.col("change_type") != "unchanged")
+    )
+    return (merge_upsert(old_snap, diff, "o_orderkey")
+            .select(F.col("o_orderkey").alias("order_key"),
+                    "o_totalprice", "o_orderstatus"))
 
 
 _SCD2_ORACLE = """
