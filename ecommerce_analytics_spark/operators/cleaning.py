@@ -191,14 +191,15 @@ SELECT CAST(count(*) AS BIGINT) AS n_raw,
                                      AND unit_price > 0
                                      AND unit_price < 100000
                                      AND is_return) AS DOUBLE)
-             / count(*) FILTER (WHERE quantity > -100000
-                                  AND quantity < 100000
-                                  AND unit_price > 0 AND unit_price < 100000),
+             / nullif(count(*) FILTER (WHERE quantity > -100000
+                                         AND quantity < 100000
+                                         AND unit_price > 0
+                                         AND unit_price < 100000), 0),
              6) AS return_pct,
        CAST(count(*) FILTER (WHERE customer_id % 10 = 0) AS BIGINT)
          AS n_anonymous,
        round(CAST(count(*) FILTER (WHERE customer_id % 10 = 0) AS DOUBLE)
-             / count(*), 6) AS anonymous_pct
+             / nullif(count(*), 0), 6) AS anonymous_pct
 FROM txn
 """
 
@@ -227,9 +228,13 @@ def q_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(qty_ok).alias("n_after_quantity_filter"),
         F.count_if(clean).alias("n_clean"),
         F.count_if(clean & F.col("is_return")).alias("n_returns"),
+        # nullif guards: on degenerate (all-filtered / empty) input both
+        # twins yield NULL instead of engine-specific div-by-zero output
         F.round(F.count_if(clean & F.col("is_return")).cast("double")
-                / F.count_if(clean), 6).alias("return_pct"),
+                / F.nullif(F.count_if(clean), F.lit(0)), 6)
+        .alias("return_pct"),
         F.count_if(anon).alias("n_anonymous"),
-        F.round(F.count_if(anon).cast("double") / F.count(F.lit(1)), 6)
+        F.round(F.count_if(anon).cast("double")
+                / F.nullif(F.count(F.lit(1)), F.lit(0)), 6)
         .alias("anonymous_pct"),
     )

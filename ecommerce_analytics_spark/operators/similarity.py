@@ -470,6 +470,57 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Absolute recall@k floor for the trained-IVF index, certified
+# cross-engine by knn_ivf_kmeans_recall below. Measured recall at
+# sf0.001/0.01/0.1 is well above this (and the relative property —
+# trained multi-probe >= fixed probe-1 — is pytest-certified in
+# test_similarity_recall.py); the floor is deliberately conservative so
+# it holds at any driver SF while still failing on a broken index
+# (a wrong cell join or probe ranking collapses recall toward 1/k).
+KMEANS_RECALL_FLOOR = 0.5
+
+
+@query(
+    "knn_ivf_kmeans_recall",
+    f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS INTEGER) AS k,
+           CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_exact_pairs,
+           TRUE AS recall_floor_met
+    """,
+    doc=f"Driver-certifiable companion for knn_ivf_kmeans: recall@k of "
+        f"the trained-IVF retrieval measured IN SPARK against the exact "
+        f"brute-force baseline (both sides of the comparison are "
+        f"oracle-green queries), reduced to a hash-matchable row — the "
+        f"query/pair counts pin the retrieval scaffold ({N_QUERIES} "
+        f"queries × top-{TOP_K}) and the >={KMEANS_RECALL_FLOOR} recall "
+        f"floor is emitted as a boolean the oracle asserts. Approximate "
+        f"retrieval legitimately can't hash-match per-neighbor output; "
+        f"this certifies its contract instead. Full neighbor rows stay "
+        f"in the rows-only knn_ivf_kmeans.",
+    tags=("similarity", "ml", "north-star"),
+)
+def q_knn_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_knn_bruteforce(spark, sf_dir) \
+        .select("query_id", "neighbor_id", "rank")
+    approx = (q_knn_ivf_kmeans(spark, sf_dir)
+              .select("query_id", "neighbor_id")
+              .withColumn("hit", F.lit(1)))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(F.countDistinct("query_id").alias("nq"),
+             F.max("rank").alias("mk"),
+             F.count(F.lit(1)).alias("np"),
+             (F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+              / F.count(F.lit(1))).alias("recall"))
+        .select(F.col("nq").alias("n_queries"),
+                F.col("mk").alias("k"),
+                F.col("np").alias("n_exact_pairs"),
+                (F.col("recall") >= KMEANS_RECALL_FLOOR)
+                .alias("recall_floor_met"))
+    )
+
+
 # ---- random-hyperplane LSH near-dup ----------------------------------
 
 def _proj(emb: Column, hp: list[float]) -> Column:

@@ -31,6 +31,15 @@ from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.plans.registry import query
 
 HLL_LGK = 12  # Datasketches default; ~1.6% relative standard error
+# hll_union_agg's lgMaxK defaults to 12: a union of sketches built with
+# lgK > 12 would silently downsample and break the exact-mergeability
+# contract in test_skew_approx.py. Keep the coupling explicit.
+assert HLL_LGK <= 12, "raise hll_union_agg lgMaxK before raising HLL_LGK"
+
+# Accuracy bound certified cross-engine by the _sketch_vs_exact
+# companion below: HLL_4 lgK=12 has ~1.6% relative standard error, so
+# 5% (>3 sigma) holds deterministically on the driver corpora.
+HLL_REL_TOL = 0.05
 
 
 def daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,4 +83,62 @@ def q_daily_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events")).select(
         F.lit(None).cast("date").alias("day"),
         "est_unique_users", "n_events")
+    return per_day.unionAll(total)
+
+
+@query(
+    "daily_unique_users_sketch_vs_exact",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+           TRUE AS est_within_tol
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+           TRUE AS est_within_tol
+    FROM events
+    """,
+    doc="Exact-side certification companion for daily_unique_users_hll: "
+        "the SAME per-day + global-rollup aggregation skeleton, with the "
+        "exact countDistinct alongside the sketch estimate, and the "
+        "estimate's 5%-accuracy bound emitted as a hash-matchable "
+        "boolean (the oracle asserts TRUE; a drifting estimate flips it "
+        "and fails the driver hash). This gives the sketch pipeline a "
+        "driver-green row even though the estimate itself has no "
+        "cross-engine twin — the estimate values stay in the rows-only "
+        "variant above.",
+    tags=("agg", "sketch", "approx", "scale"),
+)
+def q_daily_unique_users_sketch_vs_exact(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    within = (F.abs(F.col("est") - F.col("exact_uniques"))
+              <= HLL_REL_TOL * F.col("exact_uniques"))
+    daily = (
+        events
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("exact_uniques"),
+             F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"))
+    )
+    per_day = daily.select(
+        "day", "n_events", "exact_uniques",
+        F.hll_sketch_estimate("sketch").alias("est"),
+    ).select("day", "n_events", "exact_uniques",
+             within.alias("est_within_tol"))
+    total = (
+        daily.agg(
+            F.sum("n_events").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        # exact global distinct is NOT derivable from daily exacts
+        # (users span days) — one extra aggregate over events
+        .crossJoin(events.agg(
+            F.countDistinct("user_id").alias("exact_uniques")))
+        .select(F.lit(None).cast("string").alias("day"),
+                "n_events", "exact_uniques",
+                within.alias("est_within_tol"))
+    )
     return per_day.unionAll(total)

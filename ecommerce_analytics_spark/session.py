@@ -55,6 +55,7 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         .config("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
@@ -78,6 +79,11 @@ def tune(spark: SparkSession) -> SparkSession:
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Driver testdata parquet stores tz-naive timestamps; read them as
+    # session-UTC TIMESTAMP (not TIMESTAMP_NTZ) so time functions
+    # (unix_micros, window, watermark) and the DuckDB twins see the
+    # same instant regardless of the writer's tz annotation.
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -18,10 +18,12 @@ from __future__ import annotations
 
 import importlib.util
 import json
+import os
+import pathlib
 import sys
 import time
 
-REPO = "/root/repo"
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
 sys.path.insert(0, REPO)
 
 from ecommerce_analytics_spark.session import get_spark  # noqa: E402
@@ -38,7 +40,8 @@ def load_entry():
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     only = sys.argv[2:]
     entry = load_entry()
     queries = entry.queries()
