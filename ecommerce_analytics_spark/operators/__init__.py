@@ -6,6 +6,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     cleaning,
     corpus_quality,
     dedup,
+    dedup_index,
     dedup_resolve,
     events_enrichment,
     fingerprint,

@@ -683,10 +683,7 @@ def _band_sigs(hx: DataFrame, hot: DataFrame) -> DataFrame:
                 F.col("bs.sig").alias("sig"), "hv"))
 
 
-@query(
-    "dedup_incremental",
-    _INCR_ORACLE,
-    doc="Incremental corpus dedup — the production ingestion shape: a "
+_INCR_DOC = ("Incremental corpus dedup — the production ingestion shape: a "
         "new batch is admitted against an EXISTING corpus, not "
         "self-joined. Exact layer: md5 semi-join against the index's "
         "fingerprint set. Near layer: MinHash band signatures on both "
@@ -701,12 +698,14 @@ def _band_sigs(hx: DataFrame, hot: DataFrame) -> DataFrame:
         "bucket-partitioned; each nightly batch shuffles only itself "
         "plus the matched band buckets. Incoming batch = exact copies "
         "(doc_id%25), prefix-trimmed near-dups (%50), and half-length "
-        "fresh docs (%40) — injected positives AND negatives.",
-    tags=("dedup", "join", "north-star", "incremental"),
-)
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    existing = docs.select("doc_id", "text")
+        "fresh docs (%40) — injected positives AND negatives.")
+
+
+def incremental_incoming(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The synthetic nightly batch: exact copies (doc_id%25),
+    prefix-trimmed near-dups (%50), half-length fresh docs (%40) —
+    injected positives AND negatives, shared by the in-query and
+    persisted-index incremental dedup variants."""
     inc_exact = (docs.filter(F.col("doc_id") % 25 == 0)
                  .select((F.col("doc_id") + 30000000).alias("doc_id"), "text"))
     inc_near = (docs.filter(F.col("doc_id") % 50 == 0)
@@ -718,23 +717,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.expr("substring(text, 1, n_chars div 2)")
                          .alias("text")))
     n_part = spark.sparkContext.defaultParallelism
-    incoming = (inc_exact.unionAll(inc_near).unionAll(inc_fresh)
-                .repartition(n_part, "doc_id"))
-    existing = existing.repartition(n_part, "doc_id")
+    return (inc_exact.unionAll(inc_near).unionAll(inc_fresh)
+            .repartition(n_part, "doc_id"))
 
-    # exact layer — in production x_fp is the stored fingerprint index
-    x_fp = existing.select(F.md5("text").alias("fp")).distinct()
+
+def admit_incoming(incoming: DataFrame, x_fp: DataFrame, hot: DataFrame,
+                   bands_e: DataFrame) -> DataFrame:
+    """Admit ``incoming`` docs against index artifacts (fingerprint set
+    ``x_fp``, stop-shingle list ``hot``, band table ``bands_e``) —
+    whether those artifacts were just computed (q_dedup_incremental) or
+    read back from Parquet (dedup_index.q_dedup_incremental_persisted).
+    Returns one row per incoming doc: verdict, candidate count, best
+    match by (est desc, id)."""
     exact_hits = (incoming.select("doc_id", F.md5("text").alias("fp"))
                   .join(x_fp, "fp", "left_semi")
                   .select("doc_id").withColumn("is_exact", F.lit(True)))
 
-    # near layer — index-side artifacts (hot list, band sigs) are what a
-    # deployment stores; the incoming side recomputes per batch
-    hx_e = _shingle_hashes(existing).distinct()
-    hot = (hx_e.groupBy("x1", "x2")
-           .agg(F.count(F.lit(1)).alias("df"))
-           .filter(F.col("df") > DF_CAP).select("x1", "x2"))
-    bands_e = _band_sigs(hx_e, hot)
     bands_i = _band_sigs(_shingle_hashes(incoming).distinct(), hot)
 
     nm = F.expr("aggregate(zip_with(hv_i, hv_e, (x, y) -> IF(x = y, 1, 0)), "
@@ -775,3 +773,33 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_match_id",
             F.col("est_jaccard").alias("best_est"))
     )
+
+
+def index_artifacts(spark: SparkSession, existing: DataFrame
+                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Compute the three index artifacts a deployment stores:
+    (fingerprint set, stop-shingle list, band-signature table)."""
+    x_fp = existing.select(F.md5("text").alias("fp")).distinct()
+    hx_e = _shingle_hashes(existing).distinct()
+    hot = (hx_e.groupBy("x1", "x2")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > DF_CAP).select("x1", "x2"))
+    bands_e = _band_sigs(hx_e, hot)
+    return x_fp, hot, bands_e
+
+
+@query(
+    "dedup_incremental",
+    _INCR_ORACLE,
+    doc=_INCR_DOC,
+    tags=("dedup", "join", "north-star", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    existing = docs.select("doc_id", "text").repartition(n_part, "doc_id")
+    incoming = incremental_incoming(spark, docs)
+    # in production these three artifacts are the stored index; the
+    # persisted-index variant (dedup_index.py) reads them from Parquet
+    x_fp, hot, bands_e = index_artifacts(spark, existing)
+    return admit_incoming(incoming, x_fp, hot, bands_e)

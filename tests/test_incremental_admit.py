@@ -1,0 +1,82 @@
+"""Persisted dedup index: build→store→query round-trip + streaming
+admission parity (VERDICT r2 items 3 and 7)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.dedup import (
+    incremental_incoming,
+)
+from ecommerce_analytics_spark.operators.dedup import (
+    q_dedup_incremental as batch_incremental,
+)
+from ecommerce_analytics_spark.operators.dedup_index import (
+    admit_against_stored, build_dedup_index,
+)
+from ecommerce_analytics_spark.streaming.incremental_admit import (
+    streaming_incremental_admit,
+)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_persisted_index_matches_in_query(spark, sf_dir, tmp_path):
+    """Reading the index back from Parquet must reproduce the in-query
+    variant's verdicts exactly (store→load loses nothing, including
+    the minhash array column)."""
+    path = build_dedup_index(spark, sf_dir, str(tmp_path / "index"))
+    incoming = incremental_incoming(
+        spark, load_table(spark, sf_dir, "documents"))
+    stored = admit_against_stored(spark, incoming, path).collect()
+    inline = batch_incremental(spark, sf_dir).collect()
+    assert _canon(stored) == _canon(inline)
+    assert len(stored) > 0
+
+
+def test_index_layout(spark, sf_dir, tmp_path):
+    """The band table is hive-partitioned by band (partition pruning
+    for probes) and a band-filtered read plans a pruned scan."""
+    path = build_dedup_index(spark, sf_dir, str(tmp_path / "index"))
+    bands = spark.read.parquet(f"{path}/bands")
+    assert set(bands.columns) == {"doc_id", "band", "sig", "hv"}
+    one = bands.filter(F.col("band") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(band" in plan \
+        or "band#" in plan  # pruned partition filter reaches the scan
+    n_bands = bands.select("band").distinct().count()
+    assert n_bands == 4
+
+
+def test_streaming_admit_parity(spark, sf_dir, tmp_path):
+    """foreachBatch admission over two micro-batches == one batch
+    admission over the union — row-for-row, across the micro-batch
+    boundary (the index is frozen state, so boundaries can't matter)."""
+    path = build_dedup_index(spark, sf_dir, str(tmp_path / "index"))
+    incoming = incremental_incoming(
+        spark, load_table(spark, sf_dir, "documents"))
+    expected = _canon(admit_against_stored(spark, incoming, path).collect())
+
+    # split the batch into two file chunks → two micro-batches
+    src = str(tmp_path / "incoming_stream")
+    half_a = incoming.filter(F.col("doc_id") % 2 == 0)
+    half_b = incoming.filter(F.col("doc_id") % 2 == 1)
+    for chunk in (half_a, half_b):
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "verdicts")
+    q = streaming_incremental_admit(
+        spark, stream, path, str(tmp_path / "ckpt"), out)
+    q.processAllAvailable()
+    q.stop()
+
+    got = _canon(spark.read.parquet(out).collect())
+    assert got == expected
