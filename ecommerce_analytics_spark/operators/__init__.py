@@ -5,6 +5,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     classification,
     cleaning,
     corpus_quality,
+    decontam,
     dedup,
     dedup_index,
     dedup_resolve,

@@ -119,3 +119,21 @@ def test_multiprobe_candidates_equi_join(spark, sf_dir):
                  "formatted")
     assert "cell_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontam_no_cartesian(spark, sf_dir):
+    # train-grams ⋈ eval-grams must be the hash equi-join on the gram
+    # hash — never a cross/nested-loop over train×eval
+    plan = _plan(query_map()["decontam_ngram_overlap"](spark, sf_dir),
+                 "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_logprob_single_token_shuffle(spark, sf_dir):
+    # vocab build + score join: the token stream shuffles on tok; the
+    # consts aggregate must reach the score join as a broadcast, and
+    # nothing may nested-loop
+    plan = _plan(query_map()["doc_unigram_logprob"](spark, sf_dir),
+                 "simple")
+    assert "CartesianProduct" not in plan
