@@ -52,3 +52,42 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").alias("product_id"),
         F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
     )
+
+
+@query(
+    "als_recommendations_shape",
+    f"""
+    WITH u AS (
+      SELECT count(DISTINCT o.o_custkey) AS n_users
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST({TOP_N} AS INTEGER) AS k,
+           CAST(n_users * {TOP_N} AS BIGINT) AS n_pairs,
+           TRUE AS scores_valid
+    FROM u
+    """,
+    doc=f"Driver-certifiable companion for als_recommendations "
+        f"(docs/SCALE.md pattern 3): the latent-factor output can't "
+        f"hash-match a SQL oracle, but its CONTRACT can — every "
+        f"interacting customer gets exactly top-{TOP_N} "
+        f"recommendations with finite positive-round scores. The "
+        f"oracle pins the user count from the interaction join "
+        f"exactly and asserts the shape/validity booleans; a broken "
+        f"solve (dropped users, NaN factors, wrong k) flips them.",
+    tags=("ml", "tier-c"),
+)
+def q_als_recommendations_shape(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    recs = q_als_recommendations(spark, sf_dir)
+    per_user = (recs.groupBy("customer_id")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("score").alias("lo"),
+                     F.max(F.abs("score")).alias("hi")))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("n").cast("int").alias("k"),
+        F.sum("n").alias("n_pairs"),
+        ((F.min("n") == TOP_N) & (F.max("n") == TOP_N)
+         & F.min(~F.isnan("lo") & ~F.isnan("hi"))
+         & (F.max("hi") < F.lit(1e6))).alias("scores_valid"))

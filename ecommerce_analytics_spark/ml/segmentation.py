@@ -84,3 +84,61 @@ def q_rfm_kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("customer_id", "recency_days", "frequency", "monetary",
                 F.col("segment").cast("int").alias("segment"))
     )
+
+
+# Conservative inertia ceiling for the quality companion below: KMeans
+# k=4 on standardized RFM explains far more variance than this at
+# every driver SF (measured ratio ~0.2-0.45); a broken fit (collapsed
+# clusters, unscaled features, wrong assignment join) pushes the
+# within/total ratio toward 1.
+INERTIA_RATIO_MAX = 0.9
+
+
+@query(
+    "rfm_kmeans_quality",
+    f"""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST({K_SEGMENTS} AS INTEGER) AS k,
+           TRUE AS all_segments_populated,
+           TRUE AS inertia_ratio_ok
+    FROM orders
+    """,
+    doc=f"Driver-certifiable companion for rfm_kmeans_segments "
+        f"(docs/SCALE.md pattern 3): the clustering itself can't "
+        f"hash-match a SQL oracle, but its contract can — every "
+        f"customer assigned, all {K_SEGMENTS} segments non-empty, and "
+        f"within-cluster SSE < {INERTIA_RATIO_MAX} x total SSE on the "
+        f"standardized features (computed IN Spark from the actual "
+        f"assignments; a degenerate fit pushes the ratio toward 1). "
+        f"The oracle pins the customer count exactly and asserts the "
+        f"booleans.",
+    tags=("ml", "tier-c"),
+)
+def q_rfm_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = q_rfm_kmeans_segments(spark, sf_dir)
+    stats = segs.agg(
+        *[x for c in ("recency_days", "frequency", "monetary")
+          for x in (F.avg(c).alias(f"m_{c}"),
+                    F.stddev_samp(c).alias(f"s_{c}"))])
+    z = segs.crossJoin(F.broadcast(stats)).select(
+        "segment",
+        *[((F.col(c) - F.col(f"m_{c}")) / F.col(f"s_{c}")).alias(f"z_{c}")
+          for c in ("recency_days", "frequency", "monetary")])
+    # within-SSE per segment: sum(z^2) - (sum z)^2 / n, summed over dims
+    per_seg = z.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[x for c in ("recency_days", "frequency", "monetary")
+          for x in (F.sum(F.col(f"z_{c}") ** 2).alias(f"ss_{c}"),
+                    F.sum(f"z_{c}").alias(f"s_{c}"))])
+    within = per_seg.select(
+        "n",
+        sum((F.col(f"ss_{c}") - F.col(f"s_{c}") ** 2 / F.col("n"))
+            for c in ("recency_days", "frequency", "monetary")).alias("w"))
+    return within.agg(
+        F.sum("n").alias("n_customers"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        (F.count(F.lit(1)) == K_SEGMENTS).alias("all_segments_populated"),
+        # total SSE of sample-standardized columns is exactly
+        # 3 * (n_customers - 1)
+        (F.sum("w") / (F.lit(3.0) * (F.sum("n") - 1))
+         < INERTIA_RATIO_MAX).alias("inertia_ratio_ok"))
