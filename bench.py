@@ -71,7 +71,10 @@ def main() -> None:
             queries[name](spark, warm_dir) \
                 .write.mode("overwrite").format("noop").save()
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # min-of-5: this host's run-to-run variance is ~1.5× on identical
+    # plans (see module docstring); 3 runs let one noisy window inflate
+    # a query's recorded min by 2-3× (observed on pricing_summary r3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
