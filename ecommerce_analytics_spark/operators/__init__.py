@@ -12,6 +12,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     events_enrichment,
     fingerprint,
     joins,
+    quantiles,
     similarity,
     sketches,
     sorts,

@@ -640,3 +640,61 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= NEARDUP_COS)
         .select("vec_a", "vec_b", F.round("cos_raw", 9).alias("cos_sim"))
     )
+
+
+# ---- normalization + int8 quantization (vector-store ingest prep) ----
+
+Q_SCALE = 127  # int8 symmetric quantization
+
+
+@query(
+    "embedding_normalize_quantize",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(nrm, 6) AS l2_norm,
+           to_json(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / nrm * {Q_SCALE})
+                             AS INTEGER))) AS qvec,
+           round((SELECT sum((u.av / nrm - round(u.av / nrm * {Q_SCALE})
+                              / {Q_SCALE}.0)
+                            * (u.av / nrm - round(u.av / nrm * {Q_SCALE})
+                               / {Q_SCALE}.0))
+                  FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS av) u),
+                 9) AS recon_sse
+    FROM n WHERE nrm > 0
+    """,
+    doc=f"Vector-store ingest prep: unit-normalize each embedding and "
+        f"symmetric-int8-quantize (scale {Q_SCALE}), emitting the "
+        f"quantized vector through the to_json edge (docs/SCALE.md "
+        f"pattern 1 — full content hash-certified, not just stats) "
+        f"plus the reconstruction SSE. Map-only, one codegen'd stage, "
+        f"no shuffle at any corpus size; the sequential double fold "
+        f"for norm/SSE is the bitwise-reproducible discipline of the "
+        f"knn dot products.",
+    tags=("similarity", "multimodal", "north-star"),
+)
+def q_embedding_normalize_quantize(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.col("nrm")
+    unit = lambda x: x.cast("double") / nrm  # noqa: E731
+    qz = lambda x: F.round(unit(x) * Q_SCALE)  # noqa: E731
+    err = lambda x: (unit(x) - qz(x) / Q_SCALE) * (unit(x) - qz(x) / Q_SCALE)  # noqa: E731
+    return (
+        emb.withColumn("nrm", norm(F.col("embedding")))
+        .filter(nrm > 0)
+        .select(
+            "vec_id",
+            F.round(nrm, 6).alias("l2_norm"),
+            F.to_json(F.transform(
+                "embedding", lambda x: qz(x).cast("int"))).alias("qvec"),
+            F.round(F.aggregate(
+                F.transform("embedding", err),
+                F.lit(0.0), lambda acc, x: acc + x), 9).alias("recon_sse"),
+        )
+    )
