@@ -13,7 +13,7 @@ rebalancing op every pretraining pipeline runs after dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
@@ -161,3 +161,73 @@ def q_corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(u, 9).alias("u"),
                 F.round(keep_prob, 2).alias("keep_prob"))
     )
+
+
+# Temperature for the data-driven mixing variant: rates ∝ share^(τ-1),
+# τ<1 upsamples rare sources relative to common ones (the multilingual
+# temperature-sampling rule); normalized so the rarest language keeps 1.0
+# (downsample-only — no replication).
+MIX_TAU = 0.5
+
+# pow() is transcendental and not correctly-rounded across libms, so
+# the keep decision compares 1e-9 FIXED-POINT snaps of both the rate
+# and the uniform (same discipline as doc_unigram_logprob's ln) — the
+# grid is ~1e7 x coarser than any cross-libm ulp difference.
+_RATE_FIX = "CAST(round(rate * 1000000000) AS BIGINT)"
+_U_FIX = f"CAST(round(({_U_SQL}) * 1000000000) AS BIGINT)"
+
+
+@query(
+    "corpus_temperature_mix",
+    f"""
+    WITH shares AS (
+      SELECT lang, count(*) AS n_lang,
+             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share
+      FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang, n_lang, share,
+             pow(share, {MIX_TAU} - 1)
+               / max(pow(share, {MIX_TAU} - 1)) OVER () AS rate
+      FROM shares
+    )
+    SELECT d.doc_id, d.lang,
+           round(r.rate, 9) AS keep_rate,
+           CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT)
+             AS n_kept_lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_U_FIX} < {_RATE_FIX}
+    """,
+    doc=f"N3 temperature-based source mixing (τ={MIX_TAU}): per-language "
+        f"keep rates computed FROM the corpus (rate ∝ share^(τ-1), "
+        f"rarest language keeps 1.0 — the multilingual "
+        f"temperature-sampling rule), applied via the same replayable "
+        f"content-hash uniforms as corpus_resample. The rate table is "
+        f"one tiny aggregate (|sources| rows) broadcast back onto the "
+        f"scan; pow() snapped to 1e-9 fixed point before the keep "
+        f"comparison so the cut is engine-independent. Output includes "
+        f"the per-language kept count so the oracle certifies the "
+        f"realized mixture, not just membership.",
+    tags=("text", "sampling", "north-star"),
+)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shares = (docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_lang")))
+    total = shares.agg(F.sum("n_lang").alias("n_total"))
+    rates = (shares.crossJoin(F.broadcast(total))
+             .select("lang",
+                     F.pow(F.col("n_lang") / F.col("n_total"),
+                           MIX_TAU - 1).alias("raw")))
+    rmax = rates.agg(F.max("raw").alias("rmax"))
+    rates = (rates.crossJoin(F.broadcast(rmax))
+             .select("lang", (F.col("raw") / F.col("rmax")).alias("rate")))
+    u_fix = F.expr(_U_FIX)
+    r_fix = F.expr(_RATE_FIX)
+    kept = (docs.join(F.broadcast(rates), "lang")
+            .filter(u_fix < r_fix)
+            .select("doc_id", "lang",
+                    F.round("rate", 9).alias("keep_rate")))
+    w = Window.partitionBy("lang")
+    return kept.select(
+        "doc_id", "lang", "keep_rate",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_kept_lang"))

@@ -411,3 +411,40 @@ def q_spend_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             "is_segment_total", "is_priority_total",
             "total_spend", "n_orders")
     )
+
+
+@query(
+    "customer_spend_deciles",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey AS customer_id,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             {money_sum_sql('o_totalprice')} AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT customer_id, n_orders, total_spend,
+           CAST(ntile(10) OVER w AS INTEGER) AS spend_decile,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cum_dist
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend DESC, customer_id)
+    """,
+    doc="Distribution-rank window breadth: ntile deciles, "
+        "percent_rank, cume_dist over per-customer total spend — the "
+        "marketing-tier assignment query. Total ordering (exact spend "
+        "desc, custkey) makes every rank engine-deterministic; one "
+        "aggregation shuffle then one global sort of the compact "
+        "per-customer table (entity cardinality, not fact rows).",
+    tags=("window", "agg"),
+)
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy(F.col("o_custkey").alias("customer_id"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  money_sum("o_totalprice").alias("total_spend")))
+    w = Window.orderBy(F.desc("total_spend"), F.asc("customer_id"))
+    return spend.select(
+        "customer_id", "n_orders", "total_spend",
+        F.ntile(10).over(w).alias("spend_decile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cum_dist"))
