@@ -11,6 +11,7 @@ from ecommerce_analytics_spark.operators import (  # noqa: F401
     dedup_resolve,
     events_enrichment,
     fingerprint,
+    funnels,
     graph,
     joins,
     quantiles,
