@@ -114,3 +114,43 @@ def test_lsh_signature_scale_invariant(spark_h, vecs):
     out = df.select("vec_id", *orig, *scaled).collect()
     for r in out:
         assert r["b_orig"] == r["b_scaled"], r["vec_id"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2),                        # group key
+              st.decimals(min_value="-99999.99", max_value="99999.99",
+                          places=2),                    # money value
+              st.decimals(min_value="0.00", max_value="0.99", places=2),
+              st.decimals(min_value="0.00", max_value="0.99", places=2)),
+    min_size=1, max_size=40))
+def test_bigint_money_sums_are_exact(spark_h, rows):
+    """The BIGINT-accumulator money sums equal exact Decimal
+    arithmetic for ANY 2-dec inputs under any partitioning — the
+    contract the r3 DECIMAL→BIGINT rewrite must preserve."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ecommerce_analytics_spark.numerics import (
+        charge_sum, disc_price_sum, money_sum)
+
+    df = spark_h.createDataFrame(
+        [(g, float(p), float(d), float(t)) for g, p, d, t in rows],
+        "g int, l_extendedprice double, l_discount double, l_tax double"
+    ).repartition(7)
+    got = {r["g"]: r for r in df.groupBy("g").agg(
+        money_sum("l_extendedprice").alias("m"),
+        disc_price_sum().alias("dp"),
+        charge_sum().alias("ch")).collect()}
+
+    cent = Decimal("0.01")
+    for g in {r[0] for r in rows}:
+        grp = [r for r in rows if r[0] == g]
+        m = sum(p for _, p, _, _ in grp)
+        dp = (sum(p * (1 - d) for _, p, d, _ in grp)
+              .quantize(cent, rounding=ROUND_HALF_UP))
+        ch = (sum(p * (1 - d) * (1 + t) for _, p, d, t in grp)
+              .quantize(cent, rounding=ROUND_HALF_UP))
+        # both sides are "nearest double to the exact decimal sum"
+        assert float(m) == got[g]["m"], (g, m, got[g]["m"])
+        assert float(dp) == got[g]["dp"], (g, dp, got[g]["dp"])
+        assert float(ch) == got[g]["ch"], (g, ch, got[g]["ch"])
