@@ -137,3 +137,12 @@ def test_unigram_logprob_single_token_shuffle(spark, sf_dir):
     plan = _plan(query_map()["doc_unigram_logprob"](spark, sf_dir),
                  "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_rounds_are_hash_joins(spark, sf_dir):
+    # each propagation round must be an equi-join on the edge src —
+    # no cartesian, no nested loop, no per-round lineage growth blowup
+    plan = _plan(query_map()["product_pagerank"](spark, sf_dir),
+                 "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
