@@ -1,0 +1,107 @@
+"""Dataset profiling + deterministic splits (pipeline ops tooling).
+
+- ``events_profile`` — deequ-style column profile of the events
+  table: one row per column with row/null/distinct counts and
+  min/max rendered as strings. The whole profile is ONE aggregate
+  pass (every metric for every column in a single scan — the
+  profiling shape that matters at 100 TB; a per-column loop of
+  scans is the anti-pattern).
+- ``corpus_split`` — deterministic hash-based train/val/test split
+  (90/5/5) of the documents table: split assignment from the same
+  content-hash uniform family as corpus_resample (replayable, no RNG
+  state, stable under reprocessing — the property a training
+  pipeline needs so a re-run never moves a document across splits),
+  reported as per-(lang, split) counts so the oracle certifies both
+  membership and realized proportions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.dedup_resolve import _U_SQL
+from ecommerce_analytics_spark.plans.registry import query
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM events""" for c in _PROFILE_COLS)
+
+
+@query(
+    "events_profile",
+    _PROFILE_ORACLE,
+    doc="deequ-style table profile: row/null/distinct counts and "
+        "min/max per column, computed for ALL columns in one "
+        "aggregate pass over one scan (the count-distincts expand to "
+        "one partial-agg each under the same exchange; a per-column "
+        "scan loop is the anti-pattern at 100 TB). min/max rendered "
+        "as strings so one schema fits every column type.",
+    tags=("agg", "validation"),
+)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = events.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"{c}__n").alias("n_rows"),
+                 F.col(f"{c}__null").alias("n_null"),
+                 F.col(f"{c}__dist").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_value"),
+                 F.col(f"{c}__max").alias("max_value"))
+        for c in _PROFILE_COLS])
+    return (wide.select(F.explode(rows).alias("r"))
+            .select("r.column_name", "r.n_rows", "r.n_null",
+                    "r.n_distinct", "r.min_value", "r.max_value"))
+
+
+SPLIT_VAL, SPLIT_TEST = 0.90, 0.95  # [0,.90) train, [.90,.95) val, rest test
+
+_SPLIT_CASE = (f"CASE WHEN {_U_SQL} < {SPLIT_VAL} THEN 'train' "
+               f"WHEN {_U_SQL} < {SPLIT_TEST} THEN 'val' "
+               f"ELSE 'test' END")
+
+
+@query(
+    "corpus_split",
+    f"""
+    SELECT lang, {_SPLIT_CASE} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY lang, {_SPLIT_CASE}
+    """,
+    doc="Deterministic 90/5/5 train/val/test split via content-hash "
+        "uniforms (replayable — a re-run never moves a document "
+        "across splits, the stability property training pipelines "
+        "need; no RNG state to manage). Reported as per-(lang, split) "
+        "counts + id ranges so the oracle certifies membership and "
+        "realized proportions; the assignment itself is a pushed-down "
+        "scalar expression, zero extra passes.",
+    tags=("text", "sampling", "north-star"),
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr(_SPLIT_CASE)
+    return (docs.groupBy("lang", split.alias("split"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
