@@ -76,21 +76,29 @@ FROM s3
     tags=("agg", "window", "tier-c"),
 )
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
-    t1 = (events.groupBy("user_id")
-          .agg(F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0],
-                            F.col("ts"))).alias("t1")))
-    t2 = (events.join(t1, "user_id")
-          .groupBy("user_id", "t1")
-          .agg(F.min(F.when((F.col("event_type") == FUNNEL_STEPS[1])
-                            & (F.col("ts") > F.col("t1")),
-                            F.col("ts"))).alias("t2")))
-    t3 = (events.join(t2, "user_id")
-          .groupBy("user_id", "t1", "t2")
-          .agg(F.min(F.when((F.col("event_type") == FUNNEL_STEPS[2])
-                            & (F.col("ts") > F.col("t2")),
-                            F.col("ts"))).alias("t3")))
-    return t3.agg(
+    # three stacked windows over the SAME partition key — Catalyst
+    # plans ONE user-hash exchange with chained Window operators (a
+    # per-step join of the fact table would shuffle events k times
+    # for a k-step funnel)
+    w = Window.partitionBy("user_id")
+    stepped = (
+        events
+        .withColumn("t1", F.min(F.when(
+            F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w))
+        .withColumn("t2", F.min(F.when(
+            (F.col("event_type") == FUNNEL_STEPS[1])
+            & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w))
+        .withColumn("t3", F.min(F.when(
+            (F.col("event_type") == FUNNEL_STEPS[2])
+            & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w))
+    )
+    per_user = (stepped.groupBy("user_id")
+                .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+                     F.first("t3").alias("t3")))
+    return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),

@@ -146,3 +146,11 @@ def test_pagerank_rounds_are_hash_joins(spark, sf_dir):
                  "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    # k-step funnel must not shuffle the fact table k times: stacked
+    # same-key windows share ONE user-hash exchange
+    plan = _plan(query_map()["conversion_funnel"](spark, sf_dir),
+                 "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
