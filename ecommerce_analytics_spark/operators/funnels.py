@@ -149,20 +149,32 @@ GROUP BY f.cohort_week, date_diff('week', f.cohort_week, a.active_week)
     tags=("agg", "timeseries", "tier-c"),
 )
 def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
-    firsts = (events.groupBy("user_id")
-              .agg(F.date_trunc("week", F.min("ts")).cast("date")
-                   .alias("cohort_week")))
-    activity = (events
-                .select("user_id",
-                        F.date_trunc("week", "ts").cast("date")
-                        .alias("active_week"))
-                .distinct())
-    sizes = firsts.groupBy("cohort_week") \
-        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    # cohort via a user-partitioned window, then (user, cohort, week)
+    # dedup — the grouping keys are a superset of the window's
+    # partition key, so Catalyst reuses the ONE user-hash exchange for
+    # both (plan-asserted); the join-based formulation shuffled the
+    # fact table twice and reshuffled the join
+    w = Window.partitionBy("user_id")
+    base = (events
+            .select("user_id", F.date_trunc("week", "ts").cast("date")
+                    .alias("active_week"))
+            .withColumn("cohort_week", F.min("active_week").over(w)))
+    pairs = base.groupBy("user_id", "cohort_week", "active_week").agg(
+        F.lit(1).alias("_one"))
+    # cohort size via a window over the COMPACT pairs table (every
+    # user has a row with active==cohort, so counting those rows per
+    # cohort counts its users) — a join against a second aggregate of
+    # the same subtree would plan a second fact scan + exchange
+    wc = Window.partitionBy("cohort_week")
+    sized = pairs.withColumn(
+        "cohort_size",
+        F.count(F.when(F.col("active_week") == F.col("cohort_week"),
+                       F.lit(1))).over(wc))
     return (
-        firsts.join(activity, "user_id")
-        .join(F.broadcast(sizes), "cohort_week")
+        sized
         .groupBy(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff("active_week", "cohort_week") / 7).cast("int")

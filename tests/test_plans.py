@@ -154,3 +154,12 @@ def test_funnel_single_user_exchange(spark, sf_dir):
     plan = _plan(query_map()["conversion_funnel"](spark, sf_dir),
                  "simple")
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_cohort_single_fact_exchange(spark, sf_dir):
+    # cohort + activity + sizes all derive from ONE user-hash shuffle
+    # of the fact table; everything after operates on the compact
+    # (user, cohort, week) table
+    plan = _plan(query_map()["weekly_cohort_retention"](spark, sf_dir),
+                 "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
