@@ -698,3 +698,77 @@ def q_embedding_normalize_quantize(spark: SparkSession,
                 F.lit(0.0), lambda acc, x: acc + x), 9).alias("recon_sse"),
         )
     )
+
+
+# nrm must be a plain CTE column — DuckDB rejects subqueries inside
+# list_transform lambdas
+_QVEC = (f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
+         f"/ nrm * {Q_SCALE}) AS INTEGER))")
+
+
+@query(
+    "knn_int8",
+    f"""
+    WITH nn AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, label, {_QVEC} AS qv FROM nn WHERE nrm > 0
+    ), q AS (SELECT vec_id, qv FROM qz WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             (SELECT sum(CAST(x.av AS BIGINT) * x.bv)
+              FROM (SELECT unnest(q.qv) AS av, unnest(c.qv) AS bv) x)
+               AS dot_q
+      FROM q JOIN qz c ON q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id
+        ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           CAST(dot_q AS BIGINT) AS dot_q, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc=f"Quantized retrieval: top-{TOP_K} neighbors by INTEGER dot "
+        f"product over the unit-norm int8 vectors from "
+        f"embedding_normalize_quantize — the memory-bound serving "
+        f"shape (16× smaller vectors, SIMD-able integer arithmetic). "
+        f"Unlike float ANN, the scores are exact integers, so the "
+        f"per-neighbor output itself hash-matches the oracle — no "
+        f"recall-companion indirection needed. Same broadcast-probe "
+        f"plan as knn_bruteforce.",
+    tags=("similarity", "north-star"),
+)
+def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = (emb.withColumn("nrm", norm(F.col("embedding")))
+          .filter(F.col("nrm") > 0)
+          .select("vec_id", "label",
+                  F.transform("embedding",
+                              lambda x: F.round(x.cast("double")
+                                                / F.col("nrm") * Q_SCALE)
+                              .cast("int")).alias("qv")))
+    q = (qz.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("qv").alias("q_qv")))
+    c = qz.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("label").alias("neighbor_label"),
+                  F.col("qv").alias("c_qv"))
+    idot = F.aggregate(
+        F.zip_with("q_qv", "c_qv",
+                   lambda a, b: a.cast("bigint") * b.cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = (F.broadcast(q)
+              .join(c, F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", "neighbor_label",
+                      idot.alias("dot_q")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "neighbor_label",
+                    "dot_q", "rank"))
