@@ -236,3 +236,31 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir,
         assert g["n"] == exp["n_follow_events"]
         assert g["nt"] == exp["n_event_types"]
         assert g["v"] == pytest.approx(exp["follow_value"])
+
+
+def test_streaming_histogram_sketch_matches_batch(spark, sf_dir,
+                                                  events_stream_dir):
+    """The mergeable histogram-quantile sketch's streaming twin: per-day
+    bin counts maintained as a streaming aggregation equal the batch
+    sketch state — and since estimates are a pure function of bin
+    state, estimate parity follows."""
+    from ecommerce_analytics_spark.operators.quantiles import _bin_col
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_events)
+
+    stream = streaming_events(spark, events_stream_dir)
+    agg = (stream
+           .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                    _bin_col().alias("bin"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    _run_to_memory(agg, "hist_stream", "complete")
+    got = {(r["day"], r["bin"]): r["n"]
+           for r in spark.sql("SELECT * FROM hist_stream").collect()}
+
+    from ecommerce_analytics_spark.io import load_table
+    batch = (load_table(spark, sf_dir, "events")
+             .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      _bin_col().alias("bin"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    want = {(r["day"], r["bin"]): r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 0
