@@ -7,8 +7,8 @@ repo lacked:
   GPT-3/Gopher appendix procedure): a training document is
   contaminated if it shares any order-``DECONTAM_N`` token n-gram
   with a held-out benchmark set. Shape: both sides explode their
-  n-grams ONCE, hash each to a 64-bit int (md5-derived — the engine-
-  portable hash used by the dedup family), distinct per side, then a
+  n-grams ONCE, hash each to a full 128-bit md5 (engine-portable and
+  collision-free vs the raw-string oracle), distinct per side, then a
   broadcast equi-join of train-grams against the (small) eval-gram
   set and a groupBy per train doc. Never train×eval; the eval side of
   the join is the benchmark suite — a few MB at any corpus scale, so
@@ -49,14 +49,23 @@ LOG_FIX = 1_000_000_000  # 1e-9 fixed point for ln()
 
 
 def _ngram_hashes(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
-    """(doc_id, g): distinct 64-bit hashes of order-n token n-grams."""
+    """(doc_id, g): distinct FULL-md5 hashes of order-n token n-grams.
+
+    The join key is the whole 128-bit digest (hex string), not a
+    truncated 64-bit prefix: the DuckDB oracle joins raw n-gram
+    strings, so the Spark side must be collision-free to match —
+    at 2^-128 a full-md5 collision is never the explanation for a
+    diverging n_shared_ngrams count. Docs shorter than ``n`` tokens
+    are filtered out BEFORE sequence(): Spark's sequence(1, 0) is
+    descending ([1, 0]) and would fabricate bogus slice() grams where
+    DuckDB's generate_series yields none.
+    """
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= n)
         .select("doc_id", F.expr(
             f"explode(transform(sequence(1, size(toks) - {n - 1}), "
-            f"i -> md5(concat_ws(' ', slice(toks, i, {n})))))").alias("h"))
-        .select("doc_id", F.expr(
-            "CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").alias("g"))
+            f"i -> md5(concat_ws(' ', slice(toks, i, {n})))))").alias("g"))
     )
     return grams.distinct()
 
@@ -107,7 +116,7 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
     doc=f"Eval-set decontamination (GPT-3/Gopher procedure): a train "
         f"doc is contaminated if it shares any {DECONTAM_N}-gram with "
         f"the held-out benchmark set (doc_id%{EVAL_MOD}). N-grams "
-        f"hashed to 64-bit ints, distinct per side, eval side "
+        f"hashed to full 128-bit md5, distinct per side, eval side "
         f"broadcast into an equi-join probe — never train×eval; at "
         f"100 TB the benchmark suite stays a few MB so the train scan "
         f"is one pass + one (doc, hit) shuffle. Injected perturbed "

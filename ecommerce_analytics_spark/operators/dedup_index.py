@@ -37,6 +37,7 @@ once and ``admit_against_stored`` per batch.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,7 +97,13 @@ def admit_against_stored(spark: SparkSession, incoming: DataFrame,
 )
 def q_dedup_incremental_persisted(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    path = build_dedup_index(spark, sf_dir)
+    # Unique per-run location: the stable dedup_index_path() is the
+    # deployment API (nightly build, blue/green rolls); the registered
+    # query rebuilds with mode("overwrite") on every invocation, and
+    # two concurrent runs at the same SF (parallel sweep + bench) would
+    # race on a shared path and read a half-written index.
+    run_dir = tempfile.mkdtemp(prefix="dedup_index_run_")
+    path = build_dedup_index(spark, sf_dir, os.path.join(run_dir, "index"))
     docs = load_table(spark, sf_dir, "documents")
     incoming = incremental_incoming(spark, docs)
     return admit_against_stored(spark, incoming, path)

@@ -54,6 +54,10 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
         .config("spark.sql.session.timeZone", "UTC")
+        # The BIGINT money/fixed-point accumulators (numerics.py) are
+        # loud-on-overflow only under ANSI; pin it so the guarantee
+        # doesn't depend on cluster spark-defaults.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -78,6 +82,9 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
+    # Long-sum overflow must throw, not wrap: the integer-cents money
+    # accumulators rely on ANSI arithmetic (see get_spark()).
+    conf.set("spark.sql.ansi.enabled", "true")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Driver testdata parquet stores tz-naive timestamps; read them as
     # session-UTC TIMESTAMP (not TIMESTAMP_NTZ) so time functions

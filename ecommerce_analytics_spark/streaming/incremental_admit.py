@@ -12,15 +12,23 @@ boundaries cannot change any verdict. The parity test
 Scale shape: per micro-batch, only the batch's shingles are computed
 and shuffled; the index side is a Parquet scan pruned to the probed
 ``band=`` partitions. State lives in the store, not in Spark —
-restarts are free (the checkpoint tracks only source offsets; replayed
-batches rewrite verdicts idempotently since admission is
-deterministic) and index generations roll by pointing at a new path,
-the same blue/green pattern a deployed gate uses.
+restarts are free (the checkpoint tracks only source offsets) and
+index generations roll by pointing at a new path, the same blue/green
+pattern a deployed gate uses.
+
+Idempotent replay: the sink is hive-partitioned by ``batch_id`` and
+each micro-batch writes with DYNAMIC partition overwrite — a batch
+replayed after a failure between sink write and checkpoint commit
+overwrites its own partition instead of appending duplicate verdict
+rows, which combined with deterministic admission gives effective
+exactly-once into the Parquet sink (the standard foreachBatch
+idempotent-write recipe).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ecommerce_analytics_spark.operators.dedup_index import (
@@ -38,7 +46,11 @@ def streaming_incremental_admit(spark: SparkSession, incoming: DataFrame,
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         (admit_against_stored(spark, batch_df, index_path)
-         .write.mode("append").parquet(out_path))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_path))
 
     return (incoming.writeStream
             .foreachBatch(admit_batch)

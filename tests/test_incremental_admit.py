@@ -78,5 +78,15 @@ def test_streaming_admit_parity(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    got = _canon(spark.read.parquet(out).collect())
+    got = _canon(spark.read.parquet(out).drop("batch_id").collect())
     assert got == expected
+
+    # Replay idempotency: a fresh checkpoint re-processes every file
+    # with the same batch ids — dynamic partition overwrite must
+    # rewrite the batch partitions instead of appending duplicates.
+    q2 = streaming_incremental_admit(
+        spark, stream, path, str(tmp_path / "ckpt2"), out)
+    q2.processAllAvailable()
+    q2.stop()
+    replayed = _canon(spark.read.parquet(out).drop("batch_id").collect())
+    assert replayed == expected
