@@ -16,10 +16,12 @@ integer-cents money sums (numerics.py), extended to an iterative
 algorithm. The truncation this introduces vs float PageRank is ≤
 1e-9 per edge per round — noise four orders below any ranking use.
 
-Spark side: a driver loop of (join + aggregate) rounds over the edge
-list, localCheckpoint per round to truncate lineage (the
-connected_components discipline, dedup_resolve.py). Oracle side: the
-SAME K rounds unrolled as chained CTEs (the oracle string is
+Spark side: a driver loop building K nested (join + aggregate) rounds
+over a persist()ed edge list — construction is fully lazy (no
+.first(), no eager checkpoints; VERDICT r3 #4) and the whole
+computation runs in the one action that executes the returned
+DataFrame, rounds 2..K reading the cached edges/degrees. Oracle side:
+the SAME K rounds unrolled as chained CTEs (the oracle string is
 generated). At 100 TB the edge list is hash-partitioned on src and
 each round is one shuffle of (dst, contrib) pairs — the canonical
 Pregel-on-DataFrames shape; rank state is |V| rows, never fact-sized.
@@ -87,8 +89,9 @@ FROM r{PR_ITERS}
         f"identical integer division — the integer-cents discipline "
         f"extended to an iterative algorithm; truncation error ≤1e-9 "
         f"per edge-round). One (dst, contrib) shuffle per round, rank "
-        f"state = |V| rows; lineage truncated per round. Oracle: the "
-        f"same {PR_ITERS} rounds unrolled as generated chained CTEs.",
+        f"state = |V| rows; edges/degrees persist()ed across rounds "
+        f"and construction fully lazy. Oracle: the same {PR_ITERS} "
+        f"rounds unrolled as generated chained CTEs.",
     tags=("graph", "iterative", "join", "north-star"),
 )
 def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,18 +104,36 @@ def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.l_partkey").alias("src"),
                      F.col("b.l_partkey").alias("dst"))
              .distinct())
+    # persist(), not localCheckpoint(): checkpoint EXECUTES the plan
+    # at construction under AQE (Dataset.checkpoint goes through .rdd,
+    # which materializes query stages), while persist is genuinely
+    # lazy — the cache populates during the single action that
+    # executes the returned DataFrame, and rounds 2..K read the cached
+    # edge/degree tables instead of re-scanning lineitem. The cached
+    # sets are |E| int pairs / |V| rows (never fact-sized); a long
+    # session evicts them LRU. Fixed K=5 keeps the nested plan
+    # shallow, so no lineage truncation is needed (unbounded-round
+    # loops — dedup_resolve.py — still checkpoint per round).
     edges = (pairs.unionAll(pairs.select(F.col("dst").alias("src"),
                                          F.col("src").alias("dst")))
-             .localCheckpoint(eager=True))
-    deg = edges.groupBy(F.col("src").alias("node")) \
-        .agg(F.count(F.lit(1)).alias("deg"))
-    n, = deg.agg(F.count(F.lit(1))).first()
-    base_fix = (PR_FIX * (PR_D_DEN - PR_D_NUM)) // (PR_D_DEN * n)
-    init_fix = PR_FIX // n
+             .persist())
+    deg = (edges.groupBy(F.col("src").alias("node"))
+           .agg(F.count(F.lit(1)).alias("deg"))
+           .persist())
+    # The two per-node-count scalars stay IN the plan as a broadcast
+    # one-row aggregate (mirroring the oracle's `consts` CTE) instead
+    # of a driver-side .first(): query construction runs no jobs
+    # beyond the parquet footer read every scan pays. Attached via
+    # explicit broadcast crossJoin — a 1-row build side, the same
+    # scalar-attach shape as funnels/sketches (a literal-key equi-join
+    # would constant-fold back to this exact plan anyway).
+    consts = deg.agg(
+        F.expr(f"CAST({PR_FIX} AS BIGINT) * {PR_D_DEN - PR_D_NUM} "
+               f"div ({PR_D_DEN} * count(1))").alias("base_fix"),
+        F.expr(f"CAST({PR_FIX} AS BIGINT) div count(1)").alias("init_fix"))
 
-    ranks = deg.select("node", "deg",
-                       F.lit(init_fix).alias("rank_fix")) \
-        .localCheckpoint(eager=True)
+    ranks = (deg.crossJoin(F.broadcast(consts))
+             .select("node", "deg", F.col("init_fix").alias("rank_fix")))
     for _ in range(PR_ITERS):
         contribs = (edges.join(ranks, edges.src == ranks.node)
                     .select(F.col("dst"),
@@ -120,11 +141,11 @@ def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .groupBy("dst")
                     .agg(F.sum("c").alias("s")))
         ranks = (deg.join(contribs, deg.node == contribs.dst)
+                 .crossJoin(F.broadcast(consts))
                  .select("node", "deg",
-                         (F.lit(base_fix)
+                         (F.col("base_fix")
                           + F.expr(f"({PR_D_NUM} * s) div {PR_D_DEN}"))
-                         .alias("rank_fix"))
-                 .localCheckpoint(eager=True))
+                         .alias("rank_fix")))
     return ranks.select(F.col("node").alias("product_id"),
                         F.col("deg").cast("bigint").alias("degree"),
                         F.col("rank_fix").cast("bigint")

@@ -134,9 +134,10 @@ def q_daily_unique_users_sketch_vs_exact(spark: SparkSession,
             F.sum("n_events").alias("n_events"),
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
         # exact global distinct is NOT derivable from daily exacts
-        # (users span days) — one extra aggregate over events
-        .crossJoin(events.agg(
-            F.countDistinct("user_id").alias("exact_uniques")))
+        # (users span days) — one extra aggregate over events,
+        # explicitly broadcast like every other scalar crossJoin here
+        .crossJoin(F.broadcast(events.agg(
+            F.countDistinct("user_id").alias("exact_uniques"))))
         .select(F.lit(None).cast("string").alias("day"),
                 "n_events", "exact_uniques",
                 within.alias("est_within_tol"))

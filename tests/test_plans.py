@@ -141,11 +141,34 @@ def test_unigram_logprob_single_token_shuffle(spark, sf_dir):
 
 def test_pagerank_rounds_are_hash_joins(spark, sf_dir):
     # each propagation round must be an equi-join on the edge src —
-    # no cartesian, no nested loop, no per-round lineage growth blowup
+    # no cartesian, no accidental nested loop. The only nested-loop
+    # joins allowed are the explicit broadcast scalar crossJoins that
+    # attach the one-row consts aggregate (plan shows them as
+    # "BroadcastNestedLoopJoin BuildRight, Cross")
     plan = _plan(query_map()["product_pagerank"](spark, sf_dir),
                  "simple")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line and "BuildRight" in line, line
+
+
+def test_pagerank_construction_is_lazy(spark, sf_dir):
+    # the n-node scalars live IN the plan as a broadcast consts
+    # aggregate (VERDICT r3 #4): building the query must run ZERO
+    # Spark jobs — no .first()/.collect(), no eager checkpoints
+    sc = spark.sparkContext
+    sc.setJobGroup("pagerank-construct", "laziness probe")
+    try:
+        df = query_map()["product_pagerank"](spark, sf_dir)
+        jobs = sc.statusTracker().getJobIdsForGroup("pagerank-construct")
+        # ≤1: spark.read.parquet pays one footer/listing job (every
+        # scan does); anything more means eager execution crept back
+        # (.first() ran ~1 job, the old eager checkpoints ran 7+)
+        assert len(jobs) <= 1, jobs
+    finally:
+        sc.setJobGroup(None, None)
+    assert df.count() > 0  # and it still executes
 
 
 def test_funnel_single_user_exchange(spark, sf_dir):
