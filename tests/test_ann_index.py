@@ -1,0 +1,70 @@
+"""Persisted ANN index: build→store→query round-trip (VERDICT r3 #6).
+Mirrors test_incremental_admit.py for the similarity side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.ann_index import (
+    build_ann_index, knn_against_stored,
+)
+from ecommerce_analytics_spark.operators.similarity import (
+    N_QUERIES, q_knn_ivf_kmeans,
+)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_persisted_retrieval_matches_in_memory(spark, sf_dir, tmp_path):
+    """Retrieval through the cold-read stored index must equal the
+    in-memory trained-IVF retrieval EXACTLY — same seed, same fold
+    arithmetic, and doubles round-trip bit-exact through Parquet, so
+    any divergence is a store/load bug."""
+    path = build_ann_index(spark, sf_dir, str(tmp_path / "index"))
+    queries = (load_table(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") < N_QUERIES))
+    stored = knn_against_stored(spark, queries, path).collect()
+    inline = q_knn_ivf_kmeans(spark, sf_dir).collect()
+    assert _canon(stored) == _canon(inline)
+    assert len(stored) > 0
+
+
+def test_cell_partition_pruning(spark, sf_dir, tmp_path):
+    """The cells table is hive-partitioned by cell_id and a probe's
+    cell filter reaches the scan as a partition filter — the IVF
+    promise that a query reads corpus/k × n_probe, not the corpus."""
+    path = build_ann_index(spark, sf_dir, str(tmp_path / "index"))
+    cells = spark.read.parquet(f"{path}/cells")
+    assert set(cells.columns) == {"vec_id", "embedding", "v_norm",
+                                  "cell_id"}
+    one = cells.filter(F.col("cell_id") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell_id" in plan \
+        or "cell_id#" in plan
+    # every corpus vector is assigned to exactly one cell
+    total = cells.count()
+    corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert total == corpus
+
+
+def test_query_batch_against_stored_index(spark, sf_dir, tmp_path):
+    """Admission shape: a NEW query batch (vectors not in the corpus —
+    scaled copies, cosine-invariant) retrieves through the stored
+    index without touching the build path, and every returned rank
+    chain is dense 1..k per query."""
+    path = build_ann_index(spark, sf_dir, str(tmp_path / "index"))
+    newq = (load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 4)
+            .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                    F.transform("embedding",
+                                lambda x: x * F.lit(2.0)).alias("embedding")))
+    got = knn_against_stored(spark, newq, path).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {10_000_000, 10_000_001, 10_000_002, 10_000_003}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
