@@ -117,6 +117,34 @@ def q_returns_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_revenue_frame(events: DataFrame,
+                         distinct: str = "exact") -> DataFrame:
+    """A6 shared builder — ONE implementation, two certified
+    distinct-count modes (VERDICT r3 stretch #9):
+
+    * ``exact``  — countDistinct; the batch materialized view.
+    * ``hll``    — Datasketches HLL estimate (sketches.py plumbing);
+      the mode a 100 TB deployment runs, and the SAME expression the
+      streaming twin aggregates, so batch-hll and streaming agree
+      EXACTLY (HLL registers are order-insensitive — estimate is a
+      pure function of the input set, certified in
+      test_streaming.test_streaming_hourly_revenue_matches_batch).
+    """
+    from ecommerce_analytics_spark.operators.sketches import hll_uniques
+
+    uniq = (F.countDistinct("user_id") if distinct == "exact"
+            else hll_uniques("user_id"))
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_timestamp"))
+        .agg(
+            money_sum("value").alias("total_revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+            uniq.alias("unique_customers"),
+        )
+    )
+
+
 @query(
     "hourly_revenue",
     f"""
@@ -129,11 +157,43 @@ def q_returns_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY date_trunc('hour', ts)
     """,
     doc="A6/T4: tumbling hourly revenue materialized view "
-        "(init-db.js:40-65) — batch formulation; streaming twin adds "
-        "withWatermark + window() in streaming/windows.py.",
+        "(init-db.js:40-65) — batch formulation (exact mode of the "
+        "shared two-mode builder); streaming twin aggregates the same "
+        "frame with withWatermark + window() in streaming/windows.py.",
     tags=("agg", "window", "tier-b", "stream-parity"),
 )
 def q_hourly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return hourly_revenue_frame(events, distinct="exact")
+
+
+@query(
+    "hourly_revenue_hll_vs_exact",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_timestamp,
+           {_VALUE_SUM_SQL} AS total_revenue,
+           CAST(count(*) AS BIGINT) AS order_count,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+           TRUE AS est_within_tol
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY date_trunc('hour', ts)
+    """,
+    doc="Driver-certifiable companion for the HLL mode of the shared "
+        "hourly-revenue builder (the daily_unique_users_sketch_vs_exact "
+        "pattern): identical skeleton with the exact distinct alongside "
+        "the sketch estimate, accuracy emitted as a hash-matched "
+        "boolean. Certifies that flipping the mode flag changes ONLY "
+        "the distinct strategy — revenue/order columns stay "
+        "hash-identical to the exact query.",
+    tags=("agg", "sketch", "approx", "stream-parity"),
+)
+def q_hourly_revenue_hll_vs_exact(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ecommerce_analytics_spark.operators.sketches import (
+        HLL_REL_TOL, hll_uniques,
+    )
+
     events = load_table(spark, sf_dir, "events")
     return (
         events.filter(F.col("event_type") == "purchase")
@@ -141,8 +201,15 @@ def q_hourly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money_sum("value").alias("total_revenue"),
             F.count(F.lit(1)).alias("order_count"),
-            F.countDistinct("user_id").alias("unique_customers"),
+            F.countDistinct("user_id").alias("exact_uniques"),
+            hll_uniques("user_id").alias("est"),
         )
+        .select(
+            "hour_timestamp", "total_revenue", "order_count",
+            "exact_uniques",
+            (F.abs(F.col("est") - F.col("exact_uniques"))
+             <= HLL_REL_TOL * F.col("exact_uniques"))
+            .alias("est_within_tol"))
     )
 
 

@@ -42,6 +42,16 @@ assert HLL_LGK <= 12, "raise hll_union_agg lgMaxK before raising HLL_LGK"
 HLL_REL_TOL = 0.05
 
 
+def hll_uniques(col: str, lgk: int = HLL_LGK):
+    """Distinct-count estimate as a single aggregate expression —
+    the shared plumbing behind every HLL mode flag (hourly revenue's
+    two-mode builder, the streaming twin). Partially aggregable:
+    map-side partial sketches merge in the shuffle, and the estimate
+    is a pure order-insensitive function of the input set, so batch
+    and streaming aggregations of the same rows agree exactly."""
+    return F.hll_sketch_estimate(F.hll_sketch_agg(col, F.lit(lgk)))
+
+
 def daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day, sketch binary, n_events) — the stored per-day sketch table.
 

@@ -42,11 +42,16 @@ def streaming_hourly_revenue(events: DataFrame,
                              watermark: str = "2 hours") -> DataFrame:
     """A6 as a watermarked tumbling window.
 
-    Divergence from batch (documented, SURVEY §7 hard-parts #4):
-    unique_customers uses approx_count_distinct — exact distinct over
-    unbounded keys per window is not streamable; the batch twin
-    (operators/aggregates.q_hourly_revenue) is exact.
+    unique_customers is the SAME Datasketches HLL estimate as the
+    batch builder's hll mode (sketches.hll_uniques — exact distinct
+    over unbounded keys per window is not streamable, SURVEY §7
+    hard-parts #4). HLL registers are order-insensitive, so the
+    streaming estimate equals the batch hll-mode estimate EXACTLY
+    over the same rows (parity-asserted in test_streaming.py); the
+    batch exact mode remains the divergence-free ground truth.
     """
+    from ecommerce_analytics_spark.operators.sketches import hll_uniques
+
     return (
         events.filter(F.col("event_type") == "purchase")
         .withWatermark("ts", watermark)
@@ -54,7 +59,7 @@ def streaming_hourly_revenue(events: DataFrame,
         .agg(
             F.round(F.sum("value"), 2).alias("total_revenue"),
             F.count(F.lit(1)).alias("order_count"),
-            F.approx_count_distinct("user_id").alias("unique_customers"),
+            hll_uniques("user_id").alias("unique_customers"),
         )
         .select(F.col("w.start").alias("hour_timestamp"),
                 "total_revenue", "order_count", "unique_customers")

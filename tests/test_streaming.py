@@ -32,16 +32,26 @@ def test_streaming_hourly_revenue_matches_batch(spark, sf_dir,
     got = {r["hour_timestamp"]: r for r in
            spark.sql("SELECT * FROM hourly_stream").collect()}
 
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.operators.aggregates import (
+        hourly_revenue_frame)
     from ecommerce_analytics_spark.plans.registry import query_map
     expected = {r["hour_timestamp"]: r for r in
                 query_map()["hourly_revenue"](spark, sf_dir).collect()}
+    # batch side of the shared builder in hll mode — the streaming agg
+    # is the SAME estimate expression, so equality must be EXACT
+    hll_mode = {r["hour_timestamp"]: r["unique_customers"] for r in
+                hourly_revenue_frame(load_table(spark, sf_dir, "events"),
+                                     distinct="hll").collect()}
 
     assert set(got) == set(expected)
     for hour, exp in expected.items():
         g = got[hour]
         assert g["total_revenue"] == pytest.approx(exp["total_revenue"])
         assert g["order_count"] == exp["order_count"]
-        # approx_count_distinct vs exact — documented divergence (T5/A6)
+        # streaming == batch-hll exactly (same sketch, same rows)
+        assert g["unique_customers"] == hll_mode[hour]
+        # and the estimate stays near the exact batch mode (T5/A6)
         assert abs(g["unique_customers"] - exp["unique_customers"]) \
             <= max(2, 0.1 * exp["unique_customers"])
 
