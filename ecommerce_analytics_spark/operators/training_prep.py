@@ -1,0 +1,319 @@
+"""Training-set preparation operators (north-star extensions).
+
+Three pipeline stages every large-scale LLM data build runs between
+"corpus is clean" and "tokens hit the trainer", none previously in
+the registry:
+
+- ``pack_sequences`` — GPT-style sequence packing: documents are
+  concatenated in a deterministic order and split into fixed-length
+  training sequences (SEQ_LEN tokens); each document's span of pack
+  ids falls out of a running token offset. One window cumsum
+  PARTITIONED BY source (a pack never crosses a source shard), so at
+  100 TB every shard packs independently — no global sort, one
+  exchange on the partition key.
+- ``semantic_dedup`` — SemDeDup (Abbas et al. 2023): cluster by
+  nearest centroid, and within each cluster drop every member that
+  has a ≥``SEM_THRESH``-cosine neighbor closer to the centroid (the
+  kept vector is the cluster-representative). Fixed corpus centroids
+  (vec_id < N_CENTROIDS, the knn_ivf convention) keep the whole
+  procedure deterministic and SQL-expressible, so the oracle checks
+  it EXACTLY — the trained-KMeans variant swaps the centroid table
+  and keeps the identical plan (similarity.q_knn_ivf_kmeans shows
+  that swap). Candidate pairs come from a cell equi-join — blocked,
+  never all-pairs, the published algorithm's own scale story.
+- ``pii_redact`` — PII scrubbing: emails / phone numbers / IPv4
+  addresses counted and replaced with typed placeholder tokens.
+  Map-only (zero shuffles), pure JVM regex — the shape that runs at
+  scan speed on 100 TB. The synthetic corpus contains no PII, so the
+  query plants deterministic PII in a doc_id-keyed subset (the
+  injected-positives pattern the dedup family uses) and both engines
+  scrub the same augmented text; the redacted output is certified by
+  md5, the counts by integers.
+
+The synthetic embeddings corpus has no true near-dups, so
+``semantic_dedup`` injects ×2-scaled copies (cosine-invariant — same
+direction, same cell, cos≈1 with the original) as certified positives,
+exactly like embedding_neardup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.similarity import (
+    N_CENTROIDS, _cos_sql, dot, norm,
+)
+from ecommerce_analytics_spark.plans.registry import query
+
+SEQ_LEN = 2048        # training sequence length (tokens)
+SEM_THRESH = 0.999    # SemDeDup within-cluster cosine threshold
+SEM_COPY_MOD = 40     # vec_id % 40 == 0 gets an injected ×2 copy
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, source, n_tokens, start_tok,
+       CAST(start_tok // {SEQ_LEN} AS BIGINT) AS pack_first,
+       CAST((start_tok + greatest(n_tokens, 1) - 1) // {SEQ_LEN}
+            AS BIGINT) AS pack_last,
+       CAST((start_tok + greatest(n_tokens, 1) - 1) // {SEQ_LEN}
+            - start_tok // {SEQ_LEN} + 1 AS BIGINT) AS n_packs
+FROM c
+"""
+
+
+@query(
+    "pack_sequences",
+    _PACK_ORACLE,
+    doc=f"GPT-style sequence packing: concatenate documents per source "
+        f"shard in doc_id order and split into {SEQ_LEN}-token training "
+        f"sequences; each doc's (pack_first, pack_last) span falls out "
+        f"of a running token offset. ONE window cumsum partitioned by "
+        f"source — shards pack independently and in parallel (no "
+        f"global sort); integer token offsets make every engine agree "
+        f"exactly. The trainer-side reader groups by pack id to emit "
+        f"fixed-length sequences.",
+    tags=("text", "window", "north-star", "scale"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    packed = toks.withColumn(
+        "start_tok",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"))
+    return (packed
+            .withColumn("pack_first",
+                        F.expr(f"start_tok div {SEQ_LEN}"))
+            .withColumn("pack_last", F.expr(
+                f"(start_tok + greatest(n_tokens, 1) - 1) div {SEQ_LEN}"))
+            .withColumn("n_packs",
+                        F.col("pack_last") - F.col("pack_first") + 1)
+            .select("doc_id", "source", "n_tokens", "start_tok",
+                    "pack_first", "pack_last", "n_packs"))
+
+
+_SEM_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+           AS embedding
+  FROM embeddings WHERE vec_id % {SEM_COPY_MOD} = 0
+), cent AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, embedding, cell_id, cent_cos FROM (
+    SELECT c.vec_id, c.embedding, cent.cell_id,
+           {_cos_sql('c.embedding', 'cent.c_emb')} AS cent_cos,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_cos_sql('c.embedding', 'cent.c_emb')} DESC,
+                      cent.cell_id
+           ) AS rn
+    FROM corpus c CROSS JOIN cent
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+   AND (a.cent_cos > b.cent_cos
+        OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {SEM_THRESH}
+)
+SELECT s.vec_id, CAST(s.cell_id AS INTEGER) AS cell_id,
+       round(s.cent_cos, 9) AS cent_cos,
+       d.vec_id IS NULL AS kept
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
+@query(
+    "semantic_dedup",
+    _SEM_ORACLE,
+    doc=f"SemDeDup (Abbas et al. 2023): assign every vector to its "
+        f"max-cosine centroid cell, then within each cell drop every "
+        f"member with a >= {SEM_THRESH}-cosine neighbor closer to the "
+        f"centroid (ties to the smaller vec_id) — one representative "
+        f"per semantic cluster survives. Fixed corpus centroids keep "
+        f"it deterministic/oracle-exact; candidate pairs are a cell "
+        f"equi-join (blocked, never all-pairs). Injected ×2-scaled "
+        f"copies land in the original's cell with cos≈1 and equal "
+        f"centroid distance, so the smaller-id original is kept and "
+        f"the copy dropped — certified positives. At 100 TB: swap the "
+        f"centroid CTE for the trained-KMeans table (knn_ivf_kmeans) "
+        f"and cap cell size, the paper's own recipe.",
+    tags=("dedup", "similarity", "north-star"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = (
+        emb.filter(F.col("vec_id") % SEM_COPY_MOD == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                F.transform("embedding",
+                            lambda x: x * F.lit(2.0).cast("float"))
+                .alias("embedding"))
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(copies)
+    cents = (emb.filter(F.col("vec_id") < N_CENTROIDS)
+             .select(F.col("vec_id").alias("cell_id"),
+                     F.col("embedding").alias("c_emb"),
+                     norm(F.col("embedding")).alias("c_nrm")))
+    cent_cos = (dot(F.col("embedding"), F.col("c_emb"))
+                / (norm(F.col("embedding")) * F.col("c_nrm")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), F.asc("cell_id"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cell_id",
+                cent_cos.alias("cent_cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        # norms precomputed once per vector for the pair join (the
+        # embedding_neardup optimization — one fold instead of three)
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = (dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")))
+    dominated = (
+        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+               & (F.col("a.vec_id") != F.col("b.vec_id"))
+               & ((F.col("a.cent_cos") > F.col("b.cent_cos"))
+                  | ((F.col("a.cent_cos") == F.col("b.cent_cos"))
+                     & (F.col("a.vec_id") < F.col("b.vec_id")))))
+        .filter(pair_cos >= SEM_THRESH)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, "vec_id", "left")
+        .select("vec_id", F.col("cell_id").cast("int").alias("cell_id"),
+                F.round("cent_cos", 9).alias("cent_cos"),
+                F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"))
+    )
+
+
+# Patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \\d and \\b only.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_AUGMENT_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                           4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+_PII_ORACLE = f"""
+WITH aug AS ({_PII_AUGMENT_SQL}),
+scrubbed AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+           AS n_phones,
+         CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+           AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(
+             text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       n_emails + n_phones + n_ips > 0 AS had_pii,
+       md5(redacted) AS redacted_md5
+FROM scrubbed
+"""
+
+
+@query(
+    "pii_redact",
+    _PII_ORACLE,
+    doc="PII scrubbing: emails, phone numbers, and IPv4 addresses "
+        "counted (regexp_count) and replaced with typed placeholders "
+        "(regexp_replace) — map-only, zero shuffles, JVM-side regex at "
+        "scan speed; the plan a 100 TB redaction pass must have. The "
+        "corpus has no real PII, so deterministic PII is planted in "
+        "doc_id-keyed subsets (the injected-positives discipline) and "
+        "both engines scrub identical augmented text; redacted output "
+        "certified by md5, patterns restricted to the Java-regex ∩ RE2 "
+        "dialect so the engines agree by construction.",
+    tags=("text", "quality", "north-star", "scale"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now")))
+            .otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" call 555-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                   4, "0")))
+            .otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" from 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit("."),
+                            (F.col("doc_id") % 100).cast("string")))
+            .otherwise(""),
+        ).alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>"),
+        PII_IPV4, "<IP>")
+    counted = aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count("text", F.lit(PII_IPV4)).cast("bigint")
+        .alias("n_ips"),
+        redacted.alias("redacted"))
+    return counted.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0)
+        .alias("had_pii"),
+        F.md5("redacted").alias("redacted_md5"))

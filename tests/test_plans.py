@@ -186,3 +186,28 @@ def test_cohort_single_fact_exchange(spark, sf_dir):
     plan = _plan(query_map()["weekly_cohort_retention"](spark, sf_dir),
                  "simple")
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    # redaction must run at scan speed: no Exchange anywhere in the
+    # plan — regex count/replace all inside the projection
+    plan = _plan(query_map()["pii_redact"](spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    # packing is per-source-shard: exactly one hash exchange on the
+    # shard key feeds the window cumsum; no global sort/singleton
+    plan = _plan(query_map()["pack_sequences"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning(source") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_semantic_dedup_blocked_pair_join(spark, sf_dir):
+    # candidate pairs come from the cell equi-join — no cartesian; the
+    # only nested-loop join is the broadcast centroid attach
+    plan = _plan(query_map()["semantic_dedup"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line and "BuildRight" in line, line
