@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.dedup_resolve import _U_SQL
 from ecommerce_analytics_spark.operators.similarity import (
     N_CENTROIDS, _cos_sql, dot, norm,
 )
@@ -317,3 +318,50 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0)
         .alias("had_pii"),
         F.md5("redacted").alias("redacted_md5"))
+
+
+# Per-source document cap (the C4/RefinedWeb per-domain quota): at web
+# scale a handful of domains dominate the crawl; capping each domain's
+# contribution is the standard anti-domination gate. Priority inside a
+# source is the deterministic content-hash uniform the resampling
+# family already uses (dedup_resolve._U_SQL) — replayable, no RNG
+# state, and independent of ingestion order.
+SOURCE_QUOTA = 100
+
+_QUOTA_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         round({_U_SQL}, 9) AS u,
+         CAST(row_number() OVER (
+             PARTITION BY source ORDER BY {_U_SQL}, doc_id
+         ) AS BIGINT) AS quota_rank
+  FROM documents
+)
+SELECT doc_id, source, u, quota_rank
+FROM ranked WHERE quota_rank <= {SOURCE_QUOTA}
+"""
+
+
+@query(
+    "source_quota_sample",
+    _QUOTA_ORACLE,
+    doc=f"Per-source quota cap (C4/RefinedWeb anti-domination gate): "
+        f"keep at most {SOURCE_QUOTA} documents per source, "
+        f"prioritized by the deterministic content-hash uniform — "
+        f"replayable and ingestion-order-independent. One window "
+        f"row_number partitioned by source: shards rank "
+        f"independently, no global sort; at 100 TB the rank is a "
+        f"per-domain top-K (TakeOrdered per key), never a global "
+        f"shuffle of the corpus.",
+    tags=("text", "sampling", "north-star", "scale"),
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(_U_SQL)
+    w = Window.partitionBy("source").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", F.round(u, 9).alias("u"),
+                    F.row_number().over(w).cast("bigint")
+                    .alias("quota_rank"))
+        .filter(F.col("quota_rank") <= SOURCE_QUOTA)
+    )

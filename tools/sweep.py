@@ -12,6 +12,11 @@ Usage::
     python tools/sweep.py [sf_dir] [name-substring ...]
 
 Defaults to ``/root/testdata/sf0.01``. Exit code 1 on any mismatch.
+
+Set ``SWEEP_JSON_OUT=/path/to/SWEEP_rN.json`` to also write the full
+per-query record list as one JSON document (VERDICT r3 #3: the
+committed artifact lets the judge diff the self-run sweep against the
+driver's CORRECTNESS_rN row-for-row).
 """
 
 from __future__ import annotations
@@ -48,6 +53,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     spark = get_spark()
     failures = 0
+    records: list[dict] = []
     t_all = time.time()
     for name, fn in queries.items():
         if only and not any(s in name for s in only):
@@ -77,9 +83,16 @@ def main() -> int:
         rec["sec"] = round(time.time() - t0, 2)
         if not rec["ok"]:
             failures += 1
+        records.append(rec)
         print(json.dumps(rec), flush=True)
-    print(json.dumps({"total_sec": round(time.time() - t_all, 1),
-                      "failures": failures}), flush=True)
+    summary = {"total_sec": round(time.time() - t_all, 1),
+               "n_queries": len(records), "failures": failures}
+    print(json.dumps(summary), flush=True)
+    out = os.environ.get("SWEEP_JSON_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"summary": summary, "records": records}, f,
+                      indent=1)
     return 1 if failures else 0
 
 
