@@ -51,10 +51,13 @@ CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 TFIDF_TOP_K = 5
 
-_GOPHER_ORACLE = f"""
-WITH tok AS (
+def gopher_feat_ctes(src: str = "documents") -> str:
+    """The tok/feat CTE pair (DuckDB SQL) over any doc-shaped source —
+    reused by the pipeline-composition oracle (training_prep) with an
+    augmented corpus as ``src``."""
+    return f"""tok AS (
   SELECT doc_id, lang, string_split(text, ' ') AS t, length(text) AS n_chars
-  FROM documents
+  FROM {src}
 ), feat AS (
   SELECT doc_id, lang,
          CAST(len(t) AS BIGINT) AS n_tokens,
@@ -70,15 +73,23 @@ WITH tok AS (
              / (len(t) - 1)
          ELSE 0.0 END AS dup_bigram_frac
   FROM tok
-)
+)"""
+
+
+GOPHER_PASS_COND = (
+    f"(n_tokens >= {MIN_TOKENS}"
+    f" AND mean_token_len >= {MEAN_LEN_LO}"
+    f" AND mean_token_len <= {MEAN_LEN_HI}"
+    f" AND top_token_frac <= {TOP_TOKEN_FRAC_MAX}"
+    f" AND dup_bigram_frac <= {DUP_BIGRAM_FRAC_MAX})")
+
+_GOPHER_ORACLE = f"""
+WITH {gopher_feat_ctes("documents")}
 SELECT doc_id, lang, n_tokens,
        round(mean_token_len, 6) AS mean_token_len,
        round(top_token_frac, 6) AS top_token_frac,
        round(dup_bigram_frac, 6) AS dup_bigram_frac,
-       (n_tokens >= {MIN_TOKENS}
-        AND mean_token_len >= {MEAN_LEN_LO} AND mean_token_len <= {MEAN_LEN_HI}
-        AND top_token_frac <= {TOP_TOKEN_FRAC_MAX}
-        AND dup_bigram_frac <= {DUP_BIGRAM_FRAC_MAX}) AS passes_gopher
+       {GOPHER_PASS_COND} AS passes_gopher
 FROM feat
 """
 
@@ -94,6 +105,10 @@ FROM feat
     tags=("text", "quality", "north-star"),
 )
 def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_features(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_features(docs: DataFrame) -> DataFrame:
     # All token features come from ONE struct expression: the
     # single-element transform(array(split(...)), t -> ...) binds the
     # token array once per row (Spark SQL has no LET; the naive form
@@ -103,7 +118,6 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is real). The struct is referenced by several output columns, so
     # CollapseProject keeps it materialized once instead of inlining.
     # Values are the exact same integers the oracle computes.
-    docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
         "doc_id", "lang", F.length("text").alias("n_chars"),
         F.expr("""

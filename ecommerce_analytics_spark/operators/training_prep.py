@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.corpus_quality import (
+    GOPHER_PASS_COND, gopher_feat_ctes, gopher_features,
+)
 from ecommerce_analytics_spark.operators.dedup_resolve import _U_SQL
 from ecommerce_analytics_spark.operators.similarity import (
     N_CENTROIDS, _cos_sql, dot, norm,
@@ -365,3 +368,101 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("quota_rank"))
         .filter(F.col("quota_rank") <= SOURCE_QUOTA)
     )
+
+
+# ---- full-pipeline composition -------------------------------------
+#
+# Every stage above (and the gate/dedup/resample families) is
+# oracle-certified in isolation; a real deployment RUNS THEM CHAINED.
+# This query certifies the composition end-to-end: quality gate →
+# exact dedup → per-source quota → sequence packing, one DataFrame
+# plan, one matching chained-CTE oracle — so a user of the engine can
+# run the whole pretraining prep as a single lazy query and the
+# driver hash covers every stage boundary (the place bugs hide:
+# a stage reading the wrong survivor set, a rank computed before a
+# filter, an offset computed over dropped docs).
+PIPE_COPY_MOD = 50  # doc_id % 50 == 0 gets an injected verbatim copy
+
+
+_PIPELINE_ORACLE = f"""
+WITH aug_docs AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 80000000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % {PIPE_COPY_MOD} = 0
+), {gopher_feat_ctes("aug_docs")},
+gated AS (
+  SELECT d.doc_id, d.text, d.source, f.n_tokens
+  FROM aug_docs d JOIN feat f ON d.doc_id = f.doc_id
+  WHERE {GOPHER_PASS_COND}
+), deduped AS (
+  SELECT doc_id, source, n_tokens
+  FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM gated)
+  WHERE doc_id = keeper
+), quota AS (
+  SELECT doc_id, source, n_tokens
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY {_U_SQL}, doc_id) AS rnk
+        FROM deduped)
+  WHERE rnk <= {SOURCE_QUOTA}
+)
+SELECT doc_id, source, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_tok,
+       CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {SEQ_LEN} AS BIGINT) AS pack_first
+FROM quota
+"""
+
+
+@query(
+    "pretrain_pipeline",
+    _PIPELINE_ORACLE,
+    doc=f"END-TO-END pretraining prep as ONE lazy plan: Gopher quality "
+        f"gate → exact dedup (md5, keep min doc_id; injected verbatim "
+        f"copies %{PIPE_COPY_MOD} certify the stage binds) → "
+        f"per-source quota ({SOURCE_QUOTA}, content-hash priority) → "
+        f"{SEQ_LEN}-token sequence packing over the survivors. Each "
+        f"stage is oracle-certified alone; this row certifies the "
+        f"COMPOSITION — every stage boundary (survivor sets, rank-"
+        f"after-filter, offsets over kept docs only) is inside the "
+        f"driver hash. Plan: map-only gate, one md5 window, one "
+        f"source window for quota+pack (same key — Catalyst shares "
+        f"the exchange).",
+    tags=("text", "quality", "dedup", "sampling", "north-star", "scale"),
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source")
+    aug = docs.unionAll(
+        docs.filter(F.col("doc_id") % PIPE_COPY_MOD == 0)
+        .select((F.col("doc_id") + 80000000).alias("doc_id"),
+                "text", "lang", "source"))
+    gated = (
+        aug.join(gopher_features(aug)
+                 .filter(F.col("passes_gopher"))
+                 .select("doc_id", "n_tokens"), "doc_id")
+        .select("doc_id", "text", "source", "n_tokens"))
+    w_h = Window.partitionBy(F.md5("text"))
+    deduped = (gated
+               .withColumn("keeper", F.min("doc_id").over(w_h))
+               .filter(F.col("doc_id") == F.col("keeper"))
+               .select("doc_id", "source", "n_tokens"))
+    w_q = Window.partitionBy("source").orderBy(
+        F.expr(_U_SQL).asc(), F.col("doc_id").asc())
+    quota = (deduped
+             .withColumn("rnk", F.row_number().over(w_q))
+             .filter(F.col("rnk") <= SOURCE_QUOTA)
+             .select("doc_id", "source", "n_tokens"))
+    w_p = (Window.partitionBy("source").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w_p), F.lit(0)).cast("bigint")
+    return (quota
+            .select("doc_id", "source", "n_tokens",
+                    start.alias("start_tok"))
+            .withColumn("pack_first", F.expr(f"start_tok div {SEQ_LEN}")))
