@@ -211,3 +211,14 @@ def test_semantic_dedup_blocked_pair_join(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line and "BuildRight" in line, line
+
+
+def test_pretrain_pipeline_two_exchanges(spark, sf_dir):
+    # gate is map-only; dedup costs one md5-hash exchange; quota AND
+    # packing share the single source-hash exchange (same partition
+    # key, different sort — Catalyst re-sorts without re-shuffling).
+    # 2 total. A third exchange means a stage stopped sharing.
+    plan = _plan(query_map()["pretrain_pipeline"](spark, sf_dir),
+                 "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
