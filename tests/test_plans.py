@@ -222,3 +222,15 @@ def test_pretrain_pipeline_two_exchanges(spark, sf_dir):
                  "simple")
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bm25_one_scalar_exchange_topk(spark, sf_dir):
+    # BM25 retrieval: per-term tf is map-only (no explode — zero
+    # hashpartitioning exchanges), corpus stats are ONE SinglePartition
+    # scalar aggregate broadcast back, and the top-K is
+    # TakeOrderedAndProject, never a global sort.
+    plan = _plan(query_map()["bm25_top_docs"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
