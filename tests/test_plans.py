@@ -234,3 +234,21 @@ def test_bm25_one_scalar_exchange_topk(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_gdpr_tombstones_broadcast(spark, sf_dir):
+    # the tombstone dim must broadcast to orders and events — a purge
+    # must never reshuffle a 100 TB fact table by user key
+    plan = _plan(query_map()["gdpr_purge_audit"](spark, sf_dir),
+                 "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_is_key_join(spark, sf_dir):
+    # reconcile = one full-outer equi-join on the primary key
+    plan = _plan(query_map()["snapshot_diff_orders"](spark, sf_dir),
+                 "simple")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
