@@ -1,0 +1,118 @@
+"""Z-order layout: the skipping property itself — a rectangle query
+over a Z-ordered table must touch few files while a singly-sorted
+layout scatters one dimension across all files — plus runtime
+bloom-filter injection compatibility for selective shuffle joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.layout import (
+    morton_key, normalize16, write_zordered,
+)
+
+N_FILES = 16
+
+
+def _files_touched(spark, path, cond):
+    df = spark.read.parquet(path).filter(cond)
+    return (df.select(F.input_file_name().alias("f"))
+            .distinct().count())
+
+
+def test_zorder_touches_fewer_files_than_single_sort(spark, sf_dir,
+                                                     tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity")
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "single_sort")
+    write_zordered(li, "l_partkey", "l_suppkey", zpath, N_FILES)
+    # baseline: same file count, sorted on partkey only
+    (li.repartitionByRange(N_FILES, "l_partkey")
+     .sortWithinPartitions("l_partkey")
+     .write.mode("overwrite").parquet(spath))
+
+    pmax = li.agg(F.max("l_partkey")).first()[0]
+    smax = li.agg(F.max("l_suppkey")).first()[0]
+    # rectangle selective on both dims (low eighth x low quarter)
+    cond = ((F.col("l_partkey") <= pmax // 8)
+            & (F.col("l_suppkey") <= smax // 4))
+    # suppkey-only band — the dimension the single sort can't prune
+    cond_supp = F.col("l_suppkey") <= smax // 4
+
+    # identical rows across layouts
+    assert (spark.read.parquet(zpath).filter(cond).count()
+            == spark.read.parquet(spath).filter(cond).count())
+
+    z_rect = _files_touched(spark, zpath, cond)
+    z_supp = _files_touched(spark, zpath, cond_supp)
+    s_supp = _files_touched(spark, spath, cond_supp)
+
+    # both-dims rectangle lives in a corner of the Morton range
+    assert z_rect <= N_FILES // 4, z_rect
+    # partkey-sorted layout scatters the suppkey band over ALL files;
+    # Z-order confines it to 4 contiguous Morton runs (one per top-2
+    # partkey-bit prefix), each band_fraction/4 of the rows plus at
+    # most one straddling boundary file: ≈ 16·f + 4 ≈ 9 for f ≤ 0.31
+    assert s_supp == N_FILES, s_supp
+    assert z_supp <= 10, (z_supp, s_supp)
+
+
+def test_morton_key_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (65535, 0)], "a long, b long")
+    got = dict(
+        df.select("a", "b", morton_key(F.col("a"), F.col("b"))
+                  .alias("m")).rdd.map(lambda r: ((r.a, r.b), r.m))
+        .collect())
+    # a's bits land at odd positions, b's at even
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 2
+    assert got[(0, 1)] == 1
+    assert got[(3, 3)] == 15
+    assert got[(65535, 0)] == sum(1 << (2 * i + 1) for i in range(16))
+
+
+def test_normalize16_exact_endpoints(spark):
+    df = spark.createDataFrame([(0,), (5,), (9,)], "k long")
+    vals = dict(df.select(
+        "k", normalize16(F.col("k"), F.lit(9)).alias("n"))
+        .rdd.map(lambda r: (r.k, r.n)).collect())
+    assert vals[0] == 0
+    assert vals[9] == 65535
+    assert vals[5] == 5 * 65535 // 9
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(
+        spark, sf_dir):
+    """The session config must stay compatible with Spark's runtime
+    bloom-filter injection: on a cluster (where facts exceed the
+    broadcast threshold) a selective dim filter semi-reduces the fact
+    scan before the shuffle. Simulated here by dropping the broadcast
+    threshold; thresholds restored afterwards."""
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                 "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                 "applicationSideScanSizeThreshold", "0")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = (load_table(spark, sf_dir, "orders")
+                  .filter(F.col("o_totalprice") > 500000))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
