@@ -150,3 +150,117 @@ def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("deg").cast("bigint").alias("degree"),
                         F.col("rank_fix").cast("bigint")
                         .alias("pagerank_fix"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered — the MapReduce-era scale variant)
+
+_TRI_ORACLE = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT src AS node FROM pairs
+        UNION ALL SELECT dst AS node FROM pairs)
+  GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (ds.deg < dd.deg)
+                OR (ds.deg = dd.deg AND p.src < p.dst)
+              THEN p.src ELSE p.dst END AS lo,
+         CASE WHEN (ds.deg < dd.deg)
+                OR (ds.deg = dd.deg AND p.src < p.dst)
+              THEN p.dst ELSE p.src END AS hi,
+         CASE WHEN (ds.deg < dd.deg)
+                OR (ds.deg = dd.deg AND p.src < p.dst)
+              THEN dd.deg ELSE ds.deg END AS hi_deg
+  FROM pairs p
+  JOIN deg ds ON p.src = ds.node
+  JOIN deg dd ON p.dst = dd.node
+), tri AS (
+  SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+  FROM oriented w1
+  JOIN oriented w2
+    ON w1.lo = w2.lo
+   AND ((w1.hi_deg < w2.hi_deg)
+        OR (w1.hi_deg = w2.hi_deg AND w1.hi < w2.hi))
+  JOIN oriented e ON e.lo = w1.hi AND e.hi = w2.hi
+), per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.node AS product_id, d.deg AS degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN per_node t ON d.node = t.node
+"""
+
+
+@query(
+    "product_triangles",
+    _TRI_ORACLE,
+    doc="Per-product triangle participation in the basket co-purchase "
+        "graph via the degree-ordered algorithm: orient every edge "
+        "from its lower-(degree, id) endpoint, wedge-join on the apex, "
+        "close against the oriented edge set. Orientation bounds every "
+        "node's out-degree by O(sqrt(E)), so the wedge join never "
+        "explodes on hub products — the property that makes triangle "
+        "counting feasible at 100 TB where the naive id-ordered join "
+        "squares the hub degree. Three equi-joins, all on int keys; "
+        "exact BIGINT counts.",
+    tags=("graph", "join", "north-star"),
+)
+def q_product_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst"))
+             .distinct())
+    deg = (pairs.select(F.col("src").alias("node"))
+           .unionAll(pairs.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    ds = deg.alias("ds")
+    dd = deg.alias("dd")
+    p = pairs.alias("p")
+    src_first = ((F.col("ds.deg") < F.col("dd.deg"))
+                 | ((F.col("ds.deg") == F.col("dd.deg"))
+                    & (F.col("p.src") < F.col("p.dst"))))
+    oriented = (p.join(ds, F.col("p.src") == F.col("ds.node"))
+                .join(dd, F.col("p.dst") == F.col("dd.node"))
+                .select(
+                    F.when(src_first, F.col("p.src"))
+                    .otherwise(F.col("p.dst")).alias("lo"),
+                    F.when(src_first, F.col("p.dst"))
+                    .otherwise(F.col("p.src")).alias("hi"),
+                    F.when(src_first, F.col("dd.deg"))
+                    .otherwise(F.col("ds.deg")).alias("hi_deg"))
+                .persist())
+    w1 = oriented.alias("w1")
+    w2 = oriented.alias("w2")
+    e = oriented.alias("e")
+    tri = (w1.join(w2, (F.col("w1.lo") == F.col("w2.lo"))
+                   & ((F.col("w1.hi_deg") < F.col("w2.hi_deg"))
+                      | ((F.col("w1.hi_deg") == F.col("w2.hi_deg"))
+                         & (F.col("w1.hi") < F.col("w2.hi")))))
+           .join(e, (F.col("e.lo") == F.col("w1.hi"))
+                 & (F.col("e.hi") == F.col("w2.hi")))
+           .select(F.col("w1.lo").alias("a"), F.col("w1.hi").alias("b"),
+                   F.col("w2.hi").alias("c")))
+    per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    return (deg.join(per_node, "node", "left")
+            .select(F.col("node").alias("product_id"),
+                    F.col("deg").alias("degree"),
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("long").alias("n_triangles")))

@@ -252,3 +252,13 @@ def test_snapshot_diff_is_key_join(spark, sf_dir):
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangle_count_all_equi_joins(spark, sf_dir):
+    # degree-ordered triangle counting must stay pure equi-join —
+    # a cartesian or nested-loop anywhere means the orientation
+    # predicate leaked out of the join keys
+    plan = _plan(query_map()["product_triangles"](spark, sf_dir),
+                 "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
