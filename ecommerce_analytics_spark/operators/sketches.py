@@ -153,3 +153,119 @@ def q_daily_unique_users_sketch_vs_exact(spark: SparkSession,
                 within.alias("est_within_tol"))
     )
     return per_day.unionAll(total)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (deterministic, exactly certified)
+
+CMS_D = 4          # hash rows
+CMS_W = 512        # buckets per row
+CMS_TOP_K = 20     # heavy hitters reported
+CMS_P = 2147483647  # 2^31 - 1 (same field as the minhash family)
+# fixed 2-universal coefficients (a, b) per row — the md5-derived
+# 32-bit token hash feeds (a*x + b) % P % W
+CMS_COEFFS = [(914113, 824663), (734197, 661637),
+              (579281, 524287), (433781, 368869)]
+
+_CMS_HASHES_SQL = ", ".join(
+    f"CAST((({a} * hx + {b}) % {CMS_P}) % {CMS_W} AS BIGINT) AS bkt_{i}"
+    for i, (a, b) in enumerate(CMS_COEFFS))
+
+
+def _cms_hex_sql(col: str) -> str:
+    # first 8 hex digits of md5 → BIGINT (portable instr-based parse —
+    # the dedup/fingerprint primitive)
+    return "(" + " + ".join(
+        f"CAST((instr('0123456789abcdef', substring({col}, {d + 1}, 1)) - 1)"
+        f" AS BIGINT) * {16 ** (8 - 1 - d)}" for d in range(8)) + ")"
+
+
+_CMS_ORACLE = f"""
+WITH tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+  GROUP BY tok
+), hx AS (
+  SELECT tok, cnt, {_cms_hex_sql("md5(tok)")} AS hx FROM tc
+), hashed AS (
+  SELECT tok, cnt, {_CMS_HASHES_SQL} FROM hx
+), cms AS (
+  SELECT row_id, bucket, CAST(sum(cnt) AS BIGINT) AS total
+  FROM (
+    {" UNION ALL ".join(
+        f"SELECT {i} AS row_id, bkt_{i} AS bucket, cnt FROM hashed"
+        for i in range(CMS_D))}
+  )
+  GROUP BY row_id, bucket
+), topk AS (
+  SELECT tok, cnt, {", ".join(f"bkt_{i}" for i in range(CMS_D))}
+  FROM hashed
+  ORDER BY cnt DESC, tok
+  LIMIT {CMS_TOP_K}
+), est AS (
+  SELECT t.tok, t.cnt,
+         least({", ".join(
+             f"(SELECT total FROM cms WHERE row_id = {i}"
+             f" AND bucket = t.bkt_{i})" for i in range(CMS_D))})
+           AS cms_estimate
+  FROM topk t
+)
+SELECT tok AS token, cnt AS true_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - cnt AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+@query(
+    "cms_heavy_hitters",
+    _CMS_ORACLE,
+    doc=f"Count-min sketch (d={CMS_D}, w={CMS_W}) over the token "
+        f"stream, queried for the exact top-{CMS_TOP_K} tokens: "
+        "estimate = min over rows of the (a*h+b)%P%W bucket sums, "
+        "emitted next to the true count with the (always >= 0) "
+        "overestimate. Everything is integer arithmetic over the "
+        "shared md5 hash primitive, so the sketch contents — not just "
+        "bounds — hash-match the oracle exactly. Scale story: the "
+        f"sketch is {CMS_D}x{CMS_W} mergeable counters (map-side "
+        "partial agg on compact (row, bucket) keys); at 100 TB you "
+        "store the sketch, not the token counts, and point-query it "
+        "broadcast.",
+    tags=("agg", "sketch", "north-star"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    hashed = (tc.withColumn(
+        "hx", F.expr(f"{_cms_hex_sql('md5(tok)')}"))
+        .select("tok", "cnt",
+                *[F.expr(f"CAST((({a} * hx + {b}) % {CMS_P}) % {CMS_W} "
+                         f"AS BIGINT)").alias(f"bkt_{i}")
+                  for i, (a, b) in enumerate(CMS_COEFFS)])
+        .persist())
+    cms = (hashed.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row_id"),
+                 F.col(f"bkt_{i}").alias("bucket"),
+                 F.col("cnt").alias("cnt"))
+        for i in range(CMS_D)])).alias("s"))
+        .select("s.row_id", "s.bucket", "s.cnt")
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("total")))
+    topk = (hashed
+            .orderBy(F.desc("cnt"), F.asc("tok"))
+            .limit(CMS_TOP_K))
+    est = topk
+    for i in range(CMS_D):
+        cms_i = (cms.filter(F.col("row_id") == i)
+                 .select(F.col("bucket").alias(f"b_{i}"),
+                         F.col("total").alias(f"t_{i}")))
+        est = est.join(F.broadcast(cms_i),
+                       est[f"bkt_{i}"] == cms_i[f"b_{i}"])
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("cnt").alias("true_count"),
+        F.least(*[F.col(f"t_{i}") for i in range(CMS_D)])
+        .alias("cms_estimate"),
+        (F.least(*[F.col(f"t_{i}") for i in range(CMS_D)]) - F.col("cnt"))
+        .cast("long").alias("overestimate"))
