@@ -46,3 +46,48 @@ def test_purge_cascade_empty_tombstones(spark):
     assert row["rows_purged"] == 0
     assert row["rows_kept"] == 10
     assert row["kept_checksum"] == sum(range(10))
+
+
+def test_snapshot_diff_on_bucketed_versions_zero_exchange(
+        spark, sf_dir, tmp_path):
+    """The 100 TB reconcile story: both snapshot versions written
+    bucketed on the key diff with NO exchange — each task zips bucket
+    i vs bucket i. (diff_tables itself is layout-agnostic; bucketing
+    is what removes the two shuffles.)"""
+    import contextlib
+    import io as _io
+
+    from ecommerce_analytics_spark.io import (
+        load_table, write_bucketed_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    v_old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    v_new = orders.filter(F.col("o_orderkey") % 5 != 0)
+    write_bucketed_table(v_old, "diff_v_old", ("o_orderkey",), 8,
+                         ("o_orderkey",), str(tmp_path / "v_old"))
+    write_bucketed_table(v_new, "diff_v_new", ("o_orderkey",), 8,
+                         ("o_orderkey",), str(tmp_path / "v_new"))
+    try:
+        d = diff_tables(spark.table("diff_v_old"),
+                        spark.table("diff_v_new"), "o_orderkey",
+                        ["o_totalprice", "o_orderstatus"])
+        agg = d.groupBy("status").count()
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain("simple")
+        plan = buf.getvalue()
+        # the join itself is exchange-free; the only exchange allowed
+        # is the final 3-row status rollup
+        assert "Exchange hashpartitioning(_ok" not in plan, plan
+        assert "Exchange hashpartitioning(_nk" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        got = {r["status"]: r["count"] for r in agg.collect()}
+        both = orders.filter((F.col("o_orderkey") % 7 != 0)
+                             & (F.col("o_orderkey") % 5 != 0)).count()
+        assert got.get("unchanged", 0) == both
+        assert got.get("added", 0) == v_new.count() - both
+        assert got.get("removed", 0) == v_old.count() - both
+    finally:
+        spark.sql("DROP TABLE IF EXISTS diff_v_old")
+        spark.sql("DROP TABLE IF EXISTS diff_v_new")
