@@ -50,3 +50,46 @@ def salted_join(skewed: DataFrame, small: DataFrame, key: str,
     small_s = small.withColumn("_salt", F.explode(salts))
     out = skewed_s.join(small_s, [key, "_salt"]).drop("_salt")
     return out
+
+
+def _register() -> None:
+    """Registered driver-certified query for the salting rewrite —
+    upgrades the salting surface from pytest-parity-only to a
+    driver-green oracle row. Deferred import to keep this module's
+    library functions dependency-free."""
+    from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.numerics import cents, money_sum_sql
+    from ecommerce_analytics_spark.plans.registry import query
+
+    @query(
+        "salted_event_value_sum",
+        f"""
+        SELECT event_type, {money_sum_sql('value')} AS total_value
+        FROM events GROUP BY event_type
+        """,
+        doc="Two-phase salted aggregation over the (few, hot) "
+            "event_type keys: phase 1 shuffles integer-cents partials "
+            "on (key, salt16), phase 2 combines 16 tiny partials per "
+            "key — the manual rewrite for aggregations whose hot key "
+            "AQE can't split. The oracle is the PLAIN group-by: the "
+            "driver hash certifies the rewrite is semantics-"
+            "preserving (associative integer-cents sums make the "
+            "two-phase total bit-exact).",
+        tags=("agg", "skew", "scale"),
+    )
+    def q_salted_event_value_sum(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        events = (load_table(spark, sf_dir, "events")
+                  .select("event_type", cents("value").alias("_cents")))
+        salted = salted_groupby_sum(events, "event_type", "_cents")
+        return salted.select(
+            "event_type",
+            (F.col("sum__cents").cast("decimal(28,0)")
+             * F.lit("0.01").cast("decimal(3,2)"))
+            .cast("double").alias("total_value"))
+
+
+_register()
