@@ -269,3 +269,27 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cms_estimate"),
         (F.least(*[F.col(f"t_{i}") for i in range(CMS_D)]) - F.col("cnt"))
         .cast("long").alias("overestimate"))
+
+
+def cms_cells(df: DataFrame, key_sql_expr: str,
+              weight: str | None = None) -> DataFrame:
+    """Count-min sketch state for an arbitrary key expression:
+    (row_id, bucket, total) over the CMS_D x CMS_W grid. A plain
+    groupBy aggregation — therefore mergeable across partitions AND
+    micro-batches (the streaming twin maintains the identical state
+    as a streaming aggregation; test_streaming.py certifies parity).
+    ``weight`` sums a count column instead of counting rows (the
+    pre-aggregated-token path the registered query uses)."""
+    w = F.col(weight) if weight else F.lit(1)
+    hashed = df.withColumn(
+        "_hx", F.expr(_cms_hex_sql(f"md5({key_sql_expr})")))
+    cells = (hashed.select(
+        w.alias("_w"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row_id"),
+                     F.expr(f"CAST((({a} * _hx + {b}) % {CMS_P}) "
+                            f"% {CMS_W} AS BIGINT)").alias("bucket"))
+            for i, (a, b) in enumerate(CMS_COEFFS)])).alias("s"))
+        .select("s.row_id", "s.bucket", "_w"))
+    return (cells.groupBy("row_id", "bucket")
+            .agg(F.sum("_w").cast("long").alias("total")))

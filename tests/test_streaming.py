@@ -256,3 +256,26 @@ def test_streaming_histogram_sketch_matches_batch(spark, sf_dir,
              .agg(F.count(F.lit(1)).alias("n")))
     want = {(r["day"], r["bin"]): r["n"] for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_cms_matches_batch(spark, sf_dir, events_stream_dir):
+    """Count-min sketch state is a plain (row, bucket) aggregation, so
+    its streaming twin — the same groupBy over micro-batches — must
+    equal the batch sketch cell-for-cell. With the state equal, every
+    point estimate (min over rows) is equal too: the mergeability
+    argument the 100 TB sketch store rests on."""
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.operators.sketches import cms_cells
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_events)
+
+    key = "CAST(user_id AS STRING)"
+    stream_cells = cms_cells(streaming_events(spark, events_stream_dir),
+                             key)
+    _run_to_memory(stream_cells, "cms_stream", "complete")
+    got = {(r["row_id"], r["bucket"]): r["total"]
+           for r in spark.sql("SELECT * FROM cms_stream").collect()}
+    want = {(r["row_id"], r["bucket"]): r["total"]
+            for r in cms_cells(load_table(spark, sf_dir, "events"),
+                               key).collect()}
+    assert got == want and len(want) > 0
