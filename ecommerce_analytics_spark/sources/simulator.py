@@ -1,0 +1,192 @@
+"""Event-replay Python DataSource (reference parity: event_simulator).
+
+The reference's ingest front door is a Python script that loads an
+events file, sorts it by timestamp, and replays it into Kafka with a
+time-compression factor (event_simulator.py:100-160: load_events /
+simulate). The Spark-4-native analog is a first-class *Python
+DataSource*: ``spark.read.format("sim_events")`` for the batch
+surface and ``spark.readStream.format("sim_events")`` for the
+deterministic time-ordered replay — no broker required, offsets
+checkpointable, exactly the micro-batch semantics the streaming
+pipeline consumes in production behind Kafka.
+
+Scale + speed notes:
+- the BATCH reader yields pyarrow RecordBatches (the vectorized
+  Python-source path — rows never materialize as Python objects) and
+  splits the file into row-group-aligned partitions so a cluster
+  reads fragments in parallel;
+- the STREAM reader is a SimpleDataSourceStreamReader whose offset is
+  the row index into the (ts, event_id)-sorted order: replay is
+  deterministic, restarts resume from the checkpointed offset, and
+  "time compression" maps to rows-per-microbatch (the reference's
+  compression factor chooses wall-clock pacing; a Spark source
+  chooses batch size — same knob, pull-based).
+- the events parquet stores nanosecond timestamps; both readers
+  truncate to microseconds exactly like the session-wide
+  nanosAsLong + µs-division convention (io.load_table), so frames
+  from this source are drop-in equal to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+SIM_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _load_arrow(path: str):
+    """events parquet → pyarrow table with ts truncated ns→µs."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(path)
+    ts = t.column("ts")
+    if str(ts.type) == "timestamp[ns]":
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pc.cast(ts, "timestamp[us]"))
+    return t.select(_COLS)
+
+
+@dataclass
+class _RowRange(InputPartition):
+    start: int
+    end: int
+
+
+class _SimBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.rows_per_part = int(options.get("rows_per_partition",
+                                             "100000"))
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(self.path).metadata.num_rows
+        step = self.rows_per_part
+        return [_RowRange(s, min(s + step, n))
+                for s in range(0, max(n, 1), step)]
+
+    def read(self, part: _RowRange):
+        # yields pyarrow RecordBatches — the vectorized path; slicing
+        # is zero-copy on the mmapped table
+        table = _load_arrow(self.path)
+        yield from table.slice(part.start,
+                               part.end - part.start).to_batches()
+
+
+class _SimStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batch_rows", "10000"))
+        self._table = None  # lazy; sorted once per reader instance
+
+    def _sorted_table(self):
+        if self._table is None:
+            t = _load_arrow(self.path)
+            self._table = t.sort_by([("ts", "ascending"),
+                                     ("event_id", "ascending")])
+        return self._table
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start):
+        t = self._sorted_table()
+        lo = start["idx"]
+        hi = min(lo + self.batch_rows, t.num_rows)
+        rows = t.slice(lo, hi - lo).to_pylist()
+        return ([tuple(r[c] for c in _COLS) for r in rows],
+                {"idx": hi})
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay: a retried batch re-reads the same slice
+        t = self._sorted_table()
+        lo, hi = start["idx"], end["idx"]
+        rows = t.slice(lo, hi - lo).to_pylist()
+        return [tuple(r[c] for c in _COLS) for r in rows]
+
+    def commit(self, end):
+        pass  # offsets live in the checkpoint; nothing to clean up
+
+
+class EventSimulatorDataSource(DataSource):
+    """format("sim_events"): batch scan + deterministic replay stream
+    over a driver events parquet. Options: path (required),
+    rows_per_partition (batch), batch_rows (stream)."""
+
+    @classmethod
+    def name(cls):
+        return "sim_events"
+
+    def schema(self):
+        return SIM_SCHEMA
+
+    def reader(self, schema):
+        return _SimBatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SimStreamReader(self.options)
+
+
+def register_sim_source(spark) -> None:
+    # Python-source readers run in WORKER python processes, which see
+    # the repo package only if it happens to be on their sys.path.
+    # Registering this module for pickle-by-value makes the source
+    # fully self-contained in the serialized plan — a driver running
+    # from any cwd (the round driver imports __spark_entry__ by file
+    # path) can execute it without shipping the package to executors.
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to import-by-path workers
+    spark.dataSource.register(EventSimulatorDataSource)
+
+
+def _register_query() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
+    from ecommerce_analytics_spark.plans.registry import query
+
+    @query(
+        "sim_source_event_rollup",
+        f"""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               {money_sum_sql('value')} AS total_value
+        FROM events GROUP BY event_type
+        """,
+        doc="End-to-end certification of the Python DataSource: the "
+            "rollup reads events through format('sim_events') — Arrow-"
+            "batched Python source partitions, not the parquet scan — "
+            "and must hash-match the oracle computed from the file "
+            "directly. Proves the source's schema mapping, ns→µs "
+            "timestamp handling and row-range partitioning lose "
+            "nothing.",
+        tags=("source", "agg"),
+    )
+    def q_sim_source_event_rollup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+        import os
+        register_sim_source(spark)
+        df = (spark.read.format("sim_events")
+              .option("path", os.path.join(sf_dir, "events.parquet"))
+              .load())
+        return (df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                     F.countDistinct("user_id").cast("long")
+                     .alias("n_users"),
+                     money_sum("value").alias("total_value")))
+
+
+_register_query()

@@ -1,0 +1,85 @@
+"""Python DataSource event simulator: batch scan equals the parquet
+scan exactly; streaming replay is deterministic, time-ordered, and
+checkpoint-resumable by construction (offset = sorted row index)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.sources.simulator import (
+    register_sim_source,
+)
+
+
+def _events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def test_sim_batch_equals_parquet_scan(spark, sf_dir):
+    register_sim_source(spark)
+    sim = (spark.read.format("sim_events")
+           .option("path", _events_path(sf_dir))
+           .option("rows_per_partition", "400").load())
+    ref = load_table(spark, sf_dir, "events")
+    # full-frame equality: counts + checksums of every column
+    def fingerprint(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("s_id"),
+            F.sum("user_id").alias("s_uid"),
+            F.sum(F.unix_micros("ts")).alias("s_ts"),
+            F.sum(F.hash("event_type", "props")).alias("s_str"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("s_val")).first()
+    assert fingerprint(sim) == fingerprint(ref)
+    # and it genuinely split into multiple partitions
+    assert sim.rdd.getNumPartitions() >= 2
+
+
+def test_sim_stream_replays_in_time_order(spark, sf_dir, tmp_path):
+    register_sim_source(spark)
+    batch_rows = 300  # sf0.001 events = 1000 rows → 4 micro-batches
+    out = str(tmp_path / "replay_out")
+
+    def sink(batch_df, batch_id):
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out))
+
+    ref = load_table(spark, sf_dir, "events")
+    n_ref = ref.count()
+    # a pull-based simple stream reader has no "available now" horizon
+    # (each read() advances the offset) — run the micro-batch loop and
+    # stop once the replay has drained
+    q = (spark.readStream.format("sim_events")
+         .option("path", _events_path(sf_dir))
+         .option("batch_rows", str(batch_rows)).load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="0 seconds").start())
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= n_ref:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        _time.sleep(1)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == ref.count()
+    # same multiset of event ids, each exactly once
+    assert (got.agg(F.sum("event_id")).first()[0]
+            == ref.agg(F.sum("event_id")).first()[0])
+    assert got.select("event_id").distinct().count() == ref.count()
+    # replay is time-ordered ACROSS micro-batches: batch i's max ts
+    # never exceeds batch i+1's min ts
+    bounds = (got.groupBy("batch_id")
+              .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+              .orderBy("batch_id").collect())
+    assert len(bounds) >= 3
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
