@@ -83,3 +83,54 @@ def test_sim_stream_replays_in_time_order(spark, sf_dir, tmp_path):
     assert len(bounds) >= 3
     for prev, cur in zip(bounds, bounds[1:]):
         assert prev["hi"] <= cur["lo"], (prev, cur)
+
+
+def test_sim_stream_through_enrichment_pipeline(spark, sf_dir,
+                                                tmp_path):
+    """The reference's full real-time loop (simulator → broker →
+    enrichment → store, RealTimeAnalytics.java) end-to-end inside the
+    engine: sim_events replay stream → segment/risk enrichment →
+    idempotent parquet sink, row-for-row equal to the same enrichment
+    over the batch parquet scan."""
+    from ecommerce_analytics_spark.operators.events_enrichment import (
+        risk_expr, segment_expr,
+    )
+
+    register_sim_source(spark)
+    out = str(tmp_path / "enriched")
+
+    def sink(batch_df, batch_id):
+        (batch_df
+         .withColumn("user_segment", segment_expr())
+         .withColumn("risk_score", risk_expr())
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out))
+
+    ref = load_table(spark, sf_dir, "events")
+    n_ref = ref.count()
+    q = (spark.readStream.format("sim_events")
+         .option("path", _events_path(sf_dir))
+         .option("batch_rows", "400").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(processingTime="0 seconds").start())
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= n_ref:
+                break
+        except Exception:
+            pass
+        _time.sleep(1)
+    q.stop()
+
+    got = spark.read.parquet(out).drop("batch_id")
+    want = (ref.withColumn("user_segment", segment_expr())
+            .withColumn("risk_score", risk_expr()))
+    assert got.count() == n_ref
+    # multiset equality via exceptAll both ways
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
