@@ -154,3 +154,21 @@ def test_bigint_money_sums_are_exact(spark_h, rows):
         assert float(m) == got[g]["m"], (g, m, got[g]["m"])
         assert float(dp) == got[g]["dp"], (g, dp, got[g]["dp"])
         assert float(ch) == got[g]["ch"], (g, ch, got[g]["ch"])
+
+
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                min_size=1, max_size=50, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_morton_interleave_is_injective_and_bounded(spark_h, pairs):
+    """Morton codes are a bijection on [0,2^16)^2: distinct inputs give
+    distinct codes (layout ordering never collapses two cells) and
+    every code fits 32 bits."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_spark.operators.layout import morton_key
+
+    df = spark_h.createDataFrame(pairs, "a long, b long")
+    codes = [r["m"] for r in df.select(
+        morton_key(F.col("a"), F.col("b")).alias("m")).collect()]
+    assert len(set(codes)) == len(pairs)
+    assert all(0 <= c < (1 << 32) for c in codes)
