@@ -97,3 +97,21 @@ def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem_orphan_orderkeys").alias("rule"),
                 "n_violations"))
     return li_rules.unionAll(ev_unique).unionAll(ev_rules).unionAll(orphans)
+
+
+def observe_rules(df: DataFrame, name: str, rules: list[Rule]):
+    """Zero-extra-pass constraint monitoring via Spark's Observation
+    API: violation counters piggyback whatever action the caller runs
+    on the returned frame — the production shape for a 100 TB sink
+    write, where check_constraints' dedicated aggregation pass would
+    re-scan everything the write just read.
+
+    Returns (observed_df, observation); after ANY action on
+    observed_df, ``observation.get`` yields {"n_rows": ...,
+    "<rule>": violation_count, ...}.
+    """
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [F.count_if(r.violation).alias(r.name) for r in rules]
+    return df.observe(obs, *metrics), obs
