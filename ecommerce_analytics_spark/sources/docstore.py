@@ -1,0 +1,173 @@
+"""Document-store sink as a Python DataSource writer (reference
+parity: DataStorage's MongoDB collections).
+
+The reference lands every enriched event in MongoDB and trusts the
+driver's insert acks. A lake engine wants the same "documents in, no
+partial batches visible" contract on plain files, which is a COMMIT
+PROTOCOL, not a database: every task writes its rows to a private
+staging file and returns the filename as its commit message; only the
+driver-side ``commit`` publishes those filenames into a manifest.
+Readers resolve manifests first, so:
+
+- a failed/speculative task attempt leaves at most an orphan staging
+  file that no manifest references (invisible to readers);
+- ``abort`` removes the attempt's staging files eagerly;
+- the STREAMING writer publishes one manifest per epoch, keyed by
+  batch id and written atomically (tmp + rename): a replayed
+  micro-batch overwrites its own manifest instead of double-
+  publishing — the same idempotent-sink recipe as
+  streaming/incremental_admit, here at the sink-protocol layer.
+
+Rows serialize as JSON lines (timestamps → ISO-8601), the document
+shape the reference stores; ``read_docstore`` parses them back with a
+caller-provided schema via Spark's native JSON reader.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceStreamWriter, DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+def _json_default(v):
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    raise TypeError(f"not JSON-serializable: {type(v)}")
+
+
+def _write_staging(path: str, rows, suffix: str) -> _FileCommit:
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    # taskAttemptId is unique across the app (partition ids restart
+    # every micro-batch — using them alone makes epochs overwrite each
+    # other's staging files)
+    fname = (f"part-{ctx.partitionId():05d}-"
+             f"tid{ctx.taskAttemptId()}-{suffix}.jsonl")
+    staged = os.path.join(path, "_staging", fname)
+    os.makedirs(os.path.dirname(staged), exist_ok=True)
+    n = 0
+    with open(staged, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row.asDict(recursive=True),
+                               default=_json_default) + "\n")
+            n += 1
+    return _FileCommit(fname)
+
+
+def _publish(path: str, manifest_name: str, messages) -> None:
+    """Atomically publish the committed file list (tmp + rename)."""
+    files = [m.filename for m in messages if m is not None]
+    final = os.path.join(path, manifest_name)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": files}, f)
+    os.replace(tmp, final)
+
+
+class _DocStoreBatchWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _write_staging(self.path, iterator, "batch")
+
+    def commit(self, messages):
+        # unique manifest per job so mode("append") jobs compose; the
+        # job's own commit stays atomic via the tmp+rename in _publish
+        import binascii
+        tag = binascii.hexlify(os.urandom(8)).decode()
+        _publish(self.path, f"_manifest-batch-{tag}.json", messages)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, "_staging",
+                                           m.filename))
+                except OSError:
+                    pass
+
+
+class _DocStoreStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _write_staging(self.path, iterator, "stream")
+
+    def commit(self, messages, batchId):
+        # keyed by batch id: a replayed epoch overwrites its own
+        # manifest — idempotent publication
+        _publish(self.path, f"_manifest-{batchId:010d}.json", messages)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, "_staging",
+                                           m.filename))
+                except OSError:
+                    pass
+
+
+class DocStoreDataSource(DataSource):
+    """format("docstore"): manifest-committed JSON-lines document sink
+    (batch + streaming). Option: path (required)."""
+
+    @classmethod
+    def name(cls):
+        return "docstore"
+
+    def writer(self, schema, overwrite):
+        return _DocStoreBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _DocStoreStreamWriter(self.options)
+
+
+def committed_files(path: str) -> list[str]:
+    """Filenames published by ANY manifest — the only files a reader
+    may see. Orphaned staging files (failed attempts, superseded
+    epochs) are invisible by construction."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_manifest-") and entry.endswith(".json"):
+            with open(os.path.join(path, entry)) as f:
+                for fname in json.load(f)["files"]:
+                    if fname not in seen:
+                        seen.add(fname)
+                        out.append(fname)
+    return out
+
+
+def read_docstore(spark, path: str, schema: str):
+    """Committed documents as a DataFrame (native JSON reader over the
+    manifest-resolved file list)."""
+    files = [os.path.join(path, "_staging", f)
+             for f in committed_files(path)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+def register_docstore_sink(spark) -> None:
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+    spark.dataSource.register(DocStoreDataSource)
