@@ -61,6 +61,7 @@ def _load_all() -> None:
     import ecommerce_analytics_spark.ml.recommend  # noqa: F401
     import ecommerce_analytics_spark.ml.segmentation  # noqa: F401
     import ecommerce_analytics_spark.multimodal.blobs  # noqa: F401
+    import ecommerce_analytics_spark.sources.docstore  # noqa: F401
     import ecommerce_analytics_spark.sources.simulator  # noqa: F401
 
 

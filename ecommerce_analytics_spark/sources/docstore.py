@@ -171,3 +171,53 @@ def register_docstore_sink(spark) -> None:
     except Exception:
         pass
     spark.dataSource.register(DocStoreDataSource)
+
+
+def _register_query() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
+    from ecommerce_analytics_spark.plans.registry import query
+
+    @query(
+        "docstore_roundtrip_rollup",
+        f"""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               {money_sum_sql('value')} AS total_value,
+               CAST(sum(event_id) AS BIGINT) AS id_checksum
+        FROM events GROUP BY event_type
+        """,
+        doc="End-to-end certification of the docstore sink + reader: "
+            "events are WRITTEN through format('docstore') into a "
+            "per-run tmp store (manifest-commit protocol, JSON-lines "
+            "documents, ISO timestamps) and read back via the "
+            "manifest-resolved file list; the rollup over the "
+            "roundtripped rows must hash-match the oracle computed "
+            "from the parquet directly — any loss or duplication in "
+            "the commit protocol, serialization, or timestamp "
+            "conversion flips the hash.",
+        tags=("sink", "source", "agg"),
+    )
+    def q_docstore_roundtrip_rollup(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        register_docstore_sink(spark)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="docstore_run_"), "store")
+        events = load_table(spark, sf_dir, "events").drop("props")
+        (events.write.format("docstore").option("path", out)
+         .mode("append").save())
+        back = read_docstore(
+            spark, out,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double")
+        return (back.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                     money_sum("value").alias("total_value"),
+                     F.sum("event_id").cast("long").alias("id_checksum")))
+
+
+_register_query()
