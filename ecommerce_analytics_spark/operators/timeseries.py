@@ -268,3 +268,70 @@ def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("effective_from").over(w_v).alias("effective_to"),
         F.lead("effective_from").over(w_v).isNull().alias("is_current"),
         "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup restatement (late-arriving-update maintenance)
+
+RESTATE_MOD = 89      # o_orderkey % 89 == 0 → late price correction
+RESTATE_BUMP = 10.0   # the correction applied
+
+
+@query(
+    "rollup_restate_daily_revenue",
+    f"""
+    WITH updated AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % {RESTATE_MOD} = 0
+                  THEN o_totalprice + {RESTATE_BUMP}
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM orders
+    )
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM updated GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+    """,
+    doc="Incremental ETL restatement: a late price-correction batch "
+        f"(orders with key % {RESTATE_MOD} = 0) arrives after the "
+        "daily rollup is built. The engine recomputes ONLY the "
+        "affected days (semi-join prune on the update batch's day "
+        "set — partition pruning at 100 TB) and splices them into the "
+        "untouched rollup rows via anti-join. The ORACLE is the full "
+        "recompute over the updated table: the driver hash certifies "
+        "incremental == full, the invariant every incremental "
+        "pipeline must hold.",
+    tags=("agg", "incremental", "scale"),
+)
+def q_rollup_restate_daily_revenue(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (df.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd")
+                           .alias("day"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                     money_sum("o_totalprice").alias("revenue")))
+
+    # the pre-existing (stale) rollup, built from the original table
+    stale = rollup(orders)
+    # the late update batch and the table state after applying it
+    updates = orders.filter(F.col("o_orderkey") % RESTATE_MOD == 0)
+    updated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % RESTATE_MOD == 0,
+               F.col("o_totalprice") + RESTATE_BUMP)
+        .otherwise(F.col("o_totalprice")))
+    affected_days = updates.select(day).distinct()
+    # recompute ONLY affected days (at scale: day-partition pruning
+    # via the broadcast semi-join), keep every other rollup row as-is
+    recomputed = rollup(
+        updated.join(F.broadcast(affected_days),
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     == affected_days.day,
+                     "left_semi"))
+    untouched = stale.join(F.broadcast(affected_days), "day",
+                           "left_anti")
+    return untouched.unionByName(recomputed)
