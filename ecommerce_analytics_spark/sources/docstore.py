@@ -142,6 +142,8 @@ def committed_files(path: str) -> list[str]:
     epochs) are invisible by construction."""
     out: list[str] = []
     seen: set[str] = set()
+    if not os.path.isdir(path):
+        return out  # failed-before-staging job: nothing published
     for entry in sorted(os.listdir(path)):
         if entry.startswith("_manifest-") and entry.endswith(".json"):
             with open(os.path.join(path, entry)) as f:

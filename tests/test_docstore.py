@@ -89,3 +89,21 @@ def test_docstore_stream_idempotent_epochs(spark, sf_dir, tmp_path):
     got2 = read_docstore(spark, out, schema)
     assert got2.count() == n_ref  # no duplicates published
     assert _fingerprint(got2) == _fingerprint(events)
+
+
+def test_docstore_failed_job_publishes_nothing(spark, tmp_path):
+    """A job that fails mid-write must leave the store unreadable-
+    empty: staged files may exist, but no manifest references them."""
+    import pytest
+
+    register_docstore_sink(spark)
+    out = str(tmp_path / "store")
+    # make the TASK itself fail: divide raises under ANSI for id==0
+    bad = spark.range(100).select(
+        (F.lit(100) / F.col("id")).alias("boom"))
+    with pytest.raises(Exception):
+        (bad.write.format("docstore").option("path", out)
+         .mode("append").save())
+    # nothing published → reader sees an empty store
+    got = read_docstore(spark, out, "boom double")
+    assert got.count() == 0
