@@ -430,3 +430,55 @@ def q_post_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("event_type").alias("n_event_types"),
              money_sum("value").alias("follow_value"))
     )
+
+
+@query(
+    "top_product_per_nation",
+    f"""
+    WITH rp AS (
+      SELECT n.n_name AS nation, l.l_partkey AS product_id,
+             {disc_price_sum_sql('l.l_extendedprice', 'l.l_discount')}
+               AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY nation ORDER BY revenue DESC, product_id) AS rn
+      FROM rp
+    )
+    SELECT nation, product_id, revenue FROM ranked WHERE rn = 1
+    """,
+    doc="Per-group argmax WITHOUT a window: the top revenue product "
+        "per supplier nation via max(struct(revenue, -product_id)) — "
+        "an aggregation, so it partial-aggregates map-side and the "
+        "per-nation state is ONE struct, where the window top-1 the "
+        "oracle runs would sort every (nation, product) row. Exact "
+        "2-dec revenue makes the struct comparison deterministic; "
+        "the negated id breaks revenue ties toward the smaller "
+        "product, matching the oracle's ORDER BY. Two exchanges: the "
+        "(nation, product) rollup and a 25-row argmax.",
+    tags=("agg", "topk", "scale"),
+)
+def q_top_product_per_nation(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rp = (lineitem
+          .join(F.broadcast(supplier),
+                lineitem.l_suppkey == supplier.s_suppkey)
+          .join(F.broadcast(nation),
+                supplier.s_nationkey == nation.n_nationkey)
+          .groupBy(F.col("n_name").alias("nation"),
+                   F.col("l_partkey").alias("product_id"))
+          .agg(disc_price_sum().alias("revenue")))
+    top = (rp.groupBy("nation")
+           .agg(F.max(F.struct(
+               F.col("revenue"),
+               (-F.col("product_id")).alias("neg_pid"))).alias("m")))
+    return top.select(
+        "nation",
+        (-F.col("m.neg_pid")).cast("long").alias("product_id"),
+        F.col("m.revenue").alias("revenue"))

@@ -262,3 +262,13 @@ def test_triangle_count_all_equi_joins(spark, sf_dir):
                  "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_argmax_per_group_no_window(spark, sf_dir):
+    # argmax via max(struct(...)) must stay a pure aggregation —
+    # no Window operator, no range partitioning (sort) anywhere
+    plan = _plan(query_map()["top_product_per_nation"](spark, sf_dir),
+                 "simple")
+    assert "Window" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
