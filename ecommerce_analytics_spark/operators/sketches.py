@@ -293,3 +293,86 @@ def cms_cells(df: DataFrame, key_sql_expr: str,
         .select("s.row_id", "s.bucket", "_w"))
     return (cells.groupBy("row_id", "bucket")
             .agg(F.sum("_w").cast("long").alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation (AMS/CMS optimizer primitive)
+
+def _cms_cells_sql(table: str, key: str) -> str:
+    """DuckDB twin of cms_cells for a key column of ``table``."""
+    hx = _cms_hex_sql(f"md5(CAST({key} AS STRING))")
+    branches = " UNION ALL ".join(
+        f"SELECT {i} AS row_id, "
+        f"CAST((({a} * hx + {b}) % {CMS_P}) % {CMS_W} AS BIGINT) "
+        f"AS bucket, cnt FROM hx_{table}"
+        for i, (a, b) in enumerate(CMS_COEFFS))
+    return (f"hx_{table} AS (SELECT {hx} AS hx, "
+            f"CAST(count(*) AS BIGINT) AS cnt FROM {table} "
+            f"GROUP BY {key}), "
+            f"cms_{table} AS (SELECT row_id, bucket, "
+            f"CAST(sum(cnt) AS BIGINT) AS total FROM ({branches}) "
+            f"GROUP BY row_id, bucket)")
+
+
+_CMS_JOINSIZE_ORACLE = f"""
+WITH {_cms_cells_sql("orders", "o_custkey")},
+{_cms_cells_sql("customer", "c_custkey")},
+prod AS (
+  SELECT a.row_id,
+         CAST(sum(a.total * b.total) AS BIGINT) AS inner_product
+  FROM cms_orders a JOIN cms_customer b
+    ON a.row_id = b.row_id AND a.bucket = b.bucket
+  GROUP BY a.row_id
+),
+est AS (SELECT CAST(min(inner_product) AS BIGINT) AS est_join_size
+        FROM prod),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT est_join_size, exact_join_size,
+       (est_join_size >= exact_join_size) AS never_underestimates
+FROM est, exact
+"""
+
+
+@query(
+    "cms_join_size_estimate",
+    _CMS_JOINSIZE_ORACLE,
+    doc="Join-cardinality estimation from sketches alone: |A JOIN B| "
+        "on a key equals the inner product of the two key-frequency "
+        "vectors, estimated as min over CMS rows of the cell-wise "
+        "product sum (AMS/CMS estimator — never underestimates, "
+        "since hash collisions only add mass). Built entirely from "
+        f"the {CMS_D}x{CMS_W} integer grids the cms_cells operator "
+        "maintains, so the ESTIMATE ITSELF hash-matches the oracle, "
+        "alongside the exact join size and the one-sided-error "
+        "boolean. At 100 TB this is how an optimizer sizes a join "
+        "without touching either table: two stored 2048-cell "
+        "sketches, one broadcast-joined product.",
+    tags=("sketch", "join", "scale"),
+)
+def q_cms_join_size_estimate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = cms_cells(orders, "CAST(o_custkey AS STRING)")
+    b = cms_cells(customer, "CAST(c_custkey AS STRING)")
+    bb = (b.withColumnRenamed("total", "total_b")
+          .withColumnRenamed("row_id", "row_b")
+          .withColumnRenamed("bucket", "bucket_b"))
+    prod = (a.join(F.broadcast(bb),
+                   (a.row_id == bb.row_b) & (a.bucket == bb.bucket_b))
+            .groupBy("row_id")
+            .agg(F.sum(F.col("total") * F.col("total_b"))
+                 .cast("long").alias("inner_product")))
+    est = prod.agg(F.min("inner_product").cast("long")
+                   .alias("est_join_size"))
+    exact = (orders.join(customer,
+                         orders.o_custkey == customer.c_custkey)
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("exact_join_size")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("est_join_size", "exact_join_size",
+                    (F.col("est_join_size") >= F.col("exact_join_size"))
+                    .alias("never_underestimates")))
