@@ -238,3 +238,42 @@ def q_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(F.count(F.lit(1)), F.lit(0)), 6)
         .alias("anonymous_pct"),
     )
+
+
+@query(
+    "props_variant_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 TRY_CAST(json_extract_string(
+                     TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+    doc="Spark-4 VARIANT path for the semi-structured props column: "
+        "try_parse_json → variant_get('$.k') — the open-schema "
+        "binary encoding that replaces per-query string re-parsing "
+        "(get_json_object) and is the storage shape shredding-aware "
+        "readers push into. Null/empty/invalid props flow through the "
+        "try_ semantics as NULLs on both engines (exercised at "
+        "sf0.01, where a third of events carry no props). Exact "
+        "integer rollup per event type.",
+    tags=("projection", "json", "variant"),
+)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_analytics_spark.io import load_table
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr(
+        "variant_get(try_parse_json(nullif(props, '')), '$.k', 'bigint')")
+    return (events.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.count("k").cast("long").alias("n_with_k"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.min("k").cast("long").alias("min_k"),
+                 F.max("k").cast("long").alias("max_k")))
