@@ -448,3 +448,41 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).alias("spend_decile"),
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cum_dist"))
+
+
+_UNPIVOT_ORACLE = """
+WITH p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+""" + ",\n".join(
+    f"       CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+    f" AS {t}" for t in _EVENT_TYPES) + """
+  FROM events GROUP BY 1
+)
+SELECT event_date, event_type, n_events
+FROM p
+UNPIVOT (n_events FOR event_type IN (""" + ", ".join(_EVENT_TYPES) + """))
+WHERE n_events > 0
+"""
+
+
+@query(
+    "daily_event_type_unpivot",
+    _UNPIVOT_ORACLE,
+    doc="Unpivot (melt): the wide per-day pivot back to long "
+        "(event_date, event_type, n_events) rows via the native "
+        "unpivot operator on both engines — the pivot/unpivot pair "
+        "closes the reshaping surface. Zero-count cells are dropped "
+        "on both sides (Spark's pivot materializes them, the long "
+        "form's groupBy wouldn't), keeping the roundtrip equal to "
+        "the direct (day, type) rollup. Map-only on the 30-row pivot "
+        "result — no extra shuffle beyond the pivot's own.",
+    tags=("pivot", "agg"),
+)
+def q_daily_event_type_unpivot(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    wide = q_daily_event_type_pivot(spark, sf_dir)
+    return (wide.unpivot("event_date", _EVENT_TYPES,
+                         "event_type", "n_events")
+            .filter(F.col("n_events") > 0)
+            .select("event_date", "event_type",
+                    F.col("n_events").cast("long").alias("n_events")))
