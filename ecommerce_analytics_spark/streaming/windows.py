@@ -93,7 +93,8 @@ def streaming_sliding_revenue(events: DataFrame,
 
 def streaming_purchase_attribution_join(purchases: DataFrame,
                                         events: DataFrame,
-                                        watermark: str = "2 hours") -> DataFrame:
+                                        watermark: str = "2 hours",
+                                        how: str = "inner") -> DataFrame:
     """T-coverage beyond the reference: stream-stream interval join.
     Purchases joined to the same user's events in the following hour —
     the streaming twin of operators/aggregates.q_post_purchase_
@@ -112,7 +113,12 @@ def streaming_purchase_attribution_join(purchases: DataFrame,
          .withWatermark("p_ts", watermark))
     e = (events.select("event_id", "user_id", "event_type", "ts", "value")
          .withWatermark("ts", watermark))
+    # how="left_outer": purchases with NO follow-up event in the hour
+    # still emit (null-matched) once the watermark passes the end of
+    # their join window — the state-eviction-driven null-completion
+    # contract unique to watermarked stream-stream outer joins.
     return p.join(
         e,
         F.expr("user_id = p_user_id AND ts > p_ts "
-               "AND ts <= p_ts + INTERVAL 1 HOUR"))
+               "AND ts <= p_ts + INTERVAL 1 HOUR"),
+        how)

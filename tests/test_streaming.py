@@ -279,3 +279,52 @@ def test_streaming_cms_matches_batch(spark, sf_dir, events_stream_dir):
             for r in cms_cells(load_table(spark, sf_dir, "events"),
                                key).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_join_null_completion(
+        spark, sf_dir, events_stream_dir):
+    """Watermarked LEFT OUTER stream-stream join: purchases with no
+    follow-up event in their hour emit null-matched rows after the
+    watermark passes their join window. Purchases too close to the end
+    of the finite stream (watermark never passes them) are excluded
+    from the comparison — that withholding IS the documented
+    semantics, not a defect."""
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_events, streaming_purchase_attribution_join)
+
+    wm_hours = 2
+    joined = streaming_purchase_attribution_join(
+        streaming_events(spark, events_stream_dir),
+        streaming_events(spark, events_stream_dir),
+        watermark=f"{wm_hours} hours", how="left_outer")
+    _run_to_memory(joined, "ss_left_join", "append")
+    got_unmatched = {
+        r["p_event_id"] for r in spark.sql(
+            "SELECT p_event_id FROM ss_left_join "
+            "WHERE event_id IS NULL").collect()}
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime
+    emit_horizon = (max_ts - datetime.timedelta(hours=wm_hours + 1))
+    purchases = events.filter(F.col("event_type") == "purchase")
+    e2 = events.alias("e2")
+    want_unmatched = {
+        r["event_id"] for r in
+        purchases.alias("p").join(
+            e2, F.expr("e2.user_id = p.user_id AND e2.ts > p.ts "
+                       "AND e2.ts <= p.ts + INTERVAL 1 HOUR"),
+            "left_anti")
+        .filter(F.col("ts") <= F.lit(emit_horizon))
+        .select("event_id").collect()}
+    # every provably-emitted unmatched purchase appears exactly once,
+    # and nothing unmatched appears that the batch anti-join rejects
+    assert want_unmatched and want_unmatched <= got_unmatched
+    batch_all_unmatched = {
+        r["event_id"] for r in
+        purchases.alias("p").join(
+            e2, F.expr("e2.user_id = p.user_id AND e2.ts > p.ts "
+                       "AND e2.ts <= p.ts + INTERVAL 1 HOUR"),
+            "left_anti").select("event_id").collect()}
+    assert got_unmatched <= batch_all_unmatched
