@@ -160,3 +160,13 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.orc(path)
+
+
+def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a directory of parquet batches whose schemas evolved
+    (columns added over time): ``mergeSchema`` unions the file
+    schemas, and readers see NULL for columns a file predates — the
+    additive-evolution contract an append-only 100 TB lake relies on.
+    (Footer merging costs one pass over file metadata; production
+    tables amortize it with a catalog-stored schema.)"""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -223,3 +223,23 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+def vacuum_docstore(path: str) -> dict[str, int]:
+    """Lakehouse-style maintenance: delete staging files no manifest
+    references (failed attempts, epochs superseded by idempotent
+    republication). Safe under the commit protocol — readers only
+    ever resolve manifest-listed files, so removing orphans cannot
+    change any query result. Returns {"kept": n, "removed": n}."""
+    staging = os.path.join(path, "_staging")
+    if not os.path.isdir(staging):
+        return {"kept": 0, "removed": 0}
+    live = set(committed_files(path))
+    kept = removed = 0
+    for fname in os.listdir(staging):
+        if fname in live:
+            kept += 1
+        else:
+            os.remove(os.path.join(staging, fname))
+            removed += 1
+    return {"kept": kept, "removed": removed}

@@ -107,3 +107,31 @@ def test_docstore_failed_job_publishes_nothing(spark, tmp_path):
     # nothing published → reader sees an empty store
     got = read_docstore(spark, out, "boom double")
     assert got.count() == 0
+
+
+def test_vacuum_removes_only_orphans(spark, sf_dir, tmp_path):
+    """Vacuum drops unreferenced staging files and provably changes
+    no query result (fingerprint identical before/after)."""
+    from ecommerce_analytics_spark.sources.docstore import (
+        vacuum_docstore,
+    )
+
+    register_docstore_sink(spark)
+    out = str(tmp_path / "store")
+    events = load_table(spark, sf_dir, "events").drop("props")
+    (events.write.format("docstore").option("path", out)
+     .mode("append").save())
+    # plant two orphans (a failed attempt, a superseded epoch file)
+    for orphan in ("part-00042-tid999-stream.jsonl",
+                   "part-00001-tid998-batch.jsonl"):
+        with open(os.path.join(out, "_staging", orphan), "w") as f:
+            f.write("{}\n")
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    before = _fingerprint(read_docstore(spark, out, schema))
+    stats = vacuum_docstore(out)
+    assert stats["removed"] == 2 and stats["kept"] > 0
+    after = _fingerprint(read_docstore(spark, out, schema))
+    assert before == after
+    # idempotent: second vacuum removes nothing
+    assert vacuum_docstore(out)["removed"] == 0

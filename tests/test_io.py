@@ -220,3 +220,36 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_returnflag" in plan
     assert filtered.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_read_evolving_parquet_merges_added_columns(spark, sf_dir,
+                                                    tmp_path):
+    """Batch 1 lacks a column batch 2 added; the merged scan exposes
+    the union schema with NULLs for pre-evolution rows, and pruning/
+    pushdown still work on the shared columns."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_spark.io import (
+        load_table, read_evolving_parquet,
+    )
+
+    out = str(tmp_path / "lake")
+    orders = load_table(spark, sf_dir, "orders")
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_custkey", "o_totalprice")
+     .write.mode("append").parquet(out))
+    (orders.filter(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_custkey", "o_totalprice",
+             F.col("o_orderpriority").alias("priority"))  # added later
+     .write.mode("append").parquet(out))
+
+    merged = read_evolving_parquet(spark, out)
+    assert "priority" in merged.columns
+    n = orders.count()
+    assert merged.count() == n
+    # pre-evolution rows surface NULL for the added column
+    nulls = merged.filter(F.col("priority").isNull()).count()
+    assert nulls == orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    # values intact across the evolution boundary
+    assert (merged.agg(F.sum("o_orderkey")).first()[0]
+            == orders.agg(F.sum("o_orderkey")).first()[0])
