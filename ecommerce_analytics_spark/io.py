@@ -170,3 +170,16 @@ def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
     (Footer merging costs one pass over file metadata; production
     tables amortize it with a catalog-stored schema.)"""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Native Spark-4 XML sink (S-family: the 5th format next to
+    CSV/JSON/parquet/ORC). XML has no timestamp type — callers encode
+    temporal columns explicitly (epoch-µs longs) for exactness."""
+    (df.write.format("xml").option("rootTag", "rows")
+     .option("rowTag", row_tag).mode("overwrite").save(path))
+
+
+def read_xml(spark: SparkSession, path: str,
+             row_tag: str = "row") -> DataFrame:
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)

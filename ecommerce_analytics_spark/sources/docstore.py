@@ -243,3 +243,54 @@ def vacuum_docstore(path: str) -> dict[str, int]:
             os.remove(os.path.join(staging, fname))
             removed += 1
     return {"kept": kept, "removed": removed}
+
+
+def _register_xml_query() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_spark.io import (
+        load_table, read_xml, write_xml,
+    )
+    from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
+    from ecommerce_analytics_spark.plans.registry import query
+
+    @query(
+        "xml_roundtrip_rollup",
+        f"""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               {money_sum_sql('value')} AS total_value,
+               CAST(sum(event_id) AS BIGINT) AS id_checksum,
+               CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_checksum
+        FROM events GROUP BY event_type
+        """,
+        doc="Native Spark-4 XML source/sink certification (the 5th "
+            "format after CSV/JSON/parquet/ORC): events roundtrip "
+            "through XML in a per-run tmp dir — timestamps encoded as "
+            "epoch-µs longs since XML has no temporal type — and the "
+            "rollup over the roundtripped rows hash-matches the "
+            "oracle computed from the parquet, including a modular "
+            "µs-timestamp checksum (raw µs sums overflow BIGINT at "
+            "sf0.1 — caught loudly by the pinned ANSI mode).",
+        tags=("source", "sink", "agg"),
+    )
+    def q_xml_roundtrip_rollup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        out = os.path.join(tempfile.mkdtemp(prefix="xml_run_"), "xml")
+        events = (load_table(spark, sf_dir, "events")
+                  .select("event_id",
+                          F.unix_micros("ts").alias("ts_us"),
+                          "user_id", "event_type", "value"))
+        write_xml(events, out)
+        back = read_xml(spark, out)
+        return (back.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                     money_sum("value").alias("total_value"),
+                     F.sum("event_id").cast("long").alias("id_checksum"),
+                     F.sum(F.col("ts_us") % 1000000007)
+                     .cast("long").alias("ts_checksum")))
+
+
+_register_xml_query()
