@@ -172,3 +172,33 @@ def test_morton_interleave_is_injective_and_bounded(spark_h, pairs):
         morton_key(F.col("a"), F.col("b")).alias("m")).collect()]
     assert len(set(codes)) == len(pairs)
     assert all(0 <= c < (1 << 32) for c in codes)
+
+
+@given(st.lists(st.tuples(st.integers(0, 1000), st.integers(0, 300)),
+                min_size=1, max_size=12),
+       st.lists(st.tuples(st.integers(0, 1000), st.integers(0, 300)),
+                min_size=1, max_size=12))
+@settings(max_examples=12, deadline=None)
+def test_banded_interval_join_equals_naive(spark_h, a_raw, b_raw):
+    """overlap_join_banded == the naive inequality join for arbitrary
+    interval sets (starts 0-1000, lengths 0-300, bucket 100 — spans
+    multiple buckets, boundary touches, zero-length all generated)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_spark.operators.intervals import (
+        overlap_join_banded,
+    )
+
+    a = spark_h.createDataFrame(
+        [(i, s, s + l) for i, (s, l) in enumerate(a_raw)],
+        "aid long, s long, e long")
+    b = spark_h.createDataFrame(
+        [(i, s, s + l) for i, (s, l) in enumerate(b_raw)],
+        "bid long, ps long, pe long")
+    got = sorted(overlap_join_banded(a, b, "s", "e", "ps", "pe", 100)
+                 .select("aid", "bid").rdd.map(tuple).collect())
+    want = sorted(
+        a.crossJoin(b)
+        .filter((F.col("s") < F.col("pe")) & (F.col("ps") < F.col("e")))
+        .select("aid", "bid").rdd.map(tuple).collect())
+    assert got == want
