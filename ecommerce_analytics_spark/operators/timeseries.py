@@ -335,3 +335,65 @@ def q_rollup_restate_daily_revenue(spark: SparkSession,
     untouched = stale.join(F.broadcast(affected_days), "day",
                            "left_anti")
     return untouched.unionByName(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form least-squares trend (ML as one exact aggregation pass)
+
+_TREND_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxx, sxy,
+       round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 9)
+         AS slope_cents_per_hour
+FROM stats
+"""
+
+
+@query(
+    "value_trend_by_type",
+    _TREND_ORACLE,
+    doc="Per-event-type least-squares trend in ONE aggregation pass: "
+        "sufficient statistics (n, Sx, Sy, Sxx, Sxy) as exact BIGINTs "
+        "over integer hours x and integer cents y — associative, "
+        "map-side combinable, hash-certified. The slope combines them "
+        "in DECIMAL(38,0) (n*Sxy - Sx*Sy overflows BIGINT) and only "
+        "the final ratio is a rounded double. The one-pass "
+        "sufficient-statistics shape is how regression fits on 100 TB "
+        "without an ML library: one shuffle of 5 longs per group.",
+    tags=("agg", "ml", "scale"),
+)
+def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"))
+    stats = (base.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("x").cast("long").alias("sx"),
+                  F.sum("y").cast("long").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * F.col("sxy") - dec("sx") * F.col("sy"))
+    den = (dec("n") * F.col("sxx") - dec("sx") * F.col("sx"))
+    return stats.select(
+        "event_type", "n", "sx", "sy", "sxx", "sxy",
+        F.round(num.cast("double") / den.cast("double"), 9)
+        .alias("slope_cents_per_hour"))
