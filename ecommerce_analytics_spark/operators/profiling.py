@@ -105,3 +105,63 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("min_doc_id"),
                  F.max("doc_id").alias("max_doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# PCA sufficient statistics (exact fixed-point covariance accumulation)
+
+COV_FIX = 1_000_000  # 1e-6 fixed point per embedding coordinate
+
+_COV_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(g.i AS INTEGER) AS dim,
+         CAST(round(CAST(embedding[g.i] AS DOUBLE) * {COV_FIX})
+              AS BIGINT) AS xf
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(i)
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(a.xf) AS BIGINT) AS sum_i,
+       CAST(sum(b.xf) AS BIGINT) AS sum_j,
+       CAST(sum(a.xf * b.xf) AS BIGINT) AS sum_ij
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+"""
+
+
+@query(
+    "embedding_covariance_stats",
+    _COV_ORACLE,
+    doc="PCA's data-intensive half in one exact pass: the upper-"
+        "triangle covariance sufficient statistics (n, Si, Sj, Sij) "
+        "of the 64-dim embeddings, coordinates snapped to 1e-6 fixed "
+        "point so every sum is an associative BIGINT — hash-certified "
+        "across engines, which float covariance sums cannot be. The "
+        "64x64 eigen-solve on the resulting 2080-row matrix is "
+        "driver-side O(d^3) — data-size-independent. At 100 TB the "
+        "same statistics accumulate via per-partition outer products "
+        "(mapInPandas + numpy) merged by addition; the relational "
+        "formulation here is the certifiable reference semantics.",
+    tags=("ml", "agg", "north-star"),
+)
+def q_embedding_covariance_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (emb.select("vec_id", F.posexplode("embedding")
+                     .alias("dim0", "x"))
+          .select("vec_id",
+                  (F.col("dim0") + 1).cast("int").alias("dim"),
+                  F.round(F.col("x").cast("double") * COV_FIX)
+                  .cast("long").alias("xf")))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+                   & (F.col("a.dim") <= F.col("b.dim")))
+            .groupBy(F.col("a.dim").alias("dim_i"),
+                     F.col("b.dim").alias("dim_j"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("a.xf").cast("long").alias("sum_i"),
+                 F.sum("b.xf").cast("long").alias("sum_j"),
+                 F.sum(F.col("a.xf") * F.col("b.xf"))
+                 .cast("long").alias("sum_ij")))
