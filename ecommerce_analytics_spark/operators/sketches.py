@@ -376,3 +376,85 @@ def q_cms_join_size_estimate(spark: SparkSession,
             .select("est_join_size", "exact_join_size",
                     (F.col("est_join_size") >= F.col("exact_join_size"))
                     .alias("never_underestimates")))
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: day-over-day audience overlap from STORED sketches
+
+# Overlap is estimated through inclusion-exclusion over three HLL
+# estimates (A, B, A∪B), so its absolute error compounds to ~3× the
+# single-sketch relative error — bounded against the EXACT union size.
+HLL_OVERLAP_TOL = 3 * HLL_REL_TOL
+
+
+@query(
+    "user_day_overlap_hll",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), cnt AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS c FROM du GROUP BY day
+    ), ov AS (
+      SELECT a.day AS day, CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM du a JOIN du b
+        ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+      GROUP BY a.day
+    )
+    SELECT strftime(c1.day, '%Y-%m-%d') AS day,
+           c1.c AS exact_a, c2.c AS exact_b,
+           COALESCE(ov.exact_overlap, 0) AS exact_overlap,
+           TRUE AS est_within_tol
+    FROM cnt c1
+    JOIN cnt c2 ON c2.day = c1.day + INTERVAL 1 DAY
+    LEFT JOIN ov ON ov.day = c1.day
+    """,
+    doc="HLL set algebra over the STORED per-day sketch table: "
+        "|A∩B| ≈ est(A) + est(B) − est(A∪B) for every consecutive-day "
+        "pair, where est(A∪B) comes from the scalar hll_union of the "
+        "two stored sketches — no re-scan of the fact table, the "
+        "audience-overlap question answered from kilobytes. Follows "
+        "the sketch_vs_exact certification pattern: exact per-day "
+        "uniques and exact overlap (one distinct-users shuffle + a "
+        "self-join on (user, day+1)) hash-match the oracle, and the "
+        "inclusion-exclusion estimate's 3-sketch error bound vs the "
+        "exact union is a hash-matched boolean.",
+    tags=("agg", "sketch", "approx", "join", "scale"),
+)
+def q_user_day_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = (events.select(F.to_date("ts").alias("day"), "user_id")
+          .distinct())
+    cnt = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ov = (du.alias("a")
+          .join(du.alias("b"),
+                (F.col("b.user_id") == F.col("a.user_id"))
+                & (F.col("b.day") == F.date_add(F.col("a.day"), 1)))
+          .groupBy(F.col("a.day").alias("day"))
+          .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap")))
+    sk = daily_user_sketches(spark, sf_dir).select("day", "sketch")
+
+    c1, c2 = cnt.alias("c1"), cnt.alias("c2")
+    s1, s2 = sk.alias("s1"), sk.alias("s2")
+    paired = (
+        c1.join(c2, F.col("c2.day") == F.date_add(F.col("c1.day"), 1))
+        .join(ov.alias("ov"), F.col("ov.day") == F.col("c1.day"), "left")
+        .join(s1, F.col("s1.day") == F.col("c1.day"))
+        .join(s2, F.col("s2.day") == F.date_add(F.col("c1.day"), 1))
+        .select(
+            F.date_format(F.col("c1.day"), "yyyy-MM-dd").alias("day"),
+            F.col("c1.c").alias("exact_a"),
+            F.col("c2.c").alias("exact_b"),
+            F.coalesce(F.col("ov.exact_overlap"), F.lit(0))
+            .alias("exact_overlap"),
+            F.hll_sketch_estimate(F.col("s1.sketch")).alias("est_a"),
+            F.hll_sketch_estimate(F.col("s2.sketch")).alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union(F.col("s1.sketch"), F.col("s2.sketch")))
+            .alias("est_u")))
+    exact_union = (F.col("exact_a") + F.col("exact_b")
+                   - F.col("exact_overlap"))
+    est_overlap = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return paired.select(
+        "day", "exact_a", "exact_b", "exact_overlap",
+        (F.abs(est_overlap - F.col("exact_overlap"))
+         <= HLL_OVERLAP_TOL * exact_union).alias("est_within_tol"))
