@@ -397,3 +397,73 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "sx", "sy", "sxx", "sxy",
         F.round(num.cast("double") / den.cast("double"), 9)
         .alias("slope_cents_per_hour"))
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing (EWMA) — a genuinely sequential recurrence
+
+EWMA_ALPHA = 0.5  # binary-exact smoothing weight
+
+
+@query(
+    "ewma_daily_revenue",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {money_sum_sql("value")} AS rev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ew AS (
+      SELECT event_type, day, rn, rev, rev AS ewma
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.day, d.rn, d.rev,
+             0.5 * d.rev + 0.5 * e.ewma
+      FROM daily d
+      JOIN ew e ON d.event_type = e.event_type AND d.rn = e.rn + 1
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, rev, ewma
+    FROM ew
+    """,
+    doc="Per-type exponentially weighted moving average of daily "
+        "revenue (alpha=0.5): s_t = 0.5*x_t + 0.5*s_{t-1}, seeded "
+        "s_1 = x_1. A recurrence is not expressible as a window "
+        "aggregate without pow() blowup, so this is one of the "
+        "sanctioned sequential-state surfaces: the fact table is "
+        "reduced to exact integer-cent daily sums FIRST (one "
+        "shuffle), and the applyInPandas state pass runs over the "
+        "tiny aggregated series (days × types rows) — the same "
+        "pre-aggregate-then-state shape as the streaming LTV twin. "
+        "Both engines evaluate the identical IEEE expression "
+        "sequence over identical daily inputs (binary-exact alpha), "
+        "so the unrounded doubles hash-match against the DuckDB "
+        "recursive-CTE oracle.",
+    tags=("timeseries", "state", "agg"),
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(money_sum("value").alias("rev")))
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = None
+        out = []
+        for x in pdf["rev"]:
+            s = x if s is None else 0.5 * x + 0.5 * s
+            out.append(s)
+        pdf["ewma"] = out
+        return pdf
+
+    out = (daily.groupBy("event_type")
+           .applyInPandas(smooth,
+                          "event_type string, day date, "
+                          "rev double, ewma double"))
+    return out.select("event_type",
+                      F.date_format("day", "yyyy-MM-dd").alias("day"),
+                      "rev", "ewma")
