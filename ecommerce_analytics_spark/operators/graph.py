@@ -264,3 +264,77 @@ def q_product_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("deg").alias("degree"),
                     F.coalesce(F.col("n_triangles"), F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (single-source shortest path, unweighted)
+
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "product_bfs_hops",
+    f"""
+    WITH RECURSIVE basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ), bfs AS (
+      SELECT (SELECT min(src) FROM edges) AS node, 0 AS dist
+      UNION
+      SELECT e.dst AS node, b.dist + 1 AS dist
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < {BFS_MAX_HOPS}
+    )
+    SELECT node AS product_id, CAST(min(dist) AS INT) AS hop_dist
+    FROM bfs GROUP BY node
+    """,
+    doc=f"Unweighted single-source shortest path: BFS hop distance "
+        f"from the minimum product id over the co-purchase graph, "
+        f"bounded at {BFS_MAX_HOPS} hops. Level-synchronous FRONTIER "
+        f"expansion: each round joins only the newly-reached nodes "
+        f"against the persisted edge list, dedupes, and anti-joins "
+        f"the already-reached set — so a node's distance is its "
+        f"first-reach round by construction (no min-aggregate "
+        f"needed) and round cost tracks the frontier size, not the "
+        f"reached size: the textbook Pregel BFS shape with "
+        f"|V|-bounded state. Seed is an in-plan broadcast one-row "
+        f"aggregate (min(src)), fully lazy like PageRank. "
+        f"All-integer computation, so the iterative result "
+        f"hash-matches the DuckDB recursive-CTE oracle exactly.",
+    tags=("graph", "iterative", "join"),
+)
+def q_product_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst"))
+             .distinct())
+    edges = (pairs.unionAll(pairs.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+             .persist())
+    seed = (edges.agg(F.min("src").alias("node"))
+            .select("node", F.lit(0).alias("dist"))
+            .persist())
+    reached, frontier = seed, seed
+    for k in range(1, BFS_MAX_HOPS + 1):
+        cand = (edges.join(frontier, edges.src == frontier.node)
+                .select(F.col("dst").alias("node"))
+                .distinct())
+        frontier = (cand.join(reached, "node", "left_anti")
+                    .select("node", F.lit(k).alias("dist"))
+                    .persist())
+        reached = reached.unionAll(frontier)
+    return reached.select(F.col("node").alias("product_id"),
+                          F.col("dist").cast("int").alias("hop_dist"))
