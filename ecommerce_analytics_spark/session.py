@@ -94,6 +94,21 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Size the pre-AQE shuffle partition count to the session's actual
+    # parallelism — but ONLY when it still holds the stock default
+    # (200): a deployment that set it deliberately keeps its value.
+    # AQE coalesces post-shuffle, but the initial count still fixes
+    # task-launch overhead per stage; on a laptop-sized driver session
+    # 200-partition stages make multi-stage queries (star joins,
+    # iterative graph rounds) pay ~25× task churn for nothing, which
+    # is exactly the host-noise signature of the round-3
+    # sales_by_region_year bench record.
+    try:
+        if conf.get("spark.sql.shuffle.partitions") == "200":
+            conf.set("spark.sql.shuffle.partitions",
+                     str(max(spark.sparkContext.defaultParallelism, 4)))
+    except Exception:
+        pass
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
     except Exception:
