@@ -84,9 +84,15 @@ class _DocStoreBatchWriter(DataSourceWriter):
 
     def commit(self, messages):
         # unique manifest per job so mode("append") jobs compose; the
-        # job's own commit stays atomic via the tmp+rename in _publish
+        # job's own commit stays atomic via the tmp+rename in _publish.
+        # Tag = zero-padded commit nanos + random suffix: lexicographic
+        # manifest order IS commit order (what as_of time travel pins);
+        # the suffix only breaks ties between genuinely concurrent
+        # commits, whose relative order is inherently unspecified.
         import binascii
-        tag = binascii.hexlify(os.urandom(8)).decode()
+        import time
+        tag = (f"{time.time_ns():020d}-"
+               + binascii.hexlify(os.urandom(4)).decode())
         _publish(self.path, f"_manifest-batch-{tag}.json", messages)
 
     def abort(self, messages):
@@ -136,29 +142,47 @@ class DocStoreDataSource(DataSource):
         return _DocStoreStreamWriter(self.options)
 
 
-def committed_files(path: str) -> list[str]:
-    """Filenames published by ANY manifest — the only files a reader
-    may see. Orphaned staging files (failed attempts, superseded
-    epochs) are invisible by construction."""
+def docstore_versions(path: str) -> list[str]:
+    """The ordered manifest log. Each manifest is one committed write
+    (batch job or streaming epoch); its 0-based position is the
+    store's VERSION number — the snapshot a reader pins with
+    ``as_of``. Lexicographic order is commit order by construction
+    (batch manifests embed a sortable tag, streaming manifests a
+    zero-padded batchId)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(e for e in os.listdir(path)
+                  if e.startswith("_manifest-") and e.endswith(".json"))
+
+
+def committed_files(path: str, as_of: int | None = None) -> list[str]:
+    """Filenames published by manifests up to version ``as_of``
+    (inclusive; None = latest) — the only files a reader may see.
+    Orphaned staging files (failed attempts, superseded epochs) are
+    invisible by construction, and because a manifest is immutable
+    once published, pinning a version is snapshot isolation: later
+    commits never change what an as_of reader resolves."""
     out: list[str] = []
     seen: set[str] = set()
-    if not os.path.isdir(path):
-        return out  # failed-before-staging job: nothing published
-    for entry in sorted(os.listdir(path)):
-        if entry.startswith("_manifest-") and entry.endswith(".json"):
-            with open(os.path.join(path, entry)) as f:
-                for fname in json.load(f)["files"]:
-                    if fname not in seen:
-                        seen.add(fname)
-                        out.append(fname)
+    manifests = docstore_versions(path)
+    if as_of is not None:
+        manifests = manifests[:as_of + 1]
+    for entry in manifests:
+        with open(os.path.join(path, entry)) as f:
+            for fname in json.load(f)["files"]:
+                if fname not in seen:
+                    seen.add(fname)
+                    out.append(fname)
     return out
 
 
-def read_docstore(spark, path: str, schema: str):
+def read_docstore(spark, path: str, schema: str,
+                  as_of: int | None = None):
     """Committed documents as a DataFrame (native JSON reader over the
-    manifest-resolved file list)."""
+    manifest-resolved file list). ``as_of`` pins a manifest version
+    for time travel; None reads the latest snapshot."""
     files = [os.path.join(path, "_staging", f)
-             for f in committed_files(path)]
+             for f in committed_files(path, as_of=as_of)]
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)

@@ -135,3 +135,39 @@ def test_vacuum_removes_only_orphans(spark, sf_dir, tmp_path):
     assert before == after
     # idempotent: second vacuum removes nothing
     assert vacuum_docstore(out)["removed"] == 0
+
+
+def test_time_travel_pins_manifest_versions(spark, sf_dir, tmp_path):
+    """Two append commits → two manifest versions; as_of=0 resolves
+    exactly the first commit's rows forever (snapshot isolation), the
+    latest read sees both, and vacuum never disturbs a pinned
+    version (manifest-listed files are live by definition)."""
+    from ecommerce_analytics_spark.sources.docstore import (
+        docstore_versions, vacuum_docstore)
+
+    register_docstore_sink(spark)
+    out = str(tmp_path / "store")
+    events = load_table(spark, sf_dir, "events").drop("props")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 != 0)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+
+    (first.write.format("docstore").option("path", out)
+     .mode("append").save())
+    assert len(docstore_versions(out)) == 1
+    v0 = _fingerprint(read_docstore(spark, out, schema))
+
+    (second.write.format("docstore").option("path", out)
+     .mode("append").save())
+    assert len(docstore_versions(out)) == 2
+
+    # pinned version unchanged by the later commit
+    assert _fingerprint(read_docstore(spark, out, schema, as_of=0)) == v0
+    assert v0 == _fingerprint(first)
+    # latest sees both commits
+    assert _fingerprint(read_docstore(spark, out, schema)) == \
+        _fingerprint(events)
+    # maintenance never breaks time travel
+    vacuum_docstore(out)
+    assert _fingerprint(read_docstore(spark, out, schema, as_of=0)) == v0
