@@ -486,3 +486,77 @@ def q_daily_event_type_unpivot(spark: SparkSession,
             .filter(F.col("n_events") > 0)
             .select("event_date", "event_type",
                     F.col("n_events").cast("long").alias("n_events")))
+
+
+@query(
+    "value_distribution_ranks",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+    doc="percent_rank + cume_dist (the two normalized ranking "
+        "functions user_event_analytics doesn't cover): per-type "
+        "value distribution position. Tie handling is part of the "
+        "function definition (equal values share a rank), so no "
+        "tie-break column is needed and the rational outputs — "
+        "integer-over-integer divisions — are IEEE-identical across "
+        "engines unrounded. One hash exchange on event_type.",
+    tags=("window",),
+)
+def q_value_distribution_ranks(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (events
+            .filter(F.col("event_type").isin("purchase", "signup"))
+            .select("event_id", "event_type", "value",
+                    F.percent_rank().over(w).alias("pct_rank"),
+                    F.cume_dist().over(w).alias("cume")))
+
+
+CONVERSION_TYPES = ["purchase", "signup"]
+
+
+@query(
+    "user_type_set_algebra",
+    f"""
+    WITH sets AS (
+      SELECT user_id,
+             list_sort(list(DISTINCT event_type)) AS types
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           to_json(types) AS all_types,
+           to_json(list_sort(list_intersect(types,
+               {CONVERSION_TYPES!r}))) AS conversion_types,
+           to_json(list_sort(list_filter(types,
+               t -> NOT list_contains({CONVERSION_TYPES!r}, t))))
+             AS browse_types,
+           CAST(len(types) AS INT) AS n_types
+    FROM sets
+    """,
+    doc="Array set algebra over per-user event-type sets: "
+        "array_intersect/array_except against the conversion-type "
+        "list, emitted through the to_json edge (full content "
+        "hash-certified, the docs/SCALE.md pattern). collect_set → "
+        "array_sort makes the set deterministic before any set op; "
+        "one user_id exchange total.",
+    tags=("array", "agg"),
+)
+def q_user_type_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    conv = F.array(*[F.lit(t) for t in CONVERSION_TYPES])
+    sets = (events.groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("event_type")).alias("types")))
+    return sets.select(
+        "user_id",
+        F.to_json("types").alias("all_types"),
+        F.to_json(F.array_sort(F.array_intersect("types", conv)))
+        .alias("conversion_types"),
+        F.to_json(F.array_sort(F.array_except("types", conv)))
+        .alias("browse_types"),
+        F.size("types").cast("int").alias("n_types"))
