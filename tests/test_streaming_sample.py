@@ -1,0 +1,61 @@
+"""Streaming maintained A-ES sample == batch sampler after the last
+micro-batch, row-identical ranks. Two doc_id-split files (one per
+trigger) force a cross-batch state merge where batch 2 must both
+evict batch-1 members and keep others."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_sample_matches_batch(spark, sf_dir, tmp_path):
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.operators.weighted_sample import (
+        weighted_sample_per_group)
+    from ecommerce_analytics_spark.streaming.sample_state import (
+        streaming_weighted_sample)
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    out = str(tmp_path / "docs_stream")
+    docs.filter(F.col("doc_id") <= median).coalesce(1) \
+        .write.parquet(f"{out}/b0")
+    docs.filter(F.col("doc_id") > median).coalesce(1) \
+        .write.parquet(f"{out}/b1")
+    import os
+    import shutil
+    os.makedirs(f"{out}/in")
+    for i in (0, 1):
+        for f in os.listdir(f"{out}/b{i}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{out}/b{i}/{f}", f"{out}/in/part-{i}.parquet")
+
+    stream = (spark.readStream
+              .schema("doc_id long, lang string, n_chars long")
+              .option("maxFilesPerTrigger", 1).parquet(f"{out}/in"))
+    q = (streaming_weighted_sample(stream)
+         .writeStream.format("memory").queryName("sample_stream")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM sample_stream").collect()
+    max_epoch: dict[str, int] = {}
+    for r in rows:
+        max_epoch[r.lang] = max(max_epoch.get(r.lang, 0), r.epoch)
+    final = sorted((r.lang, r.doc_id, r.n_chars, r.rk) for r in rows
+                   if r.epoch == max_epoch[r.lang])
+
+    batch = sorted((r.lang, r.doc_id, r.n_chars, r.rk) for r in
+                   weighted_sample_per_group(docs, "lang")
+                   .select("lang", "doc_id",
+                           F.col("n_chars").cast("long").alias("n_chars"),
+                           "rk").collect())
+    assert len(final) == len(batch) > 0
+    assert final == batch
+    # cross-batch reality check: the final sample mixes both halves
+    halves = {}
+    for lang, doc_id, _, _ in final:
+        halves.setdefault(lang, set()).add(doc_id <= median)
+    assert any(len(h) == 2 for h in halves.values())
