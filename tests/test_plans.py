@@ -272,3 +272,33 @@ def test_argmax_per_group_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_skyline_frontier_broadcasts(spark, sf_dir):
+    plan = _plan(query_map()["part_skyline"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_two_phase_windows(spark, sf_dir):
+    # phase 1 partitions by (lang, salt), phase 2 by lang alone — a
+    # regression to one global window would shrink parallelism to
+    # group count
+    plan = _plan(query_map()["weighted_sample_per_lang"](spark, sf_dir))
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
+
+
+def test_fuzzy_match_is_gram_equi_join(spark, sf_dir):
+    plan = _plan(query_map()["fuzzy_name_match"](spark, sf_dir))
+    # candidates come from a hash equi-join on the gram, never a
+    # cartesian/theta join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_scoring_reads_code_table_via_broadcast_lut(spark, sf_dir):
+    plan = _plan(query_map()["knn_pq"](spark, sf_dir))
+    # the ADC join against the per-query LUT must be broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
