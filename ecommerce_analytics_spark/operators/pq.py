@@ -233,3 +233,94 @@ def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("recall") >= PQ_RECALL_FLOOR)
                 .alias("recall_floor_met"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index: build → store → serve (the deployed shape)
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> str:
+    """Materialize the PQ serving artifacts: ``codebooks/`` (M×K
+    subspace centroids, kilobytes — always broadcast) and ``codes/``
+    (vec_id → 4-bit code array, the 32×-compressed corpus). At 100 TB
+    new vectors append to codes/ encoded against the FROZEN codebook;
+    codebook refresh is a blue/green rebuild to a fresh path, same as
+    the IVF and dedup index generations."""
+    import os
+    emb = load_table(spark, sf_dir, "embeddings")
+    nemb = _normalized(emb)
+    cb = train_codebooks(spark, nemb)
+    cb.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "codebooks"))
+    encode_pq(nemb, cb).write.mode("overwrite") \
+        .parquet(os.path.join(path, "codes"))
+    return path
+
+
+def knn_pq_stored(spark: SparkSession, queries: DataFrame,
+                  path: str) -> DataFrame:
+    """Serve a query batch against the STORED code table: broadcast
+    ADC LUT from the stored codebooks, score the stored codes,
+    shortlist, exact-refine against the queries' own vectors plus the
+    shortlisted originals only."""
+    import os
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    nq = _normalized(queries)
+    lut = adc_lut(nq, cb)
+
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("m", "code"))
+    scored = (exploded.join(F.broadcast(lut), ["m", "code"])
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+              .agg(F.sum("pd2").alias("adc_d2")))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id"))
+    shortlist = (scored.withColumn("_r", F.row_number().over(w_adc))
+                 .filter(F.col("_r") <= PQ_SHORTLIST)
+                 .select("query_id", "neighbor_id"))
+    qv = nq.select(F.col("vec_id").alias("query_id"),
+                   F.col("nemb").alias("_qv"))
+    # refinement vectors come from the caller-provided corpus frame —
+    # a deployment stores them alongside codes/ or fetches on demand
+    cos = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_nv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return shortlist, qv, cos  # composed by q_knn_pq_persisted
+
+
+@query(
+    "knn_pq_persisted",
+    None,  # trained codebooks aren't SQL-expressible — rows-only;
+           # pytest asserts EXACT equality with the in-memory knn_pq
+           # (whose recall floor is oracle-certified by knn_pq_recall)
+    doc="Persisted-index twin of knn_pq: codebooks + 4-bit code table "
+        "written to Parquet and read back cold before serving — the "
+        "build→store→serve round-trip of a deployed PQ tier. "
+        "Retrieval through the store is pytest-certified EXACTLY "
+        "equal to the in-memory PQ pipeline (ints and doubles "
+        "round-trip bit-exact through Parquet), inheriting the "
+        "oracle-certified knn_pq_recall floor transitively.",
+    tags=("similarity", "ml", "north-star", "incremental", "io"),
+)
+def q_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    run_dir = tempfile.mkdtemp(prefix="pq_index_run_")
+    path = build_pq_index(spark, sf_dir, os.path.join(run_dir, "index"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    shortlist, qv, cos = knn_pq_stored(spark, queries, path)
+    nv = _normalized(emb).select(F.col("vec_id").alias("neighbor_id"),
+                                 F.col("nemb").alias("_nv"))
+    refined = (shortlist.join(F.broadcast(qv), "query_id")
+               .join(nv, "neighbor_id")
+               .select("query_id", "neighbor_id", cos.alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (refined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_sim", 9).alias("cos_sim"), "rank"))

@@ -61,3 +61,15 @@ def test_recall_floor_met_at_sf0001(spark):
     row = pq.q_knn_pq_recall(spark, SF).collect()[0]
     assert row.recall_floor_met
     assert row.n_exact_pairs == row.n_queries * row.k
+
+
+def test_persisted_pq_equals_in_memory(spark):
+    got = sorted(map(tuple,
+                     pq.q_knn_pq_persisted(spark, SF)
+                     .select("query_id", "neighbor_id", "cos_sim", "rank")
+                     .collect()))
+    want = sorted(map(tuple,
+                      pq.q_knn_pq(spark, SF)
+                      .select("query_id", "neighbor_id", "cos_sim", "rank")
+                      .collect()))
+    assert got == want and len(got) > 0
