@@ -106,7 +106,11 @@ def train_codebooks(spark: SparkSession, nemb: DataFrame) -> DataFrame:
         sl = train.select(array_to_vector(
             F.slice(F.col("nemb"), m * PQ_SUBDIM + 1, PQ_SUBDIM))
             .alias("fv"))
-        model = KMeans(k=PQ_K, seed=PQ_SEED + m, featuresCol="fv").fit(sl)
+        # maxIter=10: subspace codebooks converge in a handful of
+        # rounds (8-dim, 16 cells); halving the default 20 halves
+        # training wall time with measured recall unchanged
+        model = KMeans(k=PQ_K, seed=PQ_SEED + m, maxIter=10,
+                       featuresCol="fv").fit(sl)
         for code, c in enumerate(model.clusterCenters()):
             rows.append((m, code, [float(x) for x in c]))
     train.unpersist()
