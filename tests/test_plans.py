@@ -302,3 +302,18 @@ def test_pq_scoring_reads_code_table_via_broadcast_lut(spark, sf_dir):
     # the ADC join against the per-query LUT must be broadcast
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_strategy_hints_are_respected(spark, sf_dir):
+    # optimizer-control evidence: each hint flips the physical join
+    from ecommerce_analytics_spark.io import load_table
+    from pyspark.sql import functions as F
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cond = orders.o_custkey == customer.c_custkey
+    merge = _plan(orders.join(customer.hint("merge"), cond))
+    assert "SortMergeJoin" in merge
+    shuffle_hash = _plan(orders.join(customer.hint("shuffle_hash"), cond))
+    assert "ShuffledHashJoin" in shuffle_hash
+    bcast = _plan(orders.join(customer.hint("broadcast"), cond))
+    assert "BroadcastHashJoin" in bcast

@@ -41,3 +41,66 @@ def test_streaming_ewma_matches_batch(spark, sf_dir, events_stream_dir):
         rev, ewma = got[(r.event_type, r.day)]
         assert rev == r.rev, (r.event_type, r.day)
         assert ewma == r.ewma, (r.event_type, r.day)  # bitwise
+
+
+def test_streaming_ewma_survives_checkpoint_restart(spark, sf_dir,
+                                                    tmp_path):
+    """Kill the stream after batch 1, restart from the checkpoint with
+    new input present: recovered state (open-day sums + recurrence
+    seed) must produce the same finalized rows as an uninterrupted
+    run — i.e. batch parity again, through a parquet sink."""
+    import os
+    import shutil
+
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.streaming.ewma_state import (
+        streaming_ewma_daily_revenue)
+    from ecommerce_analytics_spark.streaming.windows import streaming_events
+
+    # build the two time-split files but reveal them one at a time
+    events = load_table(spark, sf_dir, "events")
+    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    staging = str(tmp_path / "staging")
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    for i, part in enumerate((
+            events.filter(F.col("event_id") <= median),
+            events.filter(F.col("event_id") > median))):
+        part.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{staging}/f{i}")
+        srcs = [f for f in os.listdir(f"{staging}/f{i}")
+                if f.endswith(".parquet")]
+        shutil.copy(f"{staging}/f{i}/{srcs[0]}", f"{staging}/part-{i}.parquet")
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = streaming_events(spark, indir)
+        q = (streaming_ewma_daily_revenue(stream)
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    shutil.copy(f"{staging}/part-0.parquet", f"{indir}/part-0.parquet")
+    run_once()                       # batch 1 only, then "crash"
+    shutil.copy(f"{staging}/part-1.parquet", f"{indir}/part-1.parquet")
+    run_once()                       # restart from checkpoint
+
+    got = {(r.event_type, r.day): (r.rev, r.ewma) for r in
+           spark.read.schema("event_type string, day string, "
+                             "rev double, ewma double")
+           .parquet(sink).collect()}
+
+    from ecommerce_analytics_spark.plans.registry import query_map
+    batch = query_map()["ewma_daily_revenue"](spark, sf_dir)
+    last_day = (batch.groupBy("event_type")
+                .agg(F.max("day").alias("last_day")))
+    expected = (batch.join(last_day, "event_type")
+                .filter(F.col("day") < F.col("last_day"))
+                .collect())
+    assert len(got) == len(expected) > 0
+    for r in expected:
+        assert got[(r.event_type, r.day)] == (r.rev, r.ewma)
