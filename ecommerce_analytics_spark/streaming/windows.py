@@ -122,3 +122,27 @@ def streaming_purchase_attribution_join(purchases: DataFrame,
         F.expr("user_id = p_user_id AND ts > p_ts "
                "AND ts <= p_ts + INTERVAL 1 HOUR"),
         how)
+
+
+def streaming_enrich_with_dims(events: DataFrame, customer: DataFrame,
+                               nation: DataFrame) -> DataFrame:
+    """J3's streaming form: stream-STATIC broadcast joins. The dims
+    are plain batch DataFrames joined into every micro-batch (Spark
+    re-broadcasts per batch, so a dim refresh between batches is
+    picked up — the 'slowly refreshed dimension snapshot' pattern).
+    Identical expression to the certified batch
+    q_enrich_events_with_customer; parity-tested row-for-row in
+    test_streaming.py."""
+    return (
+        events
+        .join(F.broadcast(customer),
+              events.user_id == customer.c_custkey, "left")
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )

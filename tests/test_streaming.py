@@ -328,3 +328,28 @@ def test_stream_stream_left_outer_join_null_completion(
                        "AND e2.ts <= p.ts + INTERVAL 1 HOUR"),
             "left_anti").select("event_id").collect()}
     assert got_unmatched <= batch_all_unmatched
+
+
+def test_stream_static_broadcast_enrichment_matches_batch(
+        spark, sf_dir, events_stream_dir):
+    """J3 streaming form: micro-batched events joined against STATIC
+    broadcast dims must equal the certified batch enrichment
+    row-for-row."""
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_enrich_with_dims, streaming_events)
+
+    stream = streaming_events(spark, events_stream_dir,
+                              max_files_per_trigger=1)
+    out = streaming_enrich_with_dims(
+        stream,
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"))
+    _run_to_memory(out, "enrich_stream", "append")
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM enrich_stream").collect()))
+
+    from ecommerce_analytics_spark.plans.registry import query_map
+    want = sorted(map(tuple, query_map()[
+        "enrich_events_with_customer"](spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
