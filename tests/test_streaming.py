@@ -353,3 +353,67 @@ def test_stream_static_broadcast_enrichment_matches_batch(
     want = sorted(map(tuple, query_map()[
         "enrich_events_with_customer"](spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """T5 semantics made observable: a late row arriving AFTER its
+    window's state has been evicted (watermark passed the window end
+    in an earlier batch) is dropped — counted in the state-operator
+    metrics and NOT re-emitted — while a late-but-pre-eviction row is
+    still folded in (the watermark is a bound, not an exact cut).
+    The reference (processing-time only) has neither behavior."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from ecommerce_analytics_spark.streaming.windows import (
+        streaming_hourly_revenue)
+
+    def T(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    staging = str(tmp_path / "staging")
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    batches = [
+        # batch 0: window 00:00 opens; far-ahead row advances the
+        # watermark to 07:59 once the batch completes
+        [(T(0, 10), "u1", "purchase", 10.0),
+         (T(9, 59), "u2", "purchase", 99.0)],
+        # batch 1: late row while 00:00 state is evicted THIS batch —
+        # folded in (pre-eviction), window emitted as 110
+        [(T(0, 20), "u3", "purchase", 100.0),
+         (T(10, 30), "u4", "purchase", 7.0)],
+        # batch 2: late row AFTER eviction — must be dropped
+        [(T(0, 40), "u5", "purchase", 1000.0),
+         (T(11, 30), "u6", "purchase", 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "ts timestamp, user_id string, event_type string, "
+                  "value double")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{staging}/f{i}")
+        src = [f for f in os.listdir(f"{staging}/f{i}")
+               if f.endswith(".parquet")][0]
+        shutil.copy(f"{staging}/f{i}/{src}", f"{indir}/part-{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes fix the trigger order
+
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id string, event_type string, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(indir))
+    q = (streaming_hourly_revenue(stream)
+         .writeStream.format("memory").queryName("wm_drop_stream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    dropped = sum(op["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress
+                  for op in p["stateOperators"])
+    q.stop()
+
+    emitted = spark.sql("SELECT * FROM wm_drop_stream").collect()
+    zero_hour = [r for r in emitted if r.hour_timestamp == T(0, 0)]
+    assert len(zero_hour) == 1            # never re-emitted
+    assert zero_hour[0].total_revenue == 110.0   # 1000.0 dropped
+    assert dropped >= 1
