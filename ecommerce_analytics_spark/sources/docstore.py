@@ -147,8 +147,12 @@ def docstore_versions(path: str) -> list[str]:
     (batch job or streaming epoch); its 0-based position is the
     store's VERSION number — the snapshot a reader pins with
     ``as_of``. Lexicographic order is commit order by construction
-    (batch manifests embed a sortable tag, streaming manifests a
-    zero-padded batchId)."""
+    WITHIN a write mode (batch manifests embed a zero-padded
+    nanosecond tag, streaming manifests a zero-padded batchId);
+    a store written by BOTH modes has no meaningful total version
+    order (streaming epochs sort before batch tags) — deployments
+    keep one writer mode per store path, as every test and query
+    here does."""
     if not os.path.isdir(path):
         return []
     return sorted(e for e in os.listdir(path)
