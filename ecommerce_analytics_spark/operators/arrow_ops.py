@@ -35,9 +35,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.operators.similarity import (
-    N_QUERIES, TOP_K, norm, Q_SCALE,
+    TOP_K, int8_candidate_pairs,
 )
-from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.plans.registry import QUERIES, query
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -86,25 +85,7 @@ def arrow_int_dot(pairs: DataFrame) -> DataFrame:
     tags=("similarity", "extension", "north-star"),
 )
 def q_knn_int8_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    qz = (emb.withColumn("nrm", norm(F.col("embedding")))
-          .filter(F.col("nrm") > 0)
-          .select("vec_id", "label",
-                  F.transform("embedding",
-                              lambda x: F.round(x.cast("double")
-                                                / F.col("nrm") * Q_SCALE)
-                              .cast("int")).alias("qv")))
-    q = (qz.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("qv").alias("q_qv")))
-    c = qz.select(F.col("vec_id").alias("neighbor_id"),
-                  F.col("label").alias("neighbor_label"),
-                  F.col("qv").alias("c_qv"))
-    pairs = (F.broadcast(q)
-             .join(c, F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "neighbor_id", "neighbor_label",
-                     "q_qv", "c_qv"))
-    scored = arrow_int_dot(pairs)
+    scored = arrow_int_dot(int8_candidate_pairs(spark, sf_dir))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot_q"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -65,12 +65,16 @@ PQ_RECALL_FLOOR = 0.5
 
 
 def _normalized(emb: DataFrame) -> DataFrame:
-    """vec_id + unit-norm double embedding (cosine ⇔ euclidean)."""
+    """vec_id + unit-norm double embedding (cosine ⇔ euclidean).
+    Zero vectors are excluded (division by zero would NULL the whole
+    array and silently corrupt encode/ADC) — the same nrm > 0 guard
+    every other similarity path applies."""
     n = norm(F.col("embedding"))
-    return emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"),
-                    lambda x: x.cast("double") / n).alias("nemb"))
+    return (emb.filter(n > 0)
+            .select("vec_id",
+                    F.transform(F.col("embedding"),
+                                lambda x: x.cast("double") / n)
+                    .alias("nemb")))
 
 
 def _subvectors(df: DataFrame) -> DataFrame:
@@ -148,6 +152,45 @@ def adc_lut(queries: DataFrame, codebooks: DataFrame) -> DataFrame:
                     .alias("pd2")))
 
 
+def adc_shortlist(codes: DataFrame, lut: DataFrame,
+                  shortlist: int = PQ_SHORTLIST) -> DataFrame:
+    """(query_id, neighbor_id): the top-``shortlist`` candidates per
+    query by ADC distance — explode the code table, broadcast-join
+    the LUT, sum partials, rank. Shared by the in-memory and
+    persisted pipelines (their exact-equality test depends on the
+    two staying in lockstep)."""
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("m", "code"))
+    scored = (exploded.join(F.broadcast(lut), ["m", "code"])
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+              .agg(F.sum("pd2").alias("adc_d2")))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (scored.withColumn("_r", F.row_number().over(w_adc))
+            .filter(F.col("_r") <= shortlist)
+            .select("query_id", "neighbor_id"))
+
+
+def refine_topk(shortlist: DataFrame, qv: DataFrame,
+                nv: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine re-rank of a shortlist: qv = (query_id, _qv),
+    nv = (neighbor_id, _nv) unit vectors; touches only
+    |queries| × shortlist rows."""
+    cos = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_nv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    refined = (shortlist.join(F.broadcast(qv), "query_id")
+               .join(nv, "neighbor_id")
+               .select("query_id", "neighbor_id", cos.alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (refined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_sim", 9).alias("cos_sim"), "rank"))
+
+
 @query(
     "knn_pq",
     None,  # iterative ML trains the codebooks — rows-only; the
@@ -168,37 +211,13 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = train_codebooks(spark, nemb)
     codes = encode_pq(nemb, cb)
     lut = adc_lut(nemb.filter(F.col("vec_id") < N_QUERIES), cb)
-
-    exploded = codes.select(
-        "vec_id", F.posexplode("codes").alias("m", "code"))
-    scored = (exploded.join(F.broadcast(lut), ["m", "code"])
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-              .agg(F.sum("pd2").alias("adc_d2")))
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_d2"), F.asc("neighbor_id"))
-    shortlist = (scored.withColumn("_r", F.row_number().over(w_adc))
-                 .filter(F.col("_r") <= PQ_SHORTLIST)
-                 .select("query_id", "neighbor_id"))
-
-    # exact refinement touches only |queries| × PQ_SHORTLIST rows
+    shortlist = adc_shortlist(codes, lut)
     qv = (nemb.filter(F.col("vec_id") < N_QUERIES)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("nemb").alias("_qv")))
     nv = nemb.select(F.col("vec_id").alias("neighbor_id"),
                      F.col("nemb").alias("_nv"))
-    cos = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_nv"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    refined = (shortlist.join(F.broadcast(qv), "query_id")
-               .join(nv, "neighbor_id")
-               .select("query_id", "neighbor_id", cos.alias("cos_sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (refined.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
-            .select("query_id", "neighbor_id",
-                    F.round("cos_sim", 9).alias("cos_sim"), "rank"))
+    return refine_topk(shortlist, qv, nv)
 
 
 @query(
@@ -262,36 +281,24 @@ def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> str:
 
 
 def knn_pq_stored(spark: SparkSession, queries: DataFrame,
-                  path: str) -> DataFrame:
+                  neighbors: DataFrame, path: str) -> DataFrame:
     """Serve a query batch against the STORED code table: broadcast
     ADC LUT from the stored codebooks, score the stored codes,
-    shortlist, exact-refine against the queries' own vectors plus the
-    shortlisted originals only."""
+    shortlist, exact-refine. ``queries``/``neighbors`` are raw
+    (vec_id, embedding) frames; a deployment stores the refinement
+    vectors alongside codes/ or fetches the shortlisted ones on
+    demand. Returns the refined top-K per query."""
     import os
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
     codes = spark.read.parquet(os.path.join(path, "codes"))
     nq = _normalized(queries)
-    lut = adc_lut(nq, cb)
-
-    exploded = codes.select(
-        "vec_id", F.posexplode("codes").alias("m", "code"))
-    scored = (exploded.join(F.broadcast(lut), ["m", "code"])
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-              .agg(F.sum("pd2").alias("adc_d2")))
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_d2"), F.asc("neighbor_id"))
-    shortlist = (scored.withColumn("_r", F.row_number().over(w_adc))
-                 .filter(F.col("_r") <= PQ_SHORTLIST)
-                 .select("query_id", "neighbor_id"))
+    shortlist = adc_shortlist(codes, adc_lut(nq, cb))
     qv = nq.select(F.col("vec_id").alias("query_id"),
                    F.col("nemb").alias("_qv"))
-    # refinement vectors come from the caller-provided corpus frame —
-    # a deployment stores them alongside codes/ or fetches on demand
-    cos = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_nv"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return shortlist, qv, cos  # composed by q_knn_pq_persisted
+    nv = _normalized(neighbors).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("nemb").alias("_nv"))
+    return refine_topk(shortlist, qv, nv)
 
 
 @query(
@@ -313,18 +320,6 @@ def q_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     run_dir = tempfile.mkdtemp(prefix="pq_index_run_")
     path = build_pq_index(spark, sf_dir, os.path.join(run_dir, "index"))
-
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    shortlist, qv, cos = knn_pq_stored(spark, queries, path)
-    nv = _normalized(emb).select(F.col("vec_id").alias("neighbor_id"),
-                                 F.col("nemb").alias("_nv"))
-    refined = (shortlist.join(F.broadcast(qv), "query_id")
-               .join(nv, "neighbor_id")
-               .select("query_id", "neighbor_id", cos.alias("cos_sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (refined.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
-            .select("query_id", "neighbor_id",
-                    F.round("cos_sim", 9).alias("cos_sim"), "rank"))
+    return knn_pq_stored(spark, emb.filter(F.col("vec_id") < N_QUERIES),
+                         emb, path)

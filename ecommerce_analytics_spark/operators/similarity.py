@@ -706,6 +706,33 @@ _QVEC = (f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
          f"/ nrm * {Q_SCALE}) AS INTEGER))")
 
 
+def int8_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared int8 preamble: quantize (unit-norm × 127, nrm > 0
+    guard), split the standard query batch, broadcast-pair queries
+    with every other vector. Both the JVM-fold query (q_knn_int8)
+    and the mapInArrow twin (arrow_ops) build on this — they share
+    one oracle, so the preamble must be literally common."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = (emb.withColumn("nrm", norm(F.col("embedding")))
+          .filter(F.col("nrm") > 0)
+          .select("vec_id", "label",
+                  F.transform("embedding",
+                              lambda x: F.round(x.cast("double")
+                                                / F.col("nrm") * Q_SCALE)
+                              .cast("int")).alias("qv")))
+    q = (qz.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("qv").alias("q_qv")))
+    c = qz.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("label").alias("neighbor_label"),
+                  F.col("qv").alias("c_qv"))
+    return (F.broadcast(q)
+            .join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "neighbor_label",
+                    "q_qv", "c_qv"))
+
+
+
 @query(
     "knn_int8",
     f"""
@@ -744,28 +771,13 @@ _QVEC = (f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
     tags=("similarity", "north-star"),
 )
 def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    qz = (emb.withColumn("nrm", norm(F.col("embedding")))
-          .filter(F.col("nrm") > 0)
-          .select("vec_id", "label",
-                  F.transform("embedding",
-                              lambda x: F.round(x.cast("double")
-                                                / F.col("nrm") * Q_SCALE)
-                              .cast("int")).alias("qv")))
-    q = (qz.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("qv").alias("q_qv")))
-    c = qz.select(F.col("vec_id").alias("neighbor_id"),
-                  F.col("label").alias("neighbor_label"),
-                  F.col("qv").alias("c_qv"))
+    pairs = int8_candidate_pairs(spark, sf_dir)
     idot = F.aggregate(
         F.zip_with("q_qv", "c_qv",
                    lambda a, b: a.cast("bigint") * b.cast("bigint")),
         F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    scored = (F.broadcast(q)
-              .join(c, F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id", "neighbor_label",
-                      idot.alias("dot_q")))
+    scored = pairs.select("query_id", "neighbor_id", "neighbor_label",
+                          idot.alias("dot_q"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot_q"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

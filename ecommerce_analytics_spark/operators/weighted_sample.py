@@ -42,16 +42,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.sketches import _cms_hex_sql
 from ecommerce_analytics_spark.plans.registry import query
 
 K = 25
 SALTS = 16
 
 # content-hash integer in [0, 2^32): first 8 hex digits of md5(doc_id)
-_H_SQL = ("(" + " + ".join(
-    f"CAST((instr('0123456789abcdef', substring(md5(CAST(doc_id AS "
-    f"STRING)), {d + 1}, 1)) - 1) AS BIGINT) * {16 ** (8 - 1 - d)}"
-    for d in range(8)) + ")")
+# (the repo's shared hex-parse primitive — one definition, both engines)
+_H_SQL = _cms_hex_sql("md5(CAST(doc_id AS STRING))")
 # uniform strictly inside (0,1): (h+1)/(2^32+1) — ln() never sees 0
 _U_SQL = f"(CAST({_H_SQL} + 1 AS DOUBLE) / CAST({2 ** 32 + 1} AS DOUBLE))"
 # A-ES ranking key ln(u)/w, maximized; weight w = n_chars (≥1 guarded)

@@ -170,6 +170,12 @@ def committed_files(path: str, as_of: int | None = None) -> list[str]:
     seen: set[str] = set()
     manifests = docstore_versions(path)
     if as_of is not None:
+        if not 0 <= as_of < len(manifests):
+            raise ValueError(
+                f"as_of={as_of} out of range: store at {path!r} has "
+                f"versions 0..{len(manifests) - 1} — a pinned version "
+                f"must exist (silently clamping would break snapshot "
+                f"isolation the moment later commits land)")
         manifests = manifests[:as_of + 1]
     for entry in manifests:
         with open(os.path.join(path, entry)) as f:

@@ -92,12 +92,12 @@ def make_ewma_state_func():
 
 def streaming_ewma_daily_revenue(events: DataFrame) -> DataFrame:
     """Bind the day-close EWMA processor to an event stream."""
+    from ecommerce_analytics_spark.numerics import cents
+
     prepped = events.select(
         "event_type",
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
-        # exact integer cents, same rounding as numerics.cents()
-        F.round(F.col("value").cast("double") * 100).cast("long")
-        .alias("cents"))
+        cents("value").alias("cents"))
     return (prepped.groupBy("event_type")
             .applyInPandasWithState(
                 make_ewma_state_func(),

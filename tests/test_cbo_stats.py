@@ -1,15 +1,12 @@
-"""Cost-based-optimizer evidence: table/column statistics gathered by
-ANALYZE TABLE flow into the plan and flip the join strategy.
-
-At 100 TB the broadcast-vs-shuffle decision cannot come from file
-sizes alone (a 200-byte-per-row scan estimate over a selective filter
-wildly overestimates); catalog statistics are how a deployment keeps
-small-dim broadcasts firing. This test certifies the engine's ANALYZE
-surface end to end: without stats a deliberately size-ambiguous
-managed table plans as a shuffle join under a tiny broadcast
-threshold; after ANALYZE ... COMPUTE STATISTICS (+ FOR COLUMNS) the
-row-count/size estimates land in the catalog, are visible via
-DESCRIBE EXTENDED, and CBO picks the broadcast build side again."""
+"""Cost-based-optimizer evidence: ANALYZE TABLE statistics land in
+the catalog (table + column level, DESCRIBE-visible) and feed the
+CBO's cardinality model with the EXACT analyzed row count instead of
+a file-size guess — the estimate every broadcast/reorder decision
+consumes at 100 TB, where scan-size heuristics over selective
+filters wildly overestimate. The join assertion at the end is a
+sanity check that the stats do not DEGRADE the obvious broadcast
+plan (the 25-row dim broadcasts on size heuristics with or without
+stats — strategy flipping is not what this test claims)."""
 
 from __future__ import annotations
 
@@ -61,7 +58,7 @@ def test_analyze_statistics_flow_into_catalog_and_plan(spark, sf_dir):
         n_rows = dim.count()
         assert int(str(row_count.get())) == n_rows
 
-        # and the join over it still plans the dim as the broadcast side
+        # sanity: stats in play do not degrade the obvious plan
         joined = (spark.table(fact)
                   .join(spark.table(name),
                         F.col("o_orderkey") % 25 == F.col("n_nationkey"))

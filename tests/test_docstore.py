@@ -171,3 +171,8 @@ def test_time_travel_pins_manifest_versions(spark, sf_dir, tmp_path):
     # maintenance never breaks time travel
     vacuum_docstore(out)
     assert _fingerprint(read_docstore(spark, out, schema, as_of=0)) == v0
+    # a pinned version must EXIST — clamping would silently re-resolve
+    # once later commits land
+    import pytest
+    with pytest.raises(ValueError):
+        read_docstore(spark, out, schema, as_of=7)
