@@ -467,3 +467,61 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type",
                       F.date_format("day", "yyyy-MM-dd").alias("day"),
                       "rev", "ewma")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP): exposure-duration weighting
+
+
+@query(
+    "time_weighted_value_by_type",
+    """
+    WITH spans AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_ms(ts) AS w_ms
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(w_ms) AS BIGINT) AS total_ms,
+           round(CAST(sum(CAST(cents AS HUGEINT) * w_ms) AS DOUBLE)
+                 / CAST(sum(w_ms) AS DOUBLE) / 100.0, 6) AS twap
+    FROM spans WHERE w_ms IS NOT NULL AND w_ms > 0
+    GROUP BY event_type
+    """,
+    doc="Time-weighted average value per event type: each event's "
+        "value is weighted by its EXPOSURE — the milliseconds until "
+        "that user's next event (lead over the per-user window; a "
+        "user's last event has no exposure window and is excluded). "
+        "The finance/monitoring TWAP shape. Exact arithmetic "
+        "throughout: integer cents × integer ms summed in "
+        "DECIMAL(38,0) (the sufficient-statistics discipline of "
+        "value_trend_by_type — cents·ms products overflow BIGINT at "
+        "~1e5 rows), one final double division rounded. One user "
+        "exchange for the window, one event_type exchange for the "
+        "rollup.",
+    tags=("window", "timeseries", "agg"),
+)
+def q_time_weighted_value_by_type(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.unix_millis(F.lead("ts").over(w))
+         - F.unix_millis("ts")).alias("w_ms"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (spans.filter(F.col("w_ms").isNotNull() & (F.col("w_ms") > 0))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
+                 F.sum("w_ms").cast("bigint").alias("total_ms"),
+                 F.round(
+                     F.sum(dec("cents") * dec("w_ms")).cast("double")
+                     / F.sum("w_ms").cast("double") / F.lit(100.0),
+                     6).alias("twap")))
