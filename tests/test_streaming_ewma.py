@@ -104,3 +104,56 @@ def test_streaming_ewma_survives_checkpoint_restart(spark, sf_dir,
     assert len(got) == len(expected) > 0
     for r in expected:
         assert got[(r.event_type, r.day)] == (r.rev, r.ewma)
+
+
+def test_state_store_reader_exposes_open_day_state(spark, sf_dir,
+                                                   tmp_path):
+    """Operational state inspection (Spark 4 state data source): after
+    the EWMA stream drains, format('statestore') over the checkpoint
+    must show exactly one open day per event_type — the corpus's last
+    day — with cent sums matching an independent batch computation.
+    This is how a 100 TB deployment audits keyed state without
+    touching the running query."""
+    import os
+    import shutil
+
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.numerics import cents
+    from ecommerce_analytics_spark.streaming.ewma_state import (
+        streaming_ewma_daily_revenue)
+    from ecommerce_analytics_spark.streaming.windows import streaming_events
+
+    events = load_table(spark, sf_dir, "events")
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    events.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1) \
+        .write.parquet(str(tmp_path / "f0"))
+    src = [f for f in os.listdir(tmp_path / "f0")
+           if f.endswith(".parquet")][0]
+    shutil.copy(str(tmp_path / "f0" / src), f"{indir}/p0.parquet")
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (streaming_ewma_daily_revenue(streaming_events(spark, indir))
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+
+    state = {r.key.event_type: r.value.groupState for r in
+             spark.read.format("statestore").load(ckpt).collect()}
+
+    last_day = events.agg(
+        F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd")).first()[0]
+    expected = {r.event_type: r.c for r in
+                (events.filter(F.date_format(F.to_date("ts"),
+                                             "yyyy-MM-dd") == last_day)
+                 .groupBy("event_type")
+                 .agg(F.sum(cents("value")).alias("c")).collect())}
+
+    assert set(state) == set(expected)
+    for et, gs in state.items():
+        assert gs.open_days == [last_day], et
+        assert gs.open_cents == [expected[et]], et
+        assert gs.has_ewma
