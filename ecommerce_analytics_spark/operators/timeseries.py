@@ -525,3 +525,77 @@ def q_time_weighted_value_by_type(spark: SparkSession,
                      F.sum(dec("cents") * dec("w_ms")).cast("double")
                      / F.sum("w_ms").cast("double") / F.lit(100.0),
                      6).alias("twap")))
+
+
+@query(
+    "holt_linear_daily_revenue",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {money_sum_sql("value")} AS rev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    holt AS (
+      SELECT event_type, day, rn, rev,
+             rev AS lvl, CAST(0.0 AS DOUBLE) AS trend
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.day, d.rn, d.rev,
+             0.5 * d.rev + 0.5 * (h.lvl + h.trend) AS lvl,
+             0.5 * ((0.5 * d.rev + 0.5 * (h.lvl + h.trend)) - h.lvl)
+               + 0.5 * h.trend AS trend
+      FROM daily d
+      JOIN holt h ON d.event_type = h.event_type AND d.rn = h.rn + 1
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, rev,
+           lvl, trend, lvl + trend AS forecast_next
+    FROM holt
+    """,
+    doc="Holt's linear (double exponential) smoothing per event type: "
+        "level l = 0.5·x + 0.5·(l'+b'), trend b = 0.5·(l−l') + "
+        "0.5·b', seeded (x_1, 0) — the trend-aware upgrade of "
+        "ewma_daily_revenue, with the one-step-ahead forecast l+b "
+        "emitted per day. Same aggregate-then-state shape (exact "
+        "integer-cent daily sums first, recurrence over the tiny "
+        "series) and the same certification: both engines evaluate "
+        "the IDENTICAL IEEE expression sequence (binary-exact 0.5 "
+        "coefficients, parenthesization mirrored), so the unrounded "
+        "doubles hash-match the recursive-CTE oracle.",
+    tags=("timeseries", "state", "agg", "forecast"),
+)
+def q_holt_linear_daily_revenue(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(money_sum("value").alias("rev")))
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl = trend = None
+        lvls, trends = [], []
+        for x in pdf["rev"]:
+            if lvl is None:
+                lvl, trend = x, 0.0
+            else:
+                prev = lvl
+                lvl = 0.5 * x + 0.5 * (lvl + trend)
+                trend = 0.5 * (lvl - prev) + 0.5 * trend
+            lvls.append(lvl)
+            trends.append(trend)
+        pdf["lvl"] = lvls
+        pdf["trend"] = trends
+        return pdf
+
+    out = (daily.groupBy("event_type")
+           .applyInPandas(smooth,
+                          "event_type string, day date, rev double, "
+                          "lvl double, trend double"))
+    return out.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev", "lvl", "trend",
+        (F.col("lvl") + F.col("trend")).alias("forecast_next"))
