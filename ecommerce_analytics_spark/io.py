@@ -17,6 +17,27 @@ from ecommerce_analytics_spark.schemas import DRIVER_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def run_tmpdir(prefix: str) -> str:
+    """Per-run scratch directory, removed at interpreter exit.
+
+    Index-building queries (dedup/IVF/PQ persisted twins) need a
+    UNIQUE path per invocation — a stable path would race when a
+    parallel sweep and bench rebuild the same index concurrently — but
+    a bare ``tempfile.mkdtemp`` leaks a full Parquet index per run
+    across repeated sweeps. Registering ``shutil.rmtree`` via atexit
+    keeps the path alive for the whole session (the returned DataFrame
+    is lazy; the store must outlive its consumption) and reclaims the
+    disk when the process ends.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Plain parquet scan — Catalyst pushes
     predicates and prunes columns from whatever the caller selects.

@@ -19,16 +19,20 @@ RANK = 8
 TOP_N = 5
 
 
-@query(
-    "als_recommendations",
-    None,  # iterative ML — rows-only; invariants in tests
-    doc=f"C4 ALS (implicit, rank={RANK}, seed={SEED}): latent-factor "
-        f"top-{TOP_N} products per customer. Interactions aggregate the "
-        "fact table down to (user, item) before the iterative solve — at "
-        "100 TB ALS touches the compact interaction matrix only.",
-    tags=("ml", "tier-c"),
-)
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 ALS (implicit, rank=RANK, seed=SEED) — pytest surface, not
+    registered.
+
+    Latent-factor top-TOP_N products per customer. Interactions
+    aggregate the fact table down to (user, item) before the iterative
+    solve — at 100 TB ALS touches the compact interaction matrix only.
+    Latent factors have no SQL twin, so the raw recommendation listing
+    is a pytest surface (tests/test_ml.py); the registry exposes the
+    oracle-green ``als_recommendations_shape`` companion, which runs
+    this full solve internally and hash-matches its contract (exact
+    user count from the interaction join, exactly top-N per user,
+    finite scores).
+    """
     from pyspark.ml.recommendation import ALS
 
     lineitem = load_table(spark, sf_dir, "lineitem")

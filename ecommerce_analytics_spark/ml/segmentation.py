@@ -56,17 +56,19 @@ def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_features(spark, sf_dir)
 
 
-@query(
-    "rfm_kmeans_segments",
-    None,  # iterative ML — rows-only check; invariants in tests
-    doc=f"C3 behavioral clustering: standardized RFM → KMeans "
-        f"k={K_SEGMENTS} seed={SEED} (pyspark.ml). Output: customer_id, "
-        "segment, plus features for audit. Deterministic under the fixed "
-        "seed; invariant tests assert segment count and assignment "
-        "stability under repartition.",
-    tags=("ml", "tier-c"),
-)
 def q_rfm_kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 behavioral clustering (pytest surface, not registered).
+
+    Standardized RFM → KMeans k=K_SEGMENTS seed=SEED (pyspark.ml).
+    Output: customer_id, segment, plus features for audit.
+    Deterministic under the fixed seed. Cluster assignments have no SQL
+    twin, so the raw assignment listing is a pytest surface
+    (tests/test_ml.py: segment count + assignment stability under
+    repartition); the registry exposes the oracle-green
+    ``rfm_kmeans_quality`` companion, which runs this full fit
+    internally and hash-matches its quality contract (inertia-ratio
+    ceiling, exact customer count from the oracle-checked RFM build).
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 

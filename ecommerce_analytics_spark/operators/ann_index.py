@@ -35,7 +35,6 @@ store/load round-trip cannot change recall if it changes nothing).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -137,28 +136,28 @@ def knn_against_stored(spark: SparkSession, queries: DataFrame,
 
 
 def _build_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    run_dir = tempfile.mkdtemp(prefix="ann_index_run_")
+    from ecommerce_analytics_spark.io import run_tmpdir
+    run_dir = run_tmpdir(prefix="ann_index_run_")
     path = build_ann_index(spark, sf_dir, os.path.join(run_dir, "index"))
     queries = (load_table(spark, sf_dir, "embeddings")
                .filter(F.col("vec_id") < N_QUERIES))
     return knn_against_stored(spark, queries, path)
 
 
-@query(
-    "knn_ivf_persisted",
-    None,  # trained centroids aren't SQL-expressible — rows-only;
-           # the _recall companion below is the oracle-green twin and
-           # pytest asserts exact equality with in-memory knn_ivf_kmeans
-    doc="Persisted-index twin of knn_ivf_kmeans: centroids + cell "
-        "assignments (hive-partitioned by cell_id, norms precomputed) "
-        "are WRITTEN to Parquet and read back cold before retrieval — "
-        "the build→store→serve round-trip of a deployed vector index. "
-        "Same standard query batch; retrieval through the store is "
-        "pytest-certified EXACTLY equal to the in-memory trained IVF "
-        "(doubles round-trip bit-exact through Parquet).",
-    tags=("similarity", "ml", "north-star", "incremental", "io"),
-)
 def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index twin of knn_ivf_kmeans (pytest surface, not
+    registered).
+
+    Centroids + cell assignments (hive-partitioned by cell_id, norms
+    precomputed) are WRITTEN to Parquet and read back cold before
+    retrieval — the build→store→serve round-trip of a deployed vector
+    index. Trained centroids aren't SQL-expressible, so the raw
+    neighbor listing is certified by pytest (tests/test_ann_index.py:
+    EXACT equality with the in-memory trained IVF — doubles round-trip
+    bit-exact through Parquet); the registry exposes the oracle-green
+    ``knn_ivf_persisted_recall`` companion, which runs this same
+    cold-serve retrieval internally.
+    """
     return _build_and_query(spark, sf_dir)
 
 

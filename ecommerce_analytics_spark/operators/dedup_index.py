@@ -37,12 +37,11 @@ once and ``admit_against_stored`` per batch.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.io import load_table, run_tmpdir
 from ecommerce_analytics_spark.operators.dedup import (
     _INCR_DOC, _INCR_ORACLE, admit_incoming, incremental_incoming,
     index_artifacts,
@@ -102,7 +101,7 @@ def q_dedup_incremental_persisted(spark: SparkSession,
     # query rebuilds with mode("overwrite") on every invocation, and
     # two concurrent runs at the same SF (parallel sweep + bench) would
     # race on a shared path and read a half-written index.
-    run_dir = tempfile.mkdtemp(prefix="dedup_index_run_")
+    run_dir = run_tmpdir(prefix="dedup_index_run_")
     path = build_dedup_index(spark, sf_dir, os.path.join(run_dir, "index"))
     docs = load_table(spark, sf_dir, "documents")
     incoming = incremental_incoming(spark, docs)

@@ -10,6 +10,22 @@ certifies the ASSEMBLED document: the exact serialized JSON string
 hash-matches a DuckDB oracle that builds the same document by string
 concatenation.
 
+INTENTIONAL deviations from the reference's field list (ADVICE r4 —
+consumers of the reference's raw Kafka/file events should map these):
+- money travels as integer ``unit_price_cents``/``total_amount_cents``
+  (the reference emits ``unit_price``/``total_amount`` floats) — float
+  rendering is engine- and locale-ambiguous, cents are byte-exact and
+  the engine-wide §1.3 money convention;
+- ``invoice_no``/``stock_code`` are JSON numbers (the reference emits
+  strings) — the driver tables type them integral, and numbers render
+  identically in both engines;
+- ``description``/``country`` are dropped — the driver schema carries
+  neither column, so emitting them would hardcode empty placeholders.
+A consumer needing the reference's exact field set divides cents by
+100 and casts the two keys to strings at the edge; the document
+STRUCTURE (scalars + nested metadata) and every retained field's
+semantics are byte-certified below.
+
 Serialization contract (what makes the cross-check exact):
 - every struct field is pre-rendered to a JSON-stable type — longs
   (quantities, integer cents for money — no float formatting

@@ -321,12 +321,19 @@ def q_product_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.l_partkey").alias("src"),
                      F.col("b.l_partkey").alias("dst"))
              .distinct())
+    # Per-round frontiers are eagerly localCheckpoint-ed (lineage CUT,
+    # blocks reclaimed by the ContextCleaner once the result frame is
+    # dropped) instead of persist-ed (which pinned one cache entry per
+    # hop per invocation for the session lifetime — ADVICE r4). Cutting
+    # lineage also means the final frame references neither ``edges``
+    # nor earlier rounds, so the edge cache is released right after
+    # the loop and no round is ever recomputed.
     edges = (pairs.unionAll(pairs.select(F.col("dst").alias("src"),
                                          F.col("src").alias("dst")))
              .persist())
     seed = (edges.agg(F.min("src").alias("node"))
             .select("node", F.lit(0).alias("dist"))
-            .persist())
+            .localCheckpoint(eager=True))
     reached, frontier = seed, seed
     for k in range(1, BFS_MAX_HOPS + 1):
         cand = (edges.join(frontier, edges.src == frontier.node)
@@ -334,7 +341,8 @@ def q_product_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct())
         frontier = (cand.join(reached, "node", "left_anti")
                     .select("node", F.lit(k).alias("dist"))
-                    .persist())
+                    .localCheckpoint(eager=True))
         reached = reached.unionAll(frontier)
+    edges.unpersist()
     return reached.select(F.col("node").alias("product_id"),
                           F.col("dist").cast("int").alias("hop_dist"))

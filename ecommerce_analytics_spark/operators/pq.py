@@ -33,9 +33,11 @@ Plan shape (the 100 TB story):
 
 Approximate retrieval can't hash-match per-neighbor output
 cross-engine (codebooks come from iterative ML); following the
-trained-IVF precedent, `knn_pq` is the rows-only neighbor list and
-`knn_pq_recall` reduces recall@k vs the oracle-green brute-force
-baseline to a hash-matched boolean with a conservative floor.
+trained-IVF precedent, the raw `q_knn_pq` neighbor list is a pytest
+surface and the registered `knn_pq_recall` reduces recall@k vs the
+oracle-green brute-force baseline to a hash-matched boolean with a
+conservative floor. The IVF×PQ composition (cell-pruned IVFADC) lives
+in ``ivfpq.py``.
 """
 
 from __future__ import annotations
@@ -191,21 +193,21 @@ def refine_topk(shortlist: DataFrame, qv: DataFrame,
                     F.round("cos_sim", 9).alias("cos_sim"), "rank"))
 
 
-@query(
-    "knn_pq",
-    None,  # iterative ML trains the codebooks — rows-only; the
-           # retrieval contract is certified by knn_pq_recall
-    doc=f"N2 product quantization with re-ranking (the production "
-        f"IVFADC recipe): unit-normalized embeddings encoded as "
-        f"{PQ_M}×4-bit codes ({PQ_M} per-subspace KMeans codebooks, "
-        f"k={PQ_K}); queries score ALL candidates through the "
-        f"broadcast ADC lookup table — reading only the "
-        f"32×-compressed code table — keep a top-{PQ_SHORTLIST} "
-        f"shortlist, and refine just those with exact cosine over the "
-        f"original vectors. Top-{TOP_K} per query after refinement.",
-    tags=("similarity", "ml", "north-star"),
-)
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 product quantization with re-ranking (pytest surface, not
+    registered).
+
+    Unit-normalized embeddings encoded as PQ_M×4-bit codes (PQ_M
+    per-subspace KMeans codebooks, k=PQ_K); queries score ALL
+    candidates through the broadcast ADC lookup table — reading only
+    the 32×-compressed code table — keep a top-PQ_SHORTLIST shortlist,
+    and refine just those with exact cosine over the original vectors.
+    Top-TOP_K per query after refinement. The trained codebooks have no
+    SQL twin, so the raw neighbor listing is a pytest surface
+    (tests/test_pq.py); the registry exposes the oracle-green
+    ``knn_pq_recall`` companion, which runs this full pipeline
+    internally and hash-matches its recall floor.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     nemb = _normalized(emb)
     cb = train_codebooks(spark, nemb)
@@ -301,24 +303,22 @@ def knn_pq_stored(spark: SparkSession, queries: DataFrame,
     return refine_topk(shortlist, qv, nv)
 
 
-@query(
-    "knn_pq_persisted",
-    None,  # trained codebooks aren't SQL-expressible — rows-only;
-           # pytest asserts EXACT equality with the in-memory knn_pq
-           # (whose recall floor is oracle-certified by knn_pq_recall)
-    doc="Persisted-index twin of knn_pq: codebooks + 4-bit code table "
-        "written to Parquet and read back cold before serving — the "
-        "build→store→serve round-trip of a deployed PQ tier. "
-        "Retrieval through the store is pytest-certified EXACTLY "
-        "equal to the in-memory PQ pipeline (ints and doubles "
-        "round-trip bit-exact through Parquet), inheriting the "
-        "oracle-certified knn_pq_recall floor transitively.",
-    tags=("similarity", "ml", "north-star", "incremental", "io"),
-)
 def q_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index twin of knn_pq (pytest surface, not registered).
+
+    Codebooks + 4-bit code table written to Parquet and read back cold
+    before serving — the build→store→serve round-trip of a deployed PQ
+    tier. Trained codebooks aren't SQL-expressible, so retrieval
+    through the store is pytest-certified (tests/test_pq.py: EXACTLY
+    equal to the in-memory PQ pipeline — ints and doubles round-trip
+    bit-exact through Parquet), inheriting the oracle-certified
+    knn_pq_recall floor transitively. The registered oracle-green
+    composition is ``knn_ivfpq_persisted_recall`` (IVF×PQ on the
+    stored index).
+    """
     import os
-    import tempfile
-    run_dir = tempfile.mkdtemp(prefix="pq_index_run_")
+    from ecommerce_analytics_spark.io import run_tmpdir
+    run_dir = run_tmpdir(prefix="pq_index_run_")
     path = build_pq_index(spark, sf_dir, os.path.join(run_dir, "index"))
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_pq_stored(spark, emb.filter(F.col("vec_id") < N_QUERIES),

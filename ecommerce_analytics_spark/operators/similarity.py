@@ -392,22 +392,21 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "knn_ivf_kmeans",
-    None,  # iterative ML trains the centroids — rows-only check;
-           # retrieval quality certified by the recall test instead
-    doc=f"N2 IVF with TRAINED centroids: KMeans (k={N_CENTROIDS}, "
-        f"seed=42, pyspark.ml) fits the cell structure to the data "
-        f"instead of using {N_CENTROIDS} arbitrary corpus vectors, and "
-        f"queries probe their top-{N_PROBE} cells — the production IVF "
-        "recipe (train on a sample, assign, multi-probe). Same scale "
-        "shape as knn_ivf: the iterative solve touches only k×dim "
-        "centroids, assignment is one broadcast pass, candidates are an "
-        "equi-join on cell_id. tests/test_similarity_recall.py asserts "
-        "recall@k beats the fixed-centroid probe-1 index.",
-    tags=("similarity", "ml", "north-star"),
-)
 def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 IVF with TRAINED centroids (pytest surface, not registered).
+
+    KMeans (k=N_CENTROIDS, seed=42, pyspark.ml) fits the cell structure
+    to the data instead of using arbitrary corpus vectors, and queries
+    probe their top-N_PROBE cells — the production IVF recipe (train on
+    a sample, assign, multi-probe). Same scale shape as knn_ivf: the
+    iterative solve touches only k×dim centroids, assignment is one
+    broadcast pass, candidates are an equi-join on cell_id. The trained
+    centroids have no SQL twin, so the raw neighbor listing is a pytest
+    surface (tests/test_similarity_recall.py, tests/test_ann_index.py);
+    the registry exposes the oracle-green ``knn_ivf_kmeans_recall``
+    companion, which runs this full pipeline internally and
+    hash-matches its recall floor against the brute-force oracle.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

@@ -68,20 +68,20 @@ def daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "daily_unique_users_hll",
-    None,  # statistical contract — see module docstring
-    doc="Mergeable HLL distinct-count rollup: per-day Datasketches HLL "
-        "sketches of user_id (one pass, partially aggregable), "
-        "estimated per day AND re-aggregated to a global estimate via "
-        "sketch union — the stored-sketch pattern that replaces "
-        "re-scanning the fact table for every distinct-count rollup at "
-        "100 TB. Rows-only driver check (no cross-engine HLL "
-        "equivalence exists); mergeability and 5%-accuracy are "
-        "pytest-certified (test_skew_approx.py).",
-    tags=("agg", "sketch", "approx", "scale"),
-)
 def q_daily_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count rollup (pytest surface, not registered).
+
+    Per-day Datasketches HLL sketches of user_id (one pass, partially
+    aggregable), estimated per day AND re-aggregated to a global
+    estimate via sketch union — the stored-sketch pattern that replaces
+    re-scanning the fact table for every distinct-count rollup at
+    100 TB. The raw estimates have no cross-engine twin, so this
+    surface is certified by pytest (test_skew_approx.py: mergeability +
+    5%-accuracy) while the registry exposes the oracle-green
+    ``daily_unique_users_sketch_vs_exact`` companion, which runs the
+    same sketch aggregation skeleton and hash-matches its accuracy
+    contract against DuckDB.
+    """
     daily = daily_user_sketches(spark, sf_dir)
     per_day = daily.select(
         "day",

@@ -62,8 +62,22 @@ def similarity_join_distinct(vals: DataFrame, text_col: str,
 
     Completeness requires every value be ≥ q*(d+1) chars (the q-gram
     count-filter threshold stays ≥ 1); callers with shorter values
-    must route them through an explicit short-block fallback.
+    must route them through an explicit short-block fallback. The
+    precondition is ENFORCED at runtime (ADVICE r4): an in-plan
+    ``assert_true`` on each value poisons the job with a clear error
+    instead of silently dropping true pairs — a per-row JVM predicate,
+    no extra action or shuffle.
     """
+    min_len = q * (d + 1)
+    # fused into the text column itself (a dropped side-column would
+    # be pruned by Catalyst and the guard silently optimized away)
+    vals = vals.withColumn(text_col, F.when(
+        F.length(text_col) >= min_len, F.col(text_col)).otherwise(
+        F.raise_error(F.concat(F.lit(
+            f"similarity_join_distinct: value shorter than "
+            f"q*(d+1)={min_len} chars breaks the Gravano count-filter "
+            f"completeness bound — route short values through an "
+            f"all-pairs short block: "), F.col(text_col)))))
     a = vals.select(*[F.col(c).alias(f"{c}_a") for c in vals.columns])
     b = vals.select(*[F.col(c).alias(f"{c}_b") for c in vals.columns])
     ta, tb = f"{text_col}_a", f"{text_col}_b"

@@ -152,11 +152,33 @@ def docstore_versions(path: str) -> list[str]:
     a store written by BOTH modes has no meaningful total version
     order (streaming epochs sort before batch tags) — deployments
     keep one writer mode per store path, as every test and query
-    here does."""
+    here does.
+
+    FORMAT BREAK: stores written before the zero-padded-nanos tag
+    scheme used random 16-hex batch tags, which sort in arbitrary
+    order; ``committed_files`` refuses ``as_of`` on such stores (a
+    wrong-but-plausible version resolution would silently break
+    snapshot isolation). Un-pinned reads remain valid — the committed
+    file SET is order-independent."""
     if not os.path.isdir(path):
         return []
     return sorted(e for e in os.listdir(path)
                   if e.startswith("_manifest-") and e.endswith(".json"))
+
+
+_BATCH_TAG_RE = None
+
+
+def _has_legacy_manifests(manifests: list[str]) -> bool:
+    """True if any batch manifest predates the ordered tag scheme
+    (random 16-hex tag instead of ``<20-digit nanos>-<8 hex>``)."""
+    global _BATCH_TAG_RE
+    if _BATCH_TAG_RE is None:
+        import re
+        _BATCH_TAG_RE = re.compile(
+            r"^_manifest-batch-\d{20}-[0-9a-f]{8}\.json$")
+    return any(m.startswith("_manifest-batch-")
+               and not _BATCH_TAG_RE.match(m) for m in manifests)
 
 
 def committed_files(path: str, as_of: int | None = None) -> list[str]:
@@ -170,6 +192,14 @@ def committed_files(path: str, as_of: int | None = None) -> list[str]:
     seen: set[str] = set()
     manifests = docstore_versions(path)
     if as_of is not None:
+        if _has_legacy_manifests(manifests):
+            raise ValueError(
+                f"as_of unsupported: store at {path!r} contains "
+                f"legacy random-tag batch manifests whose lexicographic "
+                f"order is not commit order — version numbers would "
+                f"resolve arbitrarily. Re-materialize the store (or "
+                f"read un-pinned: the latest file SET is "
+                f"order-independent)")
         if not 0 <= as_of < len(manifests):
             raise ValueError(
                 f"as_of={as_of} out of range: store at {path!r} has "

@@ -176,3 +176,28 @@ def test_time_travel_pins_manifest_versions(spark, sf_dir, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         read_docstore(spark, out, schema, as_of=7)
+
+
+def test_as_of_refuses_legacy_random_tag_stores(spark, sf_dir, tmp_path):
+    """Pre-format-break stores used random 16-hex batch tags whose
+    lexicographic order is NOT commit order; as_of must refuse them
+    (ADVICE r4) while un-pinned reads (order-independent file SET)
+    keep working."""
+    import pytest
+
+    from ecommerce_analytics_spark.sources.docstore import (
+        committed_files, read_docstore,
+    )
+
+    store = tmp_path / "legacy_store"
+    staging = store / "_staging"
+    staging.mkdir(parents=True)
+    (staging / "part-legacy.json").write_text('{"doc_id": 1}\n')
+    (store / "_manifest-batch-0123456789abcdef.json").write_text(
+        json.dumps({"files": ["part-legacy.json"]}))
+
+    with pytest.raises(ValueError, match="legacy"):
+        committed_files(str(store), as_of=0)
+    # un-pinned read still resolves the committed set
+    got = read_docstore(spark, str(store), "doc_id long").collect()
+    assert [r["doc_id"] for r in got] == [1]

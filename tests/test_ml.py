@@ -1,5 +1,7 @@
-"""Invariant tests for the rows-only (non-SQL-expressible) ML queries
-(SURVEY §5.3): deterministic seeds, sane shapes, repartition stability."""
+"""Invariant tests for the non-SQL-expressible ML surfaces (SURVEY
+§5.3): deterministic seeds, sane shapes, repartition stability. These
+raw outputs are pytest-only; the registry exposes their oracle-green
+companions (rfm_kmeans_quality, als_recommendations_shape)."""
 
 from __future__ import annotations
 
@@ -9,7 +11,9 @@ from ecommerce_analytics_spark.plans.registry import query_map
 
 
 def test_kmeans_segments_shape_and_determinism(spark, sf_dir):
-    q = query_map()["rfm_kmeans_segments"]
+    from ecommerce_analytics_spark.ml.segmentation import (
+        q_rfm_kmeans_segments as q,
+    )
     a = q(spark, sf_dir).collect()
     n_customers = spark.read.parquet(f"{sf_dir}/orders.parquet") \
         .select("o_custkey").distinct().count()
@@ -22,7 +26,8 @@ def test_kmeans_segments_shape_and_determinism(spark, sf_dir):
 
 
 def test_als_recommendations_shape(spark, sf_dir):
-    recs = query_map()["als_recommendations"](spark, sf_dir)
+    from ecommerce_analytics_spark.ml.recommend import q_als_recommendations
+    recs = q_als_recommendations(spark, sf_dir)
     per_user = recs.groupBy("customer_id").count().collect()
     assert per_user and all(r["count"] == 5 for r in per_user)
     assert recs.filter(F.col("score").isNull()).count() == 0

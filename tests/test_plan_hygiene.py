@@ -14,12 +14,10 @@ from ecommerce_analytics_spark.plans.registry import all_queries
 # queries whose construction executes jobs heavy enough to skip in a
 # plan-only pass (they are executed fully by the oracle sweep anyway)
 _SKIP = {
-    "rfm_kmeans_segments",   # fits a KMeans model at build time
-    "rfm_kmeans_quality",
-    "knn_ivf_kmeans",        # trains centroids at build time
-    "knn_ivf_kmeans_recall",
-    "als_recommendations",   # fits ALS at build time
-    "als_recommendations_shape",
+    "rfm_kmeans_quality",       # fits a KMeans model at build time
+    "knn_ivf_kmeans_recall",    # trains centroids at build time
+    "als_recommendations_shape",  # fits ALS at build time
+    "knn_ivfpq_persisted_recall",  # builds + writes the index at build time
 }
 
 

@@ -298,7 +298,8 @@ def test_fuzzy_match_is_gram_equi_join(spark, sf_dir):
 
 
 def test_pq_scoring_reads_code_table_via_broadcast_lut(spark, sf_dir):
-    plan = _plan(query_map()["knn_pq"](spark, sf_dir))
+    from ecommerce_analytics_spark.operators.pq import q_knn_pq
+    plan = _plan(q_knn_pq(spark, sf_dir))
     # the ADC join against the per-query LUT must be broadcast
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

@@ -84,8 +84,10 @@ def test_hll_sketch_accuracy(spark, sf_dir):
 
 
 def test_hll_query_runs_and_total_row(spark, sf_dir):
-    from ecommerce_analytics_spark.plans.registry import query_map
-    rows = query_map()["daily_unique_users_hll"](spark, sf_dir).collect()
+    from ecommerce_analytics_spark.operators.sketches import (
+        q_daily_unique_users_hll,
+    )
+    rows = q_daily_unique_users_hll(spark, sf_dir).collect()
     total = [r for r in rows if r["day"] is None]
     assert len(total) == 1
     days = [r for r in rows if r["day"] is not None]

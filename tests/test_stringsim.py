@@ -72,3 +72,15 @@ def test_payload_columns_ride_along(spark):
     r = rows[0]
     assert (r.val_a, r.val_b, r.cnt_a, r.cnt_b, r.edit_dist) == \
         ("abcdef", "abcdxf", 3, 5, 1)
+
+
+def test_short_value_precondition_enforced(spark):
+    """Values shorter than q*(d+1) silently break the Gravano
+    count-filter completeness bound — the join must REFUSE them at
+    runtime (ADVICE r4), not drop true pairs."""
+    import pytest
+
+    vals = spark.createDataFrame(
+        [("abcdef",), ("abc",)], "val string")  # "abc" < 2*(2+1)=6
+    with pytest.raises(Exception, match="short"):
+        similarity_join_distinct(vals, "val").collect()

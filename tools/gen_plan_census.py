@@ -24,9 +24,8 @@ sys.path.insert(0, str(REPO))
 SF_DIR = "/root/testdata/sf0.001"
 
 SKIP = {  # model fitting executes at build time; skipped in plan-only
-    "rfm_kmeans_segments", "rfm_kmeans_quality", "knn_ivf_kmeans",
-    "knn_ivf_kmeans_recall", "als_recommendations",
-    "als_recommendations_shape",
+    "rfm_kmeans_quality", "knn_ivf_kmeans_recall",
+    "als_recommendations_shape", "knn_ivfpq_persisted_recall",
 }
 
 FEATURES = [
