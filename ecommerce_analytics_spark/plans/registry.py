@@ -63,6 +63,7 @@ def _load_all() -> None:
     import ecommerce_analytics_spark.multimodal.blobs  # noqa: F401
     import ecommerce_analytics_spark.sources.docstore  # noqa: F401
     import ecommerce_analytics_spark.sources.simulator  # noqa: F401
+    import ecommerce_analytics_spark.streaming.e2e_pipeline  # noqa: F401
 
 
 def all_queries() -> dict[str, "Query"]:

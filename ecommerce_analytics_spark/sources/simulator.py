@@ -80,10 +80,21 @@ class _SimBatchReader(DataSourceReader):
                                part.end - part.start).to_batches()
 
 
+SENTINEL_EVENT_TYPE = "__end_of_replay__"
+
+
 class _SimStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.batch_rows = int(options.get("batch_rows", "10000"))
+        # end-of-replay punctuation: a single synthetic row N days past
+        # the last real event, emitted as the final offset. A finite
+        # replay feeding a watermarked aggregation needs it — the
+        # watermark only advances on observed event time, so without a
+        # closing row the last real windows sit in state forever. The
+        # sentinel pushes the watermark past every real window; its OWN
+        # window never closes, so it never appears in append output.
+        self.sentinel_days = int(options.get("sentinel_days", "0"))
         self._table = None  # lazy; sorted once per reader instance
 
     def _sorted_table(self):
@@ -93,23 +104,42 @@ class _SimStreamReader(SimpleDataSourceStreamReader):
                                      ("event_id", "ascending")])
         return self._table
 
+    def _sentinel_row(self, t):
+        import datetime
+        max_ts = t.column("ts")[t.num_rows - 1].as_py()
+        ts = max_ts + datetime.timedelta(days=self.sentinel_days)
+        return (-1, ts, -1, SENTINEL_EVENT_TYPE, 0.0, None)
+
+    def _slice(self, lo, hi):
+        """Rows for logical offsets [lo, hi); index num_rows is the
+        sentinel when enabled."""
+        t = self._sorted_table()
+        real_hi = min(hi, t.num_rows)
+        rows = [tuple(r[c] for c in _COLS)
+                for r in t.slice(lo, max(real_hi - lo, 0)).to_pylist()]
+        if self.sentinel_days and hi > t.num_rows and lo <= t.num_rows:
+            rows.append(self._sentinel_row(t))
+        return rows
+
     def initialOffset(self):
         return {"idx": 0}
 
     def read(self, start):
+        # NB: the rows must be an ITERATOR — when the replay is drained
+        # (end == start) Spark's prefetch wrapper validates emptiness
+        # with next(it), which a plain list breaks.
         t = self._sorted_table()
+        n = t.num_rows + (1 if self.sentinel_days else 0)
         lo = start["idx"]
-        hi = min(lo + self.batch_rows, t.num_rows)
-        rows = t.slice(lo, hi - lo).to_pylist()
-        return ([tuple(r[c] for c in _COLS) for r in rows],
-                {"idx": hi})
+        hi = min(lo + self.batch_rows, n)
+        if hi <= lo:
+            return (iter(()), start)
+        return (iter(self._slice(lo, hi)), {"idx": hi})
 
     def readBetweenOffsets(self, start, end):
         # deterministic replay: a retried batch re-reads the same slice
-        t = self._sorted_table()
-        lo, hi = start["idx"], end["idx"]
-        rows = t.slice(lo, hi - lo).to_pylist()
-        return [tuple(r[c] for c in _COLS) for r in rows]
+        # (iterator for the same reason as read())
+        return iter(self._slice(start["idx"], end["idx"]))
 
     def commit(self, end):
         pass  # offsets live in the checkpoint; nothing to clean up

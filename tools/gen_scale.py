@@ -1,0 +1,124 @@
+"""Scale-up generator for the empirical scaling study (SCALING.md).
+
+Builds a k×-scaled copy of a driver SF directory by self-union with
+key offsetting — the same way TPC-H scale factors grow: every key
+space (orders, parts, suppliers, customers, docs, vectors) grows
+k×, so per-key densities (lines per order, docs per shingle bucket,
+vectors per cell) stay CONSTANT. A naive self-union without content
+perturbation would instead create k exact copies of every document
+and vector — near-dup and ANN candidate generation would then see
+k²-growing pair counts by construction, measuring the synthetic
+artifact rather than the operator. Therefore:
+
+- ``documents.text`` is passed through a per-copy alphabet rotation
+  (``translate``): every token/shingle differs across copies, length
+  and structure stats are preserved, within-copy duplicate structure
+  is replicated exactly once per copy;
+- ``embeddings.embedding`` is rolled by ``copy`` positions — a
+  coordinate permutation (norm- and distribution-preserving) that
+  relocates each copy's neighborhoods;
+- all integer keys are offset by ``copy * (max_key + 1)``.
+
+Only the four tables the heavy families read are scaled
+(lineitem, orders, documents, embeddings); remaining tables are
+symlinked unscaled (dims are broadcast sides — their size is not the
+scaling variable).
+
+Usage::
+
+    python tools/gen_scale.py /root/testdata/sf0.1 /tmp/scale_sf0.5 5
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import string
+import sys
+
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
+sys.path.insert(0, REPO)
+
+ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _rot_alphabet(i: int) -> tuple[str, str]:
+    low = string.ascii_lowercase
+    up = string.ascii_uppercase
+    r = i % 26
+    return (low + up, low[r:] + low[:r] + up[r:] + up[:r])
+
+
+def scale_dir(src: str, out: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.session import get_spark
+
+    spark = get_spark("gen_scale", cpus=int(os.environ.get(
+        "SPARK_GRAFT_CPUS", "32")))
+    os.makedirs(out, exist_ok=True)
+
+    def offset(col, step):
+        def f(df, i):
+            return df.withColumn(col, F.col(col) + F.lit(i * step))
+        return f
+
+    def copies(name, *transforms):
+        base = load_table(spark, src, name)
+        parts = []
+        for i in range(k):
+            df = base
+            for t in transforms:
+                df = t(df, i)
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        # write ts-typed frames back in the driver's physical shape
+        # (nanos-as-long) is unnecessary — load_table handles both; we
+        # write plain timestamps.
+        u.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    mx = {}
+    for tbl, col in (("orders", "o_orderkey"), ("orders", "o_custkey"),
+                     ("part", "p_partkey"), ("supplier", "s_suppkey"),
+                     ("documents", "doc_id"), ("embeddings", "vec_id")):
+        mx[col] = load_table(spark, src, tbl).agg(
+            F.max(col)).first()[0] + 1
+
+    copies("orders",
+           offset("o_orderkey", mx["o_orderkey"]),
+           offset("o_custkey", mx["o_custkey"]))
+    copies("lineitem",
+           offset("l_orderkey", mx["o_orderkey"]),
+           offset("l_partkey", mx["p_partkey"]),
+           offset("l_suppkey", mx["s_suppkey"]))
+
+    def perturb_text(df, i):
+        src_a, dst_a = _rot_alphabet(i)
+        return df.withColumn("text", F.translate("text", src_a, dst_a))
+
+    copies("documents", offset("doc_id", mx["doc_id"]), perturb_text)
+
+    def roll_embedding(df, i):
+        r = i % 64
+        if r == 0:
+            return df
+        e = F.col("embedding")
+        rolled = F.concat(F.slice(e, r + 1, 64 - r), F.slice(e, 1, r))
+        return df.withColumn("embedding", rolled)
+
+    copies("embeddings", offset("vec_id", mx["vec_id"]), roll_embedding)
+
+    for name in ALL_TABLES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src, f"{name}.parquet"), dst)
+
+
+if __name__ == "__main__":
+    src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    scale_dir(src, out, k)
+    print(f"scaled {src} ×{k} → {out}")
