@@ -249,8 +249,15 @@ def _register_query() -> None:
     def q_stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ecommerce_analytics_spark.io import run_tmpdir
         run_dir = run_tmpdir("stream_e2e_")
-        run_pipeline(spark, os.path.join(sf_dir, "events.parquet"),
-                     run_dir)
+        path = os.path.join(sf_dir, "events.parquet")
+        # scale rows-per-microbatch with the input so the replay is
+        # always ~8 micro-batches: cross-batch state is exercised at
+        # every SF while per-batch overhead (driver-side prefetch,
+        # state-store commit, epoch manifest) stays constant instead
+        # of growing linearly with SF. The pytest surfaces use small
+        # fixed batch_rows to stress many-batch behavior.
+        batch_rows = max(4000, (replay_total_offset(path) - 1) // 8)
+        run_pipeline(spark, path, run_dir, batch_rows=batch_rows)
         return read_rollup(spark, run_dir)
 
 
