@@ -110,18 +110,35 @@ def windowed_rollup(enriched: DataFrame, watermark: str = "1 hour") -> DataFrame
 def build_pipeline(spark: SparkSession, events_path: str,
                    batch_rows: int = 4000,
                    corrupt_every: int | None = None,
+                   dead_batch_rows: int | None = None,
                    ) -> tuple[DataFrame, DataFrame]:
     """(windowed rollup, dead-letter lines) streaming DataFrames for
-    the full topology. Callers attach sinks + checkpoints."""
+    the full topology. Callers attach sinks + checkpoints.
+
+    The two sink queries read the replay INDEPENDENTLY (each streaming
+    query owns its source offsets), so each gets the reader shape its
+    semantics need: the stateful rollup replays in ``batch_rows``
+    micro-batches with the end-of-replay sentinel (cross-batch state +
+    watermark flush); the stateless dead-letter route needs neither —
+    it drains in one big batch (``dead_batch_rows``, default the whole
+    file) with no sentinel, halving the replay's Python-source cost."""
     from ecommerce_analytics_spark.sources.simulator import register_sim_source
     register_sim_source(spark)
-    stream = (spark.readStream.format("sim_events")
-              .option("path", events_path)
-              .option("batch_rows", str(batch_rows))
-              .option("sentinel_days", "30")
-              .load())
-    parsed = parse_event_lines(to_wire(stream, corrupt_every))
-    valid, dead = split_dead_letter(parsed)
+
+    def reader(rows: int, sentinel_days: int):
+        return (spark.readStream.format("sim_events")
+                .option("path", events_path)
+                .option("batch_rows", str(rows))
+                .option("sentinel_days", str(sentinel_days))
+                .load())
+
+    agg_stream = reader(batch_rows, 30)
+    valid, _ = split_dead_letter(
+        parse_event_lines(to_wire(agg_stream, corrupt_every)))
+    dead_rows = dead_batch_rows or replay_total_offset(events_path)
+    dead_stream = reader(dead_rows, 0)
+    _, dead = split_dead_letter(
+        parse_event_lines(to_wire(dead_stream, corrupt_every)))
     return windowed_rollup(enrich(valid)), dead
 
 
@@ -193,17 +210,20 @@ def run_pipeline(spark: SparkSession, events_path: str, run_dir: str,
     rollup, dead = build_pipeline(spark, events_path, batch_rows,
                                   corrupt_every)
     queries = []
-    for name, df, stateful in (("agg", rollup, True),
-                               ("dead", dead, False)):
+    for name, df, stateful, total in (
+            ("agg", rollup, True, total_offset),
+            # the dead-letter reader runs sentinel-free: its terminal
+            # offset is the raw row count
+            ("dead", dead, False, total_offset - 1)):
         q = (df.writeStream.format("docstore")
              .outputMode("append")
              .option("path", os.path.join(run_dir, f"store_{name}"))
              .option("checkpointLocation", os.path.join(run_dir, f"ck_{name}"))
              .trigger(processingTime="0 seconds")
              .start())
-        queries.append((q, stateful))
-    for q, stateful in queries:
-        drain_replay(q, total_offset, stateful,
+        queries.append((q, stateful, total))
+    for q, stateful, total in queries:
+        drain_replay(q, total, stateful,
                      stop_after_first_batch, timeout_s)
 
 
