@@ -25,8 +25,16 @@ semi-join of per-doc gram occurrences against the repeated-hash set
 (equi on the hash — AQE broadcasts it when small, as boilerplate
 inventories are) followed by a per-doc covered-position aggregation;
 reassembly is a higher-order array filter — no per-token shuffle, no
-Python. Reference parity: no counterpart (the reference has no text
-operators at all); north-star family per BASELINE.json.
+Python. The prune plan scans/explodes the corpus twice (once to build
+the repeated-hash set, once for occurrences) — deliberate: the
+single-scan alternative (collect_list of (doc, pos) per gram hash,
+then filter + re-explode) concentrates every occurrence of a
+mega-repeated boilerplate gram into ONE aggregation buffer, an
+unbounded-skew trap; at 100 TB the right reuse is materializing the
+gram table once (checkpoint/persist between the two consumers), which
+changes no plan shape. Reference parity: no counterpart (the
+reference has no text operators at all); north-star family per
+BASELINE.json.
 """
 
 from __future__ import annotations
