@@ -282,3 +282,88 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+def _register_session_query() -> None:
+    from ecommerce_analytics_spark.numerics import money_sum, money_sum_sql
+    from ecommerce_analytics_spark.plans.registry import query
+
+    gap_ms = 30 * 60 * 1000
+
+    @query(
+        "stream_sessionize_e2e",
+        f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {gap_ms}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT *, sum(new_sess) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {money_sum_sql('value')} AS total_value
+        FROM sess GROUP BY user_id, session_no
+        """,
+        doc="Session windows certified THROUGH the streaming engine: "
+            "sentinel-punctuated replay → watermarked session_window "
+            "aggregation in APPEND mode (sessions emit only when the "
+            "watermark passes last-event+gap) → docstore sink → read "
+            "back; must hash-match the first-principles lag+cumsum "
+            "session oracle. The driver-visible twin of the append-"
+            "mode gap-close parity test.",
+        tags=("streaming", "sessions", "window", "e2e"),
+    )
+    def q_stream_sessionize_e2e(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        from ecommerce_analytics_spark.io import run_tmpdir
+        from ecommerce_analytics_spark.sources.docstore import (
+            read_docstore, register_docstore_sink,
+        )
+        from ecommerce_analytics_spark.sources.simulator import (
+            register_sim_source,
+        )
+        register_sim_source(spark)
+        register_docstore_sink(spark)
+        run_dir = run_tmpdir("stream_sess_")
+        path = os.path.join(sf_dir, "events.parquet")
+        total = replay_total_offset(path)
+        stream = (spark.readStream.format("sim_events")
+                  .option("path", path)
+                  .option("batch_rows", str(max(4000, (total - 1) // 8)))
+                  .option("sentinel_days", "30")
+                  .load())
+        agg = (
+            stream
+            .withWatermark("ts", "1 hour")
+            .groupBy("user_id",
+                     F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"),
+                 money_sum("value").alias("total_value"))
+            .select("user_id", "session_start", "session_end",
+                    "n_events", "total_value")
+        )
+        q = (agg.writeStream.format("docstore")
+             .outputMode("append")
+             .option("path", os.path.join(run_dir, "store"))
+             .option("checkpointLocation", os.path.join(run_dir, "ck"))
+             .trigger(processingTime="0 seconds")
+             .start())
+        drain_replay(q, total)
+        return read_docstore(
+            spark, os.path.join(run_dir, "store"),
+            "user_id bigint, session_start timestamp, "
+            "session_end timestamp, n_events bigint, total_value double")
+
+
+_register_session_query()
