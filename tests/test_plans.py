@@ -318,3 +318,41 @@ def test_join_strategy_hints_are_respected(spark, sf_dir):
     assert "ShuffledHashJoin" in shuffle_hash
     bcast = _plan(orders.join(customer.hint("broadcast"), cond))
     assert "BroadcastHashJoin" in bcast
+
+
+def test_runtime_bloom_filter_semi_join_pushdown(spark, sf_dir):
+    """Optimizer-control evidence for the 100 TB fact⋈filtered-dim
+    shape: Spark's runtime bloom-filter injection plants a
+    might_contain(...) filter from the selective build side onto the
+    probe-side SCAN, pruning fact rows before the join shuffle. The
+    default application-side threshold (10 GB scanned) is exactly
+    right in production and never fires at test SFs — the test lowers
+    it (and disables broadcast, which would subsume the join) purely
+    to certify the wiring; session defaults are restored after."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_spark.io import load_table
+
+    app_key = ("spark.sql.optimizer.runtime.bloomFilter."
+               "applicationSideScanSizeThreshold")
+    bc_key = "spark.sql.autoBroadcastJoinThreshold"
+    old = {k: spark.conf.get(k) for k in (app_key, bc_key)}
+    try:
+        spark.conf.set(app_key, "1b")
+        spark.conf.set(bc_key, "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = (load_table(spark, sf_dir, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = _plan(j)
+        assert "might_contain" in plan
+        # and it must sit on the fact (probe) side scan's filter,
+        # keyed by the join key
+        assert "might_contain" in plan.split("Scan parquet")[0] \
+            or "l_orderkey" in [
+                ln for ln in plan.splitlines()
+                if "might_contain" in ln][0]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
