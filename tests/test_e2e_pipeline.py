@@ -151,3 +151,18 @@ def test_sentinel_invisible_in_output(spark, sf_dir, tmp_path):
         F.col("event_type") == SENTINEL_EVENT_TYPE).count() == 0
     # all real windows flushed: row count equals the batch truth
     assert rollup.count() == _batch_truth(spark, sf_dir).count()
+
+
+def test_pipeline_source_error_raises_not_hangs(spark, tmp_path):
+    """A broken source must surface as an exception from the drain
+    loop (the query dies -> awaitTermination re-raises), never as a
+    silent wait-until-timeout."""
+    import pytest
+
+    from ecommerce_analytics_spark.streaming.e2e_pipeline import (
+        run_pipeline,
+    )
+    with pytest.raises(Exception) as exc:
+        run_pipeline(spark, str(tmp_path / "nope.parquet"),
+                     str(tmp_path / "err_run"), timeout_s=60)
+    assert "TimeoutError" not in type(exc.value).__name__

@@ -38,6 +38,7 @@ POINTS = [
     ("sf0.1", "/root/testdata/sf0.1", 0.1),
     ("sf0.2", os.environ.get("SCALE_X2", "/tmp/scale_x2"), 0.2),
     ("sf0.5", os.environ.get("SCALE_X5", "/tmp/scale_x5"), 0.5),
+    ("sf1.0", os.environ.get("SCALE_X10", "/tmp/scale_x10"), 1.0),
 ]
 
 RUNS = int(os.environ.get("SCALING_RUNS", "2"))
