@@ -74,3 +74,75 @@ def q_revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_trailing") >= 12) & (F.col("trailing_std") > 0)
          & (F.abs(z) > Z_FLAG)).alias("is_anomaly"),
     )
+
+
+MAD_FLAG = 3.5  # Iglewicz–Hoaglin modified-z cutoff
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(0.75): MAD→σ consistency constant
+
+_MAD_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY date_trunc('day', ts)
+),
+med AS (
+  SELECT *, median(cents) OVER () AS med_cents FROM daily
+),
+mad AS (
+  SELECT *, median(abs(cents - med_cents)) OVER () AS mad_cents FROM med
+)
+SELECT day_ts,
+       round(cents * 0.01, 2) AS revenue,
+       round(med_cents * 0.01, 2) AS median_revenue,
+       round(mad_cents * 0.01, 2) AS mad_revenue,
+       round(CASE WHEN mad_cents > 0
+                  THEN {MAD_CONSISTENCY} * (cents - med_cents) / mad_cents
+                  ELSE 0.0 END, 4) AS robust_z,
+       (mad_cents > 0
+        AND abs({MAD_CONSISTENCY} * (cents - med_cents) / mad_cents)
+            > {MAD_FLAG}) AS is_anomaly
+FROM mad
+"""
+
+
+@query(
+    "revenue_anomaly_mad",
+    _MAD_ORACLE,
+    doc="C5 robust twin of the z-score detector: median/MAD modified "
+        f"z-score (Iglewicz–Hoaglin, flag |z| > {MAD_FLAG}) on daily "
+        "revenue — outliers cannot inflate their own detection "
+        "threshold the way they inflate a stddev. All statistics run "
+        "on exact integer cents (medians of ints are ints or .5s — "
+        "exact in DOUBLE), so both engines compute bit-identical "
+        "medians; the consistency-constant multiply and division are "
+        "single IEEE ops rounded identically. Medians are windows over "
+        "the DAILY rollup (bounded by the calendar), never raw facts.",
+    tags=("ml", "window", "tier-c", "robust"),
+)
+def q_revenue_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    from ecommerce_analytics_spark.numerics import cents
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.sum(cents("value")).cast("double").alias("cents"))
+    )
+    w_all = Window.partitionBy()
+    med = daily.withColumn(
+        "med_cents", F.expr("percentile(cents, 0.5)").over(w_all))
+    mad = med.withColumn(
+        "mad_cents",
+        F.expr("percentile(abs(cents - med_cents), 0.5)").over(w_all))
+    z = F.when(F.col("mad_cents") > 0,
+               MAD_CONSISTENCY * (F.col("cents") - F.col("med_cents"))
+               / F.col("mad_cents")).otherwise(0.0)
+    return mad.select(
+        "day_ts",
+        F.round(F.col("cents") * 0.01, 2).alias("revenue"),
+        F.round(F.col("med_cents") * 0.01, 2).alias("median_revenue"),
+        F.round(F.col("mad_cents") * 0.01, 2).alias("mad_revenue"),
+        F.round(z, 4).alias("robust_z"),
+        ((F.col("mad_cents") > 0) & (F.abs(z) > MAD_FLAG))
+        .alias("is_anomaly"),
+    )
