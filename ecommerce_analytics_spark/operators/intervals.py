@@ -137,3 +137,126 @@ def q_promo_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
                  F.countDistinct("user_id").cast("long").alias("n_users"),
                  F.sum("user_id").cast("long").alias("user_checksum")))
+
+
+_COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT l_suppkey,
+         date_diff('day', DATE '1970-01-01', l_shipdate) AS s,
+         date_diff('day', DATE '1970-01-01', l_shipdate)
+           + 1 + ((l_orderkey + l_linenumber) % 28) AS r
+  FROM lineitem
+), w AS (
+  SELECT l_suppkey, s, r,
+         max(r) OVER (PARTITION BY l_suppkey ORDER BY s, r
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM iv
+), fl AS (
+  SELECT l_suppkey, s, r,
+         CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS ns
+  FROM w
+), isl AS (
+  SELECT l_suppkey, s, r,
+         sum(ns) OVER (PARTITION BY l_suppkey ORDER BY s, r
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+), g AS (
+  SELECT l_suppkey, island, min(s) AS i_start, max(r) AS i_end,
+         count(*) AS n
+  FROM isl GROUP BY l_suppkey, island
+), cov AS (
+  SELECT l_suppkey,
+         CAST(sum(n) AS BIGINT) AS n_shipments,
+         CAST(count(*) AS BIGINT) AS n_islands,
+         CAST(sum(i_end - i_start + 1) AS BIGINT) AS covered_days,
+         CAST(max(i_end) - min(i_start) + 1 AS BIGINT) AS span_days
+  FROM g GROUP BY l_suppkey
+), ev AS (
+  SELECT l_suppkey, s AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT l_suppkey, r + 1 AS day, -1 AS delta FROM iv
+), rs AS (
+  SELECT l_suppkey,
+         sum(delta) OVER (PARTITION BY l_suppkey ORDER BY day, delta
+                          ROWS UNBOUNDED PRECEDING) AS depth
+  FROM ev
+), pk AS (
+  SELECT l_suppkey, CAST(max(depth) AS BIGINT) AS peak_in_transit
+  FROM rs GROUP BY l_suppkey
+)
+SELECT cov.l_suppkey AS suppkey, cov.n_shipments, cov.n_islands,
+       cov.covered_days, cov.span_days, pk.peak_in_transit
+FROM cov JOIN pk ON pk.l_suppkey = cov.l_suppkey
+"""
+
+
+@query(
+    "supplier_transit_coverage",
+    _COVERAGE_ORACLE,
+    doc="Gaps-and-islands + sweep-line concurrency, the two classic "
+        "interval aggregations the banded join above doesn't cover: "
+        "per supplier, merge every in-transit interval — ship day "
+        "through a deterministic 1-28-day transit derived from the "
+        "line key, the promo-calendar precedent (this corpus carries "
+        "no l_receiptdate) — with contiguous-day semantics (touching "
+        "islands fuse) via the running-max-end window trick: covered "
+        "days, island count, total span — plus PEAK concurrent "
+        "shipments from a +1/-1 event sweep with the end-before-start "
+        "tie order that keeps adjacent intervals non-overlapping. "
+        "Everything is exact integer day arithmetic inside two "
+        "window passes over ONE supplier-hash exchange — no "
+        "self-join, no explode-per-day — so the plan is a single "
+        "shuffle at any scale and the result hash-matches DuckDB "
+        "bitwise. Island flags and running depth are invariant to "
+        "tie order within (start, end) groups, so the output is "
+        "deterministic despite window ties.",
+    tags=("intervals", "window", "agg", "scale"),
+)
+def q_supplier_transit_coverage(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ship_day = F.datediff("l_shipdate", F.lit("1970-01-01"))
+    iv = lineitem.select(
+        "l_suppkey",
+        ship_day.alias("s"),
+        (ship_day + 1
+         + (F.col("l_orderkey") + F.col("l_linenumber")) % 28).alias("r"))
+
+    order_w = (Window.partitionBy("l_suppkey").orderBy("s", "r")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    run_w = (Window.partitionBy("l_suppkey").orderBy("s", "r")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    isl = (iv
+           .withColumn("pmax", F.max("r").over(order_w))
+           .withColumn("ns", F.when(F.col("pmax").isNull()
+                                    | (F.col("s") > F.col("pmax") + 1), 1)
+                       .otherwise(0))
+           .withColumn("island", F.sum("ns").over(run_w)))
+    g = (isl.groupBy("l_suppkey", "island")
+         .agg(F.min("s").alias("i_start"), F.max("r").alias("i_end"),
+              F.count(F.lit(1)).alias("n")))
+    cov = (g.groupBy("l_suppkey")
+           .agg(F.sum("n").cast("long").alias("n_shipments"),
+                F.count(F.lit(1)).cast("long").alias("n_islands"),
+                F.sum(F.col("i_end") - F.col("i_start") + 1).cast("long")
+                .alias("covered_days"),
+                (F.max("i_end") - F.min("i_start") + 1).cast("long")
+                .alias("span_days")))
+
+    ev = (iv.select("l_suppkey", F.col("s").alias("day"),
+                    F.lit(1).alias("delta"))
+          .unionAll(iv.select("l_suppkey", (F.col("r") + 1).alias("day"),
+                              F.lit(-1).alias("delta"))))
+    depth_w = (Window.partitionBy("l_suppkey").orderBy("day", "delta")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    pk = (ev.withColumn("depth", F.sum("delta").over(depth_w))
+          .groupBy("l_suppkey")
+          .agg(F.max("depth").cast("long").alias("peak_in_transit")))
+
+    return (cov.join(pk, "l_suppkey")
+            .select(F.col("l_suppkey").alias("suppkey"), "n_shipments",
+                    "n_islands", "covered_days", "span_days",
+                    "peak_in_transit"))
