@@ -413,3 +413,77 @@ def q_suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+ASOF_FWD_TOL_MS = 24 * 3600 * 1000  # forward-match tolerance: 24h
+
+
+@query(
+    "asof_next_click_tolerance",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND user_id IS NOT NULL
+    ), w AS (
+      SELECT user_id, event_id, ts, is_c,
+             first_value(CASE WHEN is_c = 1 THEN epoch_ms(ts) END
+                         IGNORE NULLS) OVER fwd AS nc_ms,
+             first_value(CASE WHEN is_c = 1 THEN event_id END
+                         IGNORE NULLS) OVER fwd AS nc_id
+      FROM ev
+      WINDOW fwd AS (PARTITION BY user_id ORDER BY ts, is_c, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id AS purchase_event_id,
+           CASE WHEN nc_ms - epoch_ms(ts) <= {ASOF_FWD_TOL_MS}
+                THEN nc_id END AS next_click_event_id,
+           CASE WHEN nc_ms - epoch_ms(ts) <= {ASOF_FWD_TOL_MS}
+                THEN nc_ms - epoch_ms(ts) END AS gap_ms,
+           COALESCE(nc_ms - epoch_ms(ts) <= {ASOF_FWD_TOL_MS}, FALSE)
+             AS matched
+    FROM w WHERE is_c = 0
+    """,
+    doc="FORWARD as-of join with tolerance (pandas merge_asof "
+        "direction='forward'; the family's existing member is the "
+        "backward prior-purchase lookup): each purchase matched to "
+        "the user's first click at-or-after it, kept only when the "
+        "gap is within 24h. Expressed with NO join at all — one "
+        "tagged union ordered by (ts, kind, event_id) and a "
+        "first-non-null-over-following-frame window, so the whole "
+        "operator is a single user-hash exchange that survives any "
+        "scale; the tolerance is a post-predicate on the matched "
+        "gap. Same-timestamp clicks sort after the purchase (kind "
+        "ascending) and therefore DO match at gap 0 — the documented "
+        "tie rule, identical in both engines.",
+    tags=("join", "asof", "window", "scale"),
+)
+def q_asof_next_click_tolerance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev = (events
+          .filter(F.col("event_type").isin("purchase", "click")
+                  & F.col("user_id").isNotNull())
+          .select("user_id", "event_id", "ts",
+                  F.when(F.col("event_type") == "click", 1).otherwise(0)
+                  .alias("is_c")))
+    fwd = (Window.partitionBy("user_id").orderBy("ts", "is_c", "event_id")
+           .rowsBetween(1, Window.unboundedFollowing))
+    is_click = F.col("is_c") == 1
+    w = (ev
+         .withColumn("nc_ms",
+                     F.first(F.when(is_click, F.unix_millis("ts")),
+                             ignorenulls=True).over(fwd))
+         .withColumn("nc_id",
+                     F.first(F.when(is_click, F.col("event_id")),
+                             ignorenulls=True).over(fwd)))
+    gap = F.col("nc_ms") - F.unix_millis("ts")
+    within = gap <= ASOF_FWD_TOL_MS
+    return (w.filter(F.col("is_c") == 0)
+            .select("user_id",
+                    F.col("event_id").alias("purchase_event_id"),
+                    F.when(within, F.col("nc_id"))
+                    .alias("next_click_event_id"),
+                    F.when(within, gap).alias("gap_ms"),
+                    F.coalesce(within, F.lit(False)).alias("matched")))

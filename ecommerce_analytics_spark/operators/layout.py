@@ -157,3 +157,66 @@ def q_zorder_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("l_suppkey").cast("long").alias("min_supp"),
                  F.max("l_suppkey").cast("long").alias("max_supp"),
                  F.sum("morton").cast("long").alias("morton_checksum")))
+
+
+@query(
+    "lake_schema_evolution_rollup",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) % 2
+               AS epoch,
+             CAST(length(props) AS BIGINT) AS quality_score
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN epoch = 1 THEN 1 END) AS BIGINT)
+             AS n_scored,
+           CAST(sum(CASE WHEN epoch = 1 THEN quality_score END) AS BIGINT)
+             AS score_sum
+    FROM ev GROUP BY event_type
+    """,
+    doc="Schema evolution across lake partitions, certified end to "
+        "end: even-day events are written WITHOUT the quality_score "
+        "column (the historical layout), odd-day events WITH it (the "
+        "evolved layout), into epoch= partition directories of one "
+        "table. The unified read uses mergeSchema + partition "
+        "discovery, so historical rows surface NULL for the new "
+        "column and the rollup counts scored vs total per event type "
+        "— the exact upgrade path a 100 TB lake takes when a pipeline "
+        "adds a column (no rewrite of old partitions; the footer "
+        "union is per-file metadata work). The oracle recomputes the "
+        "same rollup straight from the source table, so the "
+        "write→evolve→merge-read roundtrip must be lossless to "
+        "hash-match.",
+    tags=("io", "lake", "schema-evolution", "scale"),
+)
+def q_lake_schema_evolution_rollup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import os
+
+    from ecommerce_analytics_spark.io import run_tmpdir
+
+    events = load_table(spark, sf_dir, "events")
+    day_epoch = (F.datediff(F.date_trunc("day", "ts"),
+                            F.lit("1970-01-01").cast("date")) % 2)
+    base = events.withColumn("_epoch", day_epoch)
+    root = run_tmpdir(prefix="lake_evo_")
+    table = os.path.join(root, "events_evolved")
+    # historical layout: no quality_score column
+    (base.filter(F.col("_epoch") == 0)
+     .select("event_id", "event_type")
+     .write.mode("overwrite").parquet(os.path.join(table, "epoch=0")))
+    # evolved layout: quality_score added (deterministic stand-in)
+    (base.filter(F.col("_epoch") == 1)
+     .select("event_id", "event_type",
+             F.length("props").cast("long").alias("quality_score"))
+     .write.mode("overwrite").parquet(os.path.join(table, "epoch=1")))
+
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("basePath", table).parquet(table))
+    return (merged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.count("quality_score").cast("long").alias("n_scored"),
+                 F.sum("quality_score").cast("long").alias("score_sum")))

@@ -132,3 +132,62 @@ def q_daily_value_quantile_sketch(spark: SparkSession,
         F.lit(None).cast("string").alias("day"), "n_events",
         *[f"p{q}_est" for q in QS])
     return daily.unionAll(total)
+
+
+@query(
+    "brand_weighted_median_price",
+    """
+    WITH j AS (
+      SELECT p.p_brand, l.l_extendedprice AS val,
+             CAST(l.l_quantity AS BIGINT) AS w
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), c AS (
+      SELECT p_brand, val, w,
+             sum(w) OVER (PARTITION BY p_brand ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY p_brand) AS tw
+      FROM j
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(max(tw) AS BIGINT) AS total_qty,
+           min(CASE WHEN cw >= tw / 2.0 THEN val END)
+             AS weighted_median_price
+    FROM c GROUP BY p_brand
+    """,
+    doc="WEIGHTED median — the quantile variant percentile_approx and "
+        "the equi-depth family don't cover: per brand, the smallest "
+        "line price whose cumulative quantity reaches half the total "
+        "quantity (lower weighted median, the deterministic "
+        "no-interpolation rule). One brand-hash exchange with an "
+        "in-partition sort feeding two window passes (running and "
+        "total weight) — the classic weighted-quantile shape; integer "
+        "weight cumsum and exact double compares make the result "
+        "hash-match DuckDB bitwise. Tie groups on equal price cross "
+        "the threshold at the same value whatever their intra-tie "
+        "order, so window-tie nondeterminism cannot leak into the "
+        "output.",
+    tags=("window", "agg", "quantile", "scale"),
+)
+def q_brand_weighted_median_price(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_extendedprice").alias("val"),
+        F.col("l_quantity").cast("long").alias("w"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+
+    wcum = (Window.partitionBy("p_brand").orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy("p_brand")
+    c = (j.select("p_brand", "val", "w")
+         .withColumn("cw", F.sum("w").over(wcum))
+         .withColumn("tw", F.sum("w").over(wtot)))
+    return (c.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.max("tw").cast("long").alias("total_qty"),
+                 F.min(F.when(F.col("cw") >= F.col("tw") / 2.0,
+                              F.col("val")))
+                 .alias("weighted_median_price")))

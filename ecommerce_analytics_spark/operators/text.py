@@ -261,3 +261,103 @@ def q_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6)
         .alias("avg_chars"),
     )
+
+
+PMI_MIN_COUNT = 5       # bigram support floor
+PMI_TOP_K = 50
+PMI_FIX = 1_000_000     # 1e-6 fixed point for the ln() combination
+
+
+@query(
+    "bigram_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+      FROM toks
+    ), bc AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bi GROUP BY b.w1, b.w2
+    ), uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(t) AS u(tok) GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_uni,
+             (SELECT CAST(sum(c_ab) AS BIGINT) FROM bc) AS n_bi
+      FROM uni
+    ), scored AS (
+      SELECT bc.w1, bc.w2, bc.c_ab, a.c AS c_a, b.c AS c_b,
+             CAST(round((ln(CAST(bc.c_ab AS DOUBLE))
+                         + 2 * ln(CAST(tot.n_uni AS DOUBLE))
+                         - ln(CAST(tot.n_bi AS DOUBLE))
+                         - ln(CAST(a.c AS DOUBLE))
+                         - ln(CAST(b.c AS DOUBLE))) * {PMI_FIX})
+                  AS BIGINT) AS pmi_fix
+      FROM bc
+      JOIN uni a ON a.tok = bc.w1
+      JOIN uni b ON b.tok = bc.w2
+      CROSS JOIN tot
+      WHERE bc.c_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_ab, c_a, c_b,
+           CAST(pmi_fix AS DOUBLE) / {PMI_FIX} AS pmi
+    FROM scored
+    ORDER BY pmi_fix DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+    doc="Collocation mining: top-50 bigrams by pointwise mutual "
+        "information, PMI = ln(p(ab) / (p(a)p(b))) over the corpus's "
+        "adjacent-token pairs — the phrase detector (word2vec-phrases "
+        "/ gensim recipe) a pretraining tokenizer pipeline runs "
+        "before vocab induction. One explode pass each for bigram "
+        "and unigram counts (compact-key shuffles), two vocab joins, "
+        "scalar totals attached in-plan; support floor of "
+        f"{PMI_MIN_COUNT} kills the hapax noise PMI is notorious "
+        "for. The ln() combination is snapped to 1e-6 fixed point "
+        "(the decontam.py LOG_FIX recipe) so ranking and emitted "
+        "scores are engine-exact; ties broken by (w1, w2) for a "
+        "deterministic top-k.",
+    tags=("text", "north-star", "scale"),
+)
+def q_bigram_pmi_collocations(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bi = toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> named_struct('w1', element_at(t, i), "
+        "'w2', element_at(t, i + 1)))")).alias("b"))
+    bc = (bi.select("b.w1", "b.w2")
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("c_ab")))
+    uni = (toks.select(F.explode("t").alias("tok"))
+           .groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = (uni.agg(F.sum("c").cast("long").alias("n_uni"))
+           .crossJoin(F.broadcast(
+               bc.agg(F.sum("c_ab").cast("long").alias("n_bi")))))
+
+    a, b = uni.alias("a"), uni.alias("b")
+    scored = (bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+              .join(a, F.col("a.tok") == F.col("w1"))
+              .join(b, F.col("b.tok") == F.col("w2"))
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "w1", "w2", "c_ab",
+                  F.col("a.c").alias("c_a"),
+                  F.col("b.c").alias("c_b"),
+                  F.round((F.log(F.col("c_ab").cast("double"))
+                           + 2 * F.log(F.col("n_uni").cast("double"))
+                           - F.log(F.col("n_bi").cast("double"))
+                           - F.log(F.col("a.c").cast("double"))
+                           - F.log(F.col("b.c").cast("double")))
+                          * PMI_FIX).cast("bigint").alias("pmi_fix")))
+    return (scored
+            .orderBy(F.desc("pmi_fix"), "w1", "w2")
+            .limit(PMI_TOP_K)
+            .select("w1", "w2", "c_ab", "c_a", "c_b",
+                    (F.col("pmi_fix").cast("double") / PMI_FIX)
+                    .alias("pmi")))

@@ -599,3 +599,101 @@ def q_holt_linear_daily_revenue(spark: SparkSession,
         "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
         "rev", "lvl", "trend",
         (F.col("lvl") + F.col("trend")).alias("forecast_next"))
+
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS d,
+         sum(CAST(round(value * 100) AS BIGINT)) AS rev_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), pairs AS (
+  SELECT CAST(b.rev_cents - a.rev_cents AS DOUBLE)
+           / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.d > a.d
+), sl AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+         count(*) OVER () AS n
+  FROM pairs
+), sen AS (
+  SELECT slope AS sen_slope FROM sl WHERE rn = (n + 1) // 2
+), ic AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+  FROM (SELECT CAST(rev_cents AS DOUBLE)
+                 - (SELECT sen_slope FROM sen) * CAST(d AS DOUBLE) AS v
+        FROM daily)
+), sic AS (
+  SELECT v AS sen_intercept FROM ic WHERE rn = (n + 1) // 2
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+       round((SELECT sen_slope FROM sen), 6) AS sen_slope_cents_per_day,
+       round((SELECT sen_intercept FROM sic), 6) AS sen_intercept_cents
+"""
+
+
+@query(
+    "daily_revenue_theil_sen",
+    _THEIL_SEN_ORACLE,
+    doc="Theil-Sen robust trend — the median-of-pairwise-slopes "
+        "estimator that completes the robust-stats family (MAD "
+        "anomaly flags outliers; this fits a trend a 29%-outlier "
+        "fraction cannot bend, unlike the existing least-squares "
+        "slope). Slopes are computed over the DAILY AGGREGATE (one "
+        "exchange over the fact table first), so the O(n^2) pair "
+        "stage runs on calendar days, not rows — ~365·years pairs at "
+        "any data scale, attached via an explicit broadcast "
+        "inequality self-join (BNLJ on a by-construction-bounded "
+        "side). Integer-cents revenue, identical IEEE divisions, and "
+        "the deterministic lower-median rank rule (rn = (n+1) div 2) "
+        "make slope AND intercept hash-match DuckDB bitwise.",
+    tags=("timeseries", "robust", "window", "scale"),
+)
+def q_daily_revenue_theil_sen(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ecommerce_analytics_spark.numerics import cents
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (events.filter(F.col("event_type") == "purchase")
+             .groupBy(F.datediff(F.date_trunc("day", "ts"),
+                                 F.lit("1970-01-01").cast("date"))
+                      .cast("long").alias("d"))
+             .agg(F.sum(cents("value")).alias("rev_cents")))
+
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(F.broadcast(b), F.col("b.d") > F.col("a.d"))
+             .select(((F.col("b.rev_cents") - F.col("a.rev_cents"))
+                      .cast("double")
+                      / (F.col("b.d") - F.col("a.d")).cast("double"))
+                     .alias("slope")))
+
+    def lower_median(df, col):
+        w = Window.orderBy(col)
+        ranked = df.select(
+            F.col(col), F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.lit(1))).alias("n"))
+        return ranked.filter(
+            F.col("rn") == F.floor((F.col("n") + 1) / 2))
+
+    sen = lower_median(pairs, "slope").select(
+        F.col("slope").alias("sen_slope"))
+    ic_cand = (daily.crossJoin(F.broadcast(sen))
+               .select((F.col("rev_cents").cast("double")
+                        - F.col("sen_slope") * F.col("d").cast("double"))
+                       .alias("v")))
+    sic = lower_median(ic_cand, "v").select(
+        F.col("v").alias("sen_intercept"))
+
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (nd.crossJoin(F.broadcast(np_))
+            .crossJoin(F.broadcast(sen))
+            .crossJoin(F.broadcast(sic))
+            .select("n_days", "n_pairs",
+                    F.round("sen_slope", 6)
+                    .alias("sen_slope_cents_per_day"),
+                    F.round("sen_intercept", 6)
+                    .alias("sen_intercept_cents")))

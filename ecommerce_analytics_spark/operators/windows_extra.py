@@ -560,3 +560,66 @@ def q_user_type_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.array_sort(F.array_except("types", conv)))
         .alias("browse_types"),
         F.size("types").cast("int").alias("n_types"))
+
+
+@query(
+    "trailing_7day_unique_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT
+             date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+               AS day_num,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), days AS (
+      SELECT DISTINCT day_num, event_date FROM du
+    ), a1 AS (
+      SELECT day_num, CAST(count(DISTINCT user_id) AS BIGINT) AS users_1d
+      FROM du GROUP BY day_num
+    ), a7 AS (
+      SELECT d.day_num, CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+      FROM days d JOIN du u
+        ON u.day_num BETWEEN d.day_num - 6 AND d.day_num
+      GROUP BY d.day_num
+    )
+    SELECT days.event_date, a1.users_1d, a7.users_7d
+    FROM days
+    JOIN a1 ON a1.day_num = days.day_num
+    JOIN a7 ON a7.day_num = days.day_num
+    """,
+    doc="Trailing-7-day DISTINCT users — the rolling metric a window "
+        "frame cannot express (distinct doesn't decompose over frame "
+        "slides, and a RANGE frame with count(DISTINCT) is unsupported "
+        "in both engines). The scalable shape: explode each distinct "
+        "(day, user) pair into the ≤7 target days it contributes to — "
+        "a BOUNDED 7x fan-out of the already-day-deduped pairs, not of "
+        "raw events — then one countDistinct shuffle keyed by target "
+        "day. Joined back to observed days so phantom trailing days "
+        "past the data edge drop out. The oracle runs the equivalent "
+        "range self-join; integer counts hash-match exactly.",
+    tags=("window", "agg", "distinct", "scale"),
+)
+def q_trailing_7day_unique_users(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    events = (load_table(spark, sf_dir, "events")
+              .filter(F.col("user_id").isNotNull()))
+    du = (events
+          .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+          .select(F.datediff("day", F.lit("1970-01-01").cast("date"))
+                  .cast("long").alias("day_num"),
+                  F.date_format("day", "yyyy-MM-dd").alias("event_date"),
+                  "user_id")
+          .distinct())
+    days = du.select("day_num", "event_date").distinct()
+    exp = (du.select(
+        "day_num", "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"))
+        .select((F.col("day_num") + F.col("off")).alias("tgt"), "user_id"))
+    a7 = (exp.groupBy("tgt")
+          .agg(F.countDistinct("user_id").alias("users_7d")))
+    a1 = (du.groupBy("day_num")
+          .agg(F.countDistinct("user_id").alias("users_1d")))
+    return (days.join(a1, "day_num")
+            .join(a7, days.day_num == a7.tgt)
+            .select("event_date", "users_1d", "users_7d"))

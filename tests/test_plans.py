@@ -356,3 +356,44 @@ def test_runtime_bloom_filter_semi_join_pushdown(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_asof_forward_is_single_exchange_no_join(spark, sf_dir):
+    """The forward as-of with tolerance is a tagged union + window —
+    ZERO join operators and exactly one user-hash exchange. This is
+    the whole scale argument for the operator; pin it."""
+    plan = _plan(query_map()["asof_next_click_tolerance"](spark, sf_dir),
+                 "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_weighted_median_two_exchanges_broadcast_dim(spark, sf_dir):
+    """Weighted median: part dim broadcasts into the lineitem scan and
+    the window + final agg share the brand partitioning — at most two
+    exchanges end to end."""
+    plan = _plan(query_map()["brand_weighted_median_price"](spark, sf_dir),
+                 "simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_transit_coverage_shape(spark, sf_dir):
+    """Gaps-and-islands + sweep-line: window passes keyed on supplier,
+    per-supplier scalar join broadcast — no sort-merge join, bounded
+    exchanges."""
+    plan = _plan(query_map()["supplier_transit_coverage"](spark, sf_dir),
+                 "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_pmi_topk_is_take_ordered(spark, sf_dir):
+    """PMI top-50 must plan as TakeOrderedAndProject (partial top-k
+    per partition + merge), not a global sort of the bigram table."""
+    plan = _plan(query_map()["bigram_pmi_collocations"](spark, sf_dir),
+                 "simple")
+    assert "TakeOrderedAndProject" in plan
