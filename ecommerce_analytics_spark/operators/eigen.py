@@ -1,0 +1,277 @@
+"""Top principal component by power iteration — iterative linear
+algebra under the integer-exactness discipline.
+
+``embedding_covariance_stats`` (profiling.py) certifies PCA's
+data-intensive half: exact fixed-point covariance sufficient
+statistics. This module runs the eigen-solve itself INSIDE the engine
+as an iterative query — the PageRank recipe (graph.py) applied to
+linear algebra:
+
+* the covariance NUMERATOR matrix ``C = n·Σxy − Σx·Σy`` is exact
+  128-bit integer arithmetic (DECIMAL(38,0) Spark-side, HUGEINT in
+  the oracle) over the same 1e-6 fixed-point coordinates — no
+  division, so no rounding choice to diverge;
+* each power-iteration round is an exact integer mat-vec (64-row
+  join + associative integer sum — plan-shape independent), followed
+  by ONE deterministic float step: rescale to L∞ = 1e6 fixed point
+  (integer → double is round-to-nearest in both engines, the divide
+  and round are single IEEE ops);
+* the oracle unrolls the same rounds as generated chained CTEs, so
+  the ITERATES — not just the limit — hash-match bitwise.
+
+Scale: the matrix build is one (vec_id-join, dim-pair groupBy) pass,
+2080 upper-triangle rows regardless of corpus size; every iteration
+is a 64×64-row join. At 100 TB only the sufficient-statistics pass
+touches data (per-partition outer products merged by addition); the
+iteration is data-size independent. Sign and convergence are fixed
+by the deterministic e_1 start; tests/test_eigen.py checks the
+result against numpy's full eigendecomposition (cosine ≈ 1) — the
+cross-engine hash only certifies both engines agree, numpy certifies
+they agree on the RIGHT answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.profiling import COV_FIX
+from ecommerce_analytics_spark.plans.registry import query
+
+# 80 rounds: the synthetic embedding cloud's spectrum is near-flat
+# (lambda2/lambda1 ~= 0.932, measured in tests/test_eigen.py's numpy
+# twin), so 25 rounds only reaches cos ~= 0.990 to the true top
+# eigenvector; 80 reaches ~0.999997. Per-round magnitude is bounded by
+# the L-inf rescale, so the round count does not change overflow
+# behavior — only plan length (linear: 2 tiny projections/round).
+EIG_ITERS = 80
+EIG_FIX = 1_000_000       # L-inf fixed point of the iterated vector
+
+
+def _cov_cte() -> str:
+    """Chained CTEs: ex → upper-triangle stats → full C matrix."""
+    # MATERIALIZED: DuckDB inlines plain CTEs, so `cov` (referenced by
+    # all 25 unrolled rounds) would re-expand to the parquet self-join
+    # 25x — "Too many open files" and a 25x re-scan. Materializing the
+    # 2080-row upper triangle makes the unrolled chain scan the data
+    # exactly once. (Spark-side equivalence is unaffected: these are
+    # the same relational definitions.)
+    return f"""ex AS MATERIALIZED (
+  SELECT vec_id, CAST(g.i AS INTEGER) AS dim,
+         CAST(round(CAST(embedding[g.i] AS DOUBLE) * {COV_FIX})
+              AS BIGINT) AS xf
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(i)
+), st AS MATERIALIZED (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(a.xf) AS HUGEINT) AS sum_i,
+         CAST(sum(b.xf) AS HUGEINT) AS sum_j,
+         CAST(sum(a.xf * b.xf) AS HUGEINT) AS sum_ij
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+), upper_c AS (
+  SELECT dim_i, dim_j, n * sum_ij - sum_i * sum_j AS c FROM st
+), cov AS MATERIALIZED (
+  SELECT dim_i, dim_j, c FROM upper_c
+  UNION ALL
+  SELECT dim_j AS dim_i, dim_i AS dim_j, c FROM upper_c
+  WHERE dim_i <> dim_j
+), v0 AS (
+  SELECT dim_i AS dim,
+         CASE WHEN dim_i = 1 THEN CAST({EIG_FIX} AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS v
+  FROM (SELECT DISTINCT dim_i FROM cov)
+)"""
+
+
+def _iter_cte(k: int) -> str:
+    # Both per-round CTEs MATERIALIZED: v{k} references w{k} twice
+    # (FROM + the max() scalar subquery), so plain-CTE inlining doubles
+    # the expression tree per round — 2^25 by the last iterate. This is
+    # the oracle-side mirror of the Spark-side pushdown blowup the
+    # localCheckpoint guards against; each materialization is 64 rows.
+    return f""", w{k} AS MATERIALIZED (
+  SELECT c.dim_i AS dim, sum(c.c * v.v) AS w
+  FROM cov c JOIN v{k - 1} v ON v.dim = c.dim_j
+  GROUP BY c.dim_i
+), v{k} AS MATERIALIZED (
+  SELECT dim,
+         CAST(round(CAST(w AS DOUBLE) * {EIG_FIX}
+                    / (SELECT max(abs(CAST(w AS DOUBLE))) FROM w{k}))
+              AS BIGINT) AS v
+  FROM w{k}
+)"""
+
+
+def _eig_oracle() -> str:
+    cte = "WITH " + _cov_cte()
+    for k in range(1, EIG_ITERS + 1):
+        cte += _iter_cte(k)
+    last = f"v{EIG_ITERS}"
+    return cte + f""", wfin AS (
+  SELECT c.dim_i AS dim, sum(c.c * v.v) AS w
+  FROM cov c JOIN {last} v ON v.dim = c.dim_j
+  GROUP BY c.dim_i
+), rayleigh AS (
+  SELECT CAST(sum(v.v * w.w) AS DOUBLE) AS num,
+         CAST(sum(v.v * v.v) AS DOUBLE) AS den
+  FROM {last} v JOIN wfin w ON w.dim = v.dim
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings
+), l2 AS (
+  SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM {last}
+)
+SELECT v.dim, v.v AS v_fix,
+       round(CAST(v.v AS DOUBLE) / l2.nrm, 6) AS v_unit,
+       round(rayleigh.num / rayleigh.den
+             / (nn.nv * nn.nv * {COV_FIX} * {COV_FIX}.0), 10)
+         AS eigval_cov
+FROM {last} v, rayleigh, nn, l2
+"""
+
+
+@query(
+    "embedding_top_eigvec",
+    _eig_oracle(),
+    doc=f"Top principal component of the embedding cloud by "
+        f"{EIG_ITERS}-round power iteration, the eigen-solve run as "
+        f"an iterative query under the PageRank integer discipline: "
+        f"exact 128-bit covariance numerator (n·Σxy − Σx·Σy, no "
+        f"division), exact integer mat-vec per round, one "
+        f"deterministic IEEE rescale (L∞ → 1e6 fixed point) per "
+        f"round — so the iterate sequence is engine-exact and the "
+        f"final vector + Rayleigh eigenvalue hash-match the oracle's "
+        f"unrolled chained CTEs bitwise. Matrix build is one "
+        f"vec-join/dim-pair pass (2080 rows out regardless of corpus "
+        f"size); iterations are data-size independent 64×64 joins. "
+        f"numpy cross-check in tests/test_eigen.py certifies the "
+        f"answer itself, not just cross-engine agreement.",
+    tags=("ml", "iterative", "north-star", "scale"),
+)
+def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (emb.select("vec_id", F.posexplode("embedding")
+                     .alias("dim0", "x"))
+          .select("vec_id",
+                  (F.col("dim0") + 1).cast("int").alias("dim"),
+                  F.round(F.col("x").cast("double") * COV_FIX)
+                  .cast("long").alias("xf")))
+    a, b = ex.alias("a"), ex.alias("b")
+    dec = "decimal(38,0)"
+    st = (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+                 & (F.col("a.dim") <= F.col("b.dim")))
+          .groupBy(F.col("a.dim").alias("dim_i"),
+                   F.col("b.dim").alias("dim_j"))
+          .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+               F.sum("a.xf").cast(dec).alias("sum_i"),
+               F.sum("b.xf").cast(dec).alias("sum_j"),
+               F.sum(F.col("a.xf") * F.col("b.xf")).cast(dec)
+               .alias("sum_ij")))
+    upper = st.select(
+        "dim_i", "dim_j", "n",
+        (F.col("n") * F.col("sum_ij")
+         - F.col("sum_i") * F.col("sum_j")).alias("c"))
+    cov = upper.unionAll(
+        upper.filter(F.col("dim_i") != F.col("dim_j"))
+        .select(F.col("dim_j").alias("dim_i"),
+                F.col("dim_i").alias("dim_j"), "n", "c"))
+
+    # Collapse the (tiny, data-size-independent) matrix to ONE row of
+    # nested arrays; every iteration then happens inside a single
+    # projection — no per-round joins, shuffles, or plan growth. The
+    # oracle keeps the relational chained-CTE formulation: exact
+    # integer arithmetic makes the two formulations value-identical.
+    rows = (cov.groupBy("dim_i")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_j", "c"))),
+                lambda s: s["c"]).alias("crow"),
+                F.max("n").alias("n")))
+    mat = (rows.groupBy()
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("dim_i", "crow"))),
+               lambda s: s["crow"]).alias("cmat"),
+               F.max("n").cast("double").alias("nv")))
+    # Materialize the one-row matrix at construction (the KMeans/ALS
+    # builder precedent — this query is in the plan-census skip list):
+    # leaving the scan→explode→self-join→nested-collect lineage under
+    # the 50-stage iteration chain makes AQE re-optimize that whole
+    # subtree after every barrier stage, which never finishes. The
+    # checkpointed intermediate is ONE row of 64×64 numbers —
+    # data-size independent — and the stats job that builds it is the
+    # only stage that ever touches the corpus. The vector count rides
+    # along from the stats pass itself (st.n IS the vector count), so
+    # the checkpointed plan contains no join — Dataset.localCheckpoint
+    # goes through .rdd, which does not drive broadcast-exchange
+    # subtrees in this path and would hang on one.
+    one = mat.localCheckpoint(eager=True)
+
+    def matvec(vec):
+        return F.transform(
+            F.col("cmat"),
+            lambda row: F.aggregate(
+                F.zip_with(row, vec, lambda c, x: c * x),
+                F.lit(0).cast(dec), lambda acc, y: acc + y))
+
+    v0 = F.transform(F.sequence(F.lit(1), F.size(F.col("cmat"))),
+                     lambda j: F.when(j == 1, F.lit(EIG_FIX))
+                     .otherwise(F.lit(0)).cast("long"))
+    df = one.select("nv", "cmat", v0.alias("v"))
+    # Each round is two chained projections over the ONE-ROW frame,
+    # separated by repartition(1) barriers: the barrier stops
+    # CollapseProject from inlining the twice-referenced `w` (and the
+    # previous `v`) back into one expression — without it the column
+    # tree doubles per round (w appears in both the rescale transform
+    # and the max) and 25 rounds is 2^25 expression nodes. With the
+    # barrier the plan is linear: 2 projections + a single-row
+    # exchange per round, all array math in codegen.
+    for _ in range(EIG_ITERS):
+        df = (df.select("nv", "cmat", matvec(F.col("v")).alias("w"))
+              .repartition(1))
+        mx = F.array_max(F.transform(F.col("w"),
+                                     lambda y: F.abs(y.cast("double"))))
+        df = (df.select(
+            "nv", "cmat",
+            F.transform(F.col("w"),
+                        lambda y: F.round(y.cast("double") * EIG_FIX / mx)
+                        .cast("long")).alias("v"))
+            .repartition(1))
+
+    df = df.select("nv", "v", matvec(F.col("v")).alias("wfin")) \
+           .repartition(1)
+    num = F.aggregate(
+        F.zip_with(F.col("v"), F.col("wfin"), lambda x, y: y * x),
+        F.lit(0).cast(dec), lambda acc, y: acc + y).cast("double")
+    den = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, y: acc + y).cast("double")
+    final = (df.select("nv", F.col("v").alias("vfinal"),
+                       num.alias("num"), den.alias("den"))
+             .repartition(1)
+             .select("vfinal",
+                     F.sqrt(F.col("den")).alias("nrm"),
+                     F.round(F.col("num") / F.col("den")
+                             / (F.col("nv") * F.col("nv")
+                                * float(COV_FIX) * float(COV_FIX)), 10)
+                     .alias("eigval_cov")))
+    # Cut lineage BEFORE the explode. posexplode makes the optimizer
+    # infer `size(vfinal) > 0` (InferFiltersFromGenerate), and that
+    # predicate pushes down through every repartition barrier — the
+    # substitution inlines the whole iteration chain into ONE filter
+    # expression, and because each rescale references its `w` twice
+    # (transform + array_max) the inlined tree doubles per round:
+    # 2^25 interpreted decimal ops, i.e. a hang (verified by thread
+    # dump: a pushed-down GeneratedClass$SpecificPredicate evaluating
+    # nested ArrayAggregate/ZipWith forever). The checkpointed frame
+    # is one row of 65 numbers; the filter then has no lineage to
+    # inline into.
+    final = final.localCheckpoint(eager=True)
+    return (final.select(
+        F.posexplode("vfinal").alias("dim0", "v_fix"),
+        "nrm", "eigval_cov")
+        .select((F.col("dim0") + 1).cast("int").alias("dim"),
+                "v_fix",
+                F.round(F.col("v_fix").cast("double") / F.col("nrm"), 6)
+                .alias("v_unit"),
+                "eigval_cov"))

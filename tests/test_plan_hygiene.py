@@ -18,6 +18,7 @@ _SKIP = {
     "knn_ivf_kmeans_recall",    # trains centroids at build time
     "als_recommendations_shape",  # fits ALS at build time
     "knn_ivfpq_persisted_recall",  # builds + writes the index at build time
+    "embedding_top_eigvec",  # checkpoints the matrix row at build time
 }
 
 
