@@ -132,32 +132,25 @@ FROM {last} v, rayleigh, nn, l2
 """
 
 
-@query(
-    "embedding_top_eigvec",
-    _eig_oracle(),
-    doc=f"Top principal component of the embedding cloud by "
-        f"{EIG_ITERS}-round power iteration, the eigen-solve run as "
-        f"an iterative query under the PageRank integer discipline: "
-        f"exact 128-bit covariance numerator (n·Σxy − Σx·Σy, no "
-        f"division), exact integer mat-vec per round, one "
-        f"deterministic IEEE rescale (L∞ → 1e6 fixed point) per "
-        f"round — so the iterate sequence is engine-exact and the "
-        f"final vector + Rayleigh eigenvalue hash-match the oracle's "
-        f"unrolled chained CTEs bitwise. Matrix build is one "
-        f"vec-join/dim-pair pass (2080 rows out regardless of corpus "
-        f"size); iterations are data-size independent 64×64 joins. "
-        f"numpy cross-check in tests/test_eigen.py certifies the "
-        f"answer itself, not just cross-engine agreement.",
-    tags=("ml", "iterative", "north-star", "scale"),
-)
-def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = (emb.select("vec_id", F.posexplode("embedding")
-                     .alias("dim0", "x"))
-          .select("vec_id",
-                  (F.col("dim0") + 1).cast("int").alias("dim"),
-                  F.round(F.col("x").cast("double") * COV_FIX)
-                  .cast("long").alias("xf")))
+def _fixed_point_expand(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, xf): 1e-6 fixed-point coordinates, the shared
+    integer representation of the embedding cloud (mirrors the
+    oracle's ``ex`` CTE)."""
+    return (emb.select("vec_id", F.posexplode("embedding")
+                       .alias("dim0", "x"))
+            .select("vec_id",
+                    (F.col("dim0") + 1).cast("int").alias("dim"),
+                    F.round(F.col("x").cast("double") * COV_FIX)
+                    .cast("long").alias("xf")))
+
+
+def _iterated_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stats pass + EIG_ITERS power-iteration rounds; returns
+    the eagerly-checkpointed ONE-ROW frame (nv, cmat, v) — nv the
+    vector count, cmat the 64x64 integer covariance numerator, v the
+    final L-inf=1e6 fixed-point iterate. Shared by the eigenvector
+    query and the PCA-projection query."""
+    ex = _fixed_point_expand(load_table(spark, sf_dir, "embeddings"))
     a, b = ex.alias("a"), ex.alias("b")
     dec = "decimal(38,0)"
     st = (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
@@ -196,7 +189,7 @@ def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the one-row matrix at construction (the KMeans/ALS
     # builder precedent — this query is in the plan-census skip list):
     # leaving the scan→explode→self-join→nested-collect lineage under
-    # the 50-stage iteration chain makes AQE re-optimize that whole
+    # the 160-stage iteration chain makes AQE re-optimize that whole
     # subtree after every barrier stage, which never finishes. The
     # checkpointed intermediate is ONE row of 64×64 numbers —
     # data-size independent — and the stats job that builds it is the
@@ -207,13 +200,6 @@ def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees in this path and would hang on one.
     one = mat.localCheckpoint(eager=True)
 
-    def matvec(vec):
-        return F.transform(
-            F.col("cmat"),
-            lambda row: F.aggregate(
-                F.zip_with(row, vec, lambda c, x: c * x),
-                F.lit(0).cast(dec), lambda acc, y: acc + y))
-
     v0 = F.transform(F.sequence(F.lit(1), F.size(F.col("cmat"))),
                      lambda j: F.when(j == 1, F.lit(EIG_FIX))
                      .otherwise(F.lit(0)).cast("long"))
@@ -223,11 +209,11 @@ def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject from inlining the twice-referenced `w` (and the
     # previous `v`) back into one expression — without it the column
     # tree doubles per round (w appears in both the rescale transform
-    # and the max) and 25 rounds is 2^25 expression nodes. With the
+    # and the max) and 80 rounds is 2^80 expression nodes. With the
     # barrier the plan is linear: 2 projections + a single-row
     # exchange per round, all array math in codegen.
     for _ in range(EIG_ITERS):
-        df = (df.select("nv", "cmat", matvec(F.col("v")).alias("w"))
+        df = (df.select("nv", "cmat", _matvec(F.col("v")).alias("w"))
               .repartition(1))
         mx = F.array_max(F.transform(F.col("w"),
                                      lambda y: F.abs(y.cast("double"))))
@@ -237,8 +223,50 @@ def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda y: F.round(y.cast("double") * EIG_FIX / mx)
                         .cast("long")).alias("v"))
             .repartition(1))
+    # Cut lineage at the end too: consumers posexplode/join this row,
+    # and posexplode makes the optimizer infer `size(v) > 0`
+    # (InferFiltersFromGenerate); that predicate pushes down through
+    # every repartition barrier, and the substitution inlines the
+    # whole iteration chain into ONE filter expression — doubling per
+    # round because each rescale references its `w` twice: 2^80
+    # interpreted decimal ops, i.e. a hang (verified by thread dump: a
+    # pushed-down GeneratedClass$SpecificPredicate evaluating nested
+    # ArrayAggregate/ZipWith forever). The checkpointed frame is one
+    # row of 65 numbers; downstream filters have nothing to inline.
+    return df.localCheckpoint(eager=True)
 
-    df = df.select("nv", "v", matvec(F.col("v")).alias("wfin")) \
+
+def _matvec(vec):
+    dec = "decimal(38,0)"
+    return F.transform(
+        F.col("cmat"),
+        lambda row: F.aggregate(
+            F.zip_with(row, vec, lambda c, x: c * x),
+            F.lit(0).cast(dec), lambda acc, y: acc + y))
+
+
+@query(
+    "embedding_top_eigvec",
+    _eig_oracle(),
+    doc=f"Top principal component of the embedding cloud by "
+        f"{EIG_ITERS}-round power iteration, the eigen-solve run as "
+        f"an iterative query under the PageRank integer discipline: "
+        f"exact 128-bit covariance numerator (n·Σxy − Σx·Σy, no "
+        f"division), exact integer mat-vec per round, one "
+        f"deterministic IEEE rescale (L∞ → 1e6 fixed point) per "
+        f"round — so the iterate sequence is engine-exact and the "
+        f"final vector + Rayleigh eigenvalue hash-match the oracle's "
+        f"unrolled chained CTEs bitwise. Matrix build is one "
+        f"vec-join/dim-pair pass (2080 rows out regardless of corpus "
+        f"size); iterations are data-size independent 64×64 joins. "
+        f"numpy cross-check in tests/test_eigen.py certifies the "
+        f"answer itself, not just cross-engine agreement.",
+    tags=("ml", "iterative", "north-star", "scale"),
+)
+def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    df = _iterated_vector(spark, sf_dir)
+    df = df.select("nv", "v", _matvec(F.col("v")).alias("wfin")) \
            .repartition(1)
     num = F.aggregate(
         F.zip_with(F.col("v"), F.col("wfin"), lambda x, y: y * x),
@@ -255,18 +283,6 @@ def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / (F.col("nv") * F.col("nv")
                                 * float(COV_FIX) * float(COV_FIX)), 10)
                      .alias("eigval_cov")))
-    # Cut lineage BEFORE the explode. posexplode makes the optimizer
-    # infer `size(vfinal) > 0` (InferFiltersFromGenerate), and that
-    # predicate pushes down through every repartition barrier — the
-    # substitution inlines the whole iteration chain into ONE filter
-    # expression, and because each rescale references its `w` twice
-    # (transform + array_max) the inlined tree doubles per round:
-    # 2^25 interpreted decimal ops, i.e. a hang (verified by thread
-    # dump: a pushed-down GeneratedClass$SpecificPredicate evaluating
-    # nested ArrayAggregate/ZipWith forever). The checkpointed frame
-    # is one row of 65 numbers; the filter then has no lineage to
-    # inline into.
-    final = final.localCheckpoint(eager=True)
     return (final.select(
         F.posexplode("vfinal").alias("dim0", "v_fix"),
         "nrm", "eigval_cov")
@@ -275,3 +291,81 @@ def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("v_fix").cast("double") / F.col("nrm"), 6)
                 .alias("v_unit"),
                 "eigval_cov"))
+
+
+PCA_TOP_OUTLIERS = 20
+
+
+def _pca_outlier_oracle() -> str:
+    cte = "WITH " + _cov_cte()
+    for k in range(1, EIG_ITERS + 1):
+        cte += _iter_cte(k)
+    last = f"v{EIG_ITERS}"
+    return cte + f""", proj AS MATERIALIZED (
+  SELECT e.vec_id, CAST(sum(e.xf * v.v) AS HUGEINT) AS p
+  FROM ex e JOIN {last} v ON v.dim = e.dim
+  GROUP BY e.vec_id
+), tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(p) AS HUGEINT) AS sp
+  FROM proj
+), l2 AS (
+  SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM {last}
+)
+SELECT p.vec_id, CAST(p.p AS BIGINT) AS proj_fix,
+       round(CAST(t.n * p.p - t.sp AS DOUBLE)
+             / (CAST(t.n AS DOUBLE) * l2.nrm * {COV_FIX}), 6)
+         AS centered_score
+FROM proj p, tot t, l2
+ORDER BY abs(t.n * p.p - t.sp) DESC, p.vec_id
+LIMIT {PCA_TOP_OUTLIERS}
+"""
+
+
+@query(
+    "embedding_pca_outliers",
+    _pca_outlier_oracle(),
+    doc=f"PCA-projection outlier detection: every embedding is "
+        f"projected onto the {EIG_ITERS}-round power-iteration "
+        f"principal axis (the certified embedding_top_eigvec vector) "
+        f"and the top {PCA_TOP_OUTLIERS} by |mean-centered score| are "
+        f"returned — the classic 'which documents sit at the extreme "
+        f"of the dominant variance direction' corpus-audit query. "
+        f"The projection is an exact integer dot (1e-6 fixed-point "
+        f"coords × 1e-6 fixed-point axis), centering is the "
+        f"division-free n·p − Σp form, and the outlier ORDER is "
+        f"decided on those exact integers — only the reported score "
+        f"divides back to embedding units. Plan: the 64-row axis "
+        f"broadcasts into one (vec_id)-aggregated pass over the "
+        f"coordinates, a broadcast scalar attaches n/Σp, top-k is "
+        f"TakeOrderedAndProject — one data-sized shuffle total.",
+    tags=("ml", "similarity", "north-star", "scale"),
+)
+def q_embedding_pca_outliers(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    vrow = _iterated_vector(spark, sf_dir)
+    vexp = (vrow.select(F.posexplode("v").alias("dim0", "vv"))
+            .select((F.col("dim0") + 1).cast("int").alias("dim"), "vv"))
+    ex = _fixed_point_expand(load_table(spark, sf_dir, "embeddings"))
+    proj = (ex.join(F.broadcast(vexp), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xf").cast(dec) * F.col("vv"))
+                 .cast(dec).alias("p")))
+    tot = proj.groupBy().agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("p").cast(dec).alias("sp"))
+    l2 = vexp.groupBy().agg(
+        F.sqrt(F.sum(F.col("vv") * F.col("vv")).cast("double"))
+        .alias("nrm"))
+    centered = F.col("n") * F.col("p") - F.col("sp")
+    return (proj.join(F.broadcast(tot)).join(F.broadcast(l2))
+            .select("vec_id",
+                    F.col("p").cast("long").alias("proj_fix"),
+                    F.round(centered.cast("double")
+                            / (F.col("n").cast("double") * F.col("nrm")
+                               * COV_FIX), 6).alias("centered_score"),
+                    F.abs(centered).alias("_o"))
+            .orderBy(F.desc("_o"), F.asc("vec_id"))
+            .limit(PCA_TOP_OUTLIERS)
+            .drop("_o"))

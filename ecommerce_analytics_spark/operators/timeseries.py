@@ -697,3 +697,133 @@ def q_daily_revenue_theil_sen(spark: SparkSession,
                     .alias("sen_slope_cents_per_day"),
                     F.round("sen_intercept", 6)
                     .alias("sen_intercept_cents")))
+
+
+HW_PERIOD = 7  # weekly seasonality
+HW_MIN_LEN = HW_PERIOD + 1
+
+_HW_ORACLE = f"""
+WITH RECURSIVE bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events
+), spine AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM bounds) g
+), sparse AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT s.event_type, s.day, coalesce(p.cents, 0) AS cents,
+         row_number() OVER (PARTITION BY s.event_type
+                            ORDER BY s.day) AS rn
+  FROM spine s LEFT JOIN sparse p
+    ON p.event_type = s.event_type AND p.day = s.day
+), seed0 AS (
+  SELECT event_type,
+         CAST(sum(cents) AS DOUBLE) / 100.0 / {HW_PERIOD}.0 AS lvl,
+         list(CAST(cents AS DOUBLE) / 100.0 ORDER BY rn) AS xs
+  FROM daily WHERE rn <= {HW_PERIOD} GROUP BY event_type
+), hw AS (
+  SELECT event_type, CAST({HW_PERIOD} AS BIGINT) AS rn, lvl,
+         CAST(0.0 AS DOUBLE) AS trend,
+         list_transform(xs, x -> x - lvl) AS sarr
+  FROM seed0
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         0.5 * (CAST(d.cents AS DOUBLE) / 100.0 - h.sarr[1])
+           + 0.5 * (h.lvl + h.trend) AS lvl,
+         0.5 * ((0.5 * (CAST(d.cents AS DOUBLE) / 100.0 - h.sarr[1])
+                 + 0.5 * (h.lvl + h.trend)) - h.lvl)
+           + 0.5 * h.trend AS trend,
+         h.sarr[2:{HW_PERIOD}]
+           || [0.5 * (CAST(d.cents AS DOUBLE) / 100.0 - h.lvl - h.trend)
+               + 0.5 * h.sarr[1]] AS sarr
+  FROM daily d
+  JOIN hw h ON d.event_type = h.event_type AND d.rn = h.rn + 1
+)
+SELECT h.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.cents AS DOUBLE) / 100.0 AS rev,
+       h.lvl, h.trend,
+       h.sarr[{HW_PERIOD}] AS season,
+       h.lvl + h.trend + h.sarr[1] AS forecast_next
+FROM hw h JOIN daily d
+  ON d.event_type = h.event_type AND d.rn = h.rn
+WHERE h.rn > {HW_PERIOD}
+"""
+
+
+@query(
+    "holt_winters_daily_revenue",
+    _HW_ORACLE,
+    doc=f"Holt-Winters ADDITIVE seasonal smoothing (period "
+        f"{HW_PERIOD}, alpha=beta=gamma=0.5) of daily revenue per "
+        f"event type over the DENSE zero-filled calendar spine "
+        f"(seasonal lag must be calendar-aligned, unlike the sparse "
+        f"rn of holt_linear): l = a(x - s_old) + (1-a)(l'+b'), "
+        f"b = B(l-l') + (1-B)b', s = g(x-l'-b') + (1-g)s_old, seeded "
+        f"l = mean of week 1 (exact integer-cent sum, one division), "
+        f"b = 0, s_i = x_i - l. The seasonal state is the rolling "
+        f"{HW_PERIOD}-slot list carried INSIDE the recursive CTE as "
+        f"a list column — the oracle-side mirror of the pandas "
+        f"deque. Binary-exact 0.5 coefficients and mirrored "
+        f"parenthesization make the unrounded doubles hash-match. "
+        f"Same aggregate-then-state scale shape as ewma/holt_linear: "
+        f"the corpus-sized work is ONE daily-cents aggregation; the "
+        f"recurrence runs over the tiny dense series per type.",
+    tags=("timeseries", "state", "agg", "forecast"),
+)
+def q_holt_winters_daily_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    sparse = (events
+              .groupBy("event_type", F.to_date("ts").alias("day"))
+              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   .alias("cents")))
+    spine = (events
+             .agg(F.min(F.to_date("ts")).alias("lo"),
+                  F.max(F.to_date("ts")).alias("hi"))
+             .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+             .crossJoin(F.broadcast(events.select("event_type")
+                                    .distinct())))
+    daily = (spine.join(sparse, ["event_type", "day"], "left")
+             .select("event_type", "day",
+                     F.coalesce("cents", F.lit(0)).alias("cents")))
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        et = pdf["event_type"].iloc[0] if len(pdf) else None
+        if len(pdf) < HW_MIN_LEN:
+            return pd.DataFrame(columns=["event_type", "day", "rev",
+                                         "lvl", "trend", "season",
+                                         "forecast_next"])
+        cents = pdf["cents"].tolist()
+        xs = [float(c) / 100.0 for c in cents]
+        lvl = float(sum(cents[:HW_PERIOD])) / 100.0 / float(HW_PERIOD)
+        trend = 0.0
+        sarr = [x - lvl for x in xs[:HW_PERIOD]]
+        out = []
+        for t in range(HW_PERIOD, len(xs)):
+            x, s_old, l_prev, b_prev = xs[t], sarr[0], lvl, trend
+            lvl = 0.5 * (x - s_old) + 0.5 * (l_prev + b_prev)
+            trend = 0.5 * (lvl - l_prev) + 0.5 * b_prev
+            s_new = 0.5 * (x - l_prev - b_prev) + 0.5 * s_old
+            sarr = sarr[1:] + [s_new]
+            out.append((et, pdf["day"][t], x, lvl, trend, s_new,
+                        lvl + trend + sarr[0]))
+        return pd.DataFrame(out, columns=["event_type", "day", "rev",
+                                          "lvl", "trend", "season",
+                                          "forecast_next"])
+
+    out = (daily.groupBy("event_type")
+           .applyInPandas(smooth,
+                          "event_type string, day date, rev double, "
+                          "lvl double, trend double, season double, "
+                          "forecast_next double"))
+    return out.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev", "lvl", "trend", "season", "forecast_next")

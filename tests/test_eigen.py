@@ -57,3 +57,41 @@ def test_iterate_is_linf_normalized(spark, sf_dir):
 
     rows = q_embedding_top_eigvec(spark, sf_dir).collect()
     assert max(abs(r["v_fix"]) for r in rows) == EIG_FIX
+
+
+def test_pca_outliers_match_numpy_projection(spark, sf_dir):
+    """The returned centered scores equal numpy's mean-centered
+    projection of the raw embeddings onto the engine's own iterate
+    (same vector both sides — this tests the projection machinery,
+    independent of power-iteration convergence)."""
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.operators.eigen import (
+        COV_FIX, PCA_TOP_OUTLIERS, q_embedding_pca_outliers,
+        q_embedding_top_eigvec,
+    )
+
+    vrows = q_embedding_top_eigvec(spark, sf_dir).collect()
+    vfix = np.zeros(64)
+    for r in vrows:
+        vfix[r["dim"] - 1] = r["v_fix"]
+
+    rows = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.round(np.array([r["embedding"] for r in rows],
+                          dtype=np.float64) * COV_FIX)
+    proj = X @ vfix                       # integer-exact dot
+    centered = proj - proj.mean()
+    score = centered / (np.linalg.norm(vfix) * COV_FIX)
+
+    out = q_embedding_pca_outliers(spark, sf_dir).collect()
+    assert len(out) == PCA_TOP_OUTLIERS
+    by_id = {int(i): s for i, s in zip(ids, score)}
+    for r in out:
+        assert abs(r["centered_score"] - by_id[r["vec_id"]]) < 1e-5
+    # the returned set IS the numpy top-k by |centered|
+    order = np.argsort(-np.abs(centered), kind="stable")
+    want = set()
+    for idx in order[:PCA_TOP_OUTLIERS]:
+        want.add(int(ids[idx]))
+    assert {r["vec_id"] for r in out} == want

@@ -19,6 +19,7 @@ _SKIP = {
     "als_recommendations_shape",  # fits ALS at build time
     "knn_ivfpq_persisted_recall",  # builds + writes the index at build time
     "embedding_top_eigvec",  # checkpoints the matrix row at build time
+    "embedding_pca_outliers",  # checkpoints the iterate row at build time
 }
 
 

@@ -202,3 +202,40 @@ def test_banded_interval_join_equals_naive(spark_h, a_raw, b_raw):
         .filter((F.col("s") < F.col("pe")) & (F.col("ps") < F.col("e")))
         .select("aid", "bid").rdd.map(tuple).collect())
     assert got == want
+
+
+def test_holt_winters_recurrence_consistency(spark_h, sf_dir):
+    """The emitted Holt-Winters rows satisfy the defining recurrences
+    EXACTLY when recomputed from the outputs alone (seasonal lag 7,
+    one-step forecast uses the season emitted 6 days earlier) — a
+    referee that would catch any misalignment of the rolling seasonal
+    state without reimplementing the seeding."""
+    from ecommerce_analytics_spark.operators.timeseries import (
+        HW_PERIOD, q_holt_winters_daily_revenue,
+    )
+    rows = q_holt_winters_daily_revenue(spark_h, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        for t in range(len(rs)):
+            r = rs[t]
+            # s_new = 0.5*(x - l' - b') + 0.5*s_old, with s_old the
+            # season emitted exactly HW_PERIOD days earlier
+            if t >= HW_PERIOD:
+                prev, old = rs[t - 1], rs[t - HW_PERIOD]
+                lvl = (0.5 * (r["rev"] - old["season"])
+                       + 0.5 * (prev["lvl"] + prev["trend"]))
+                assert lvl == r["lvl"], (et, r["day"])
+                trend = 0.5 * (lvl - prev["lvl"]) + 0.5 * prev["trend"]
+                assert trend == r["trend"], (et, r["day"])
+                s_new = (0.5 * (r["rev"] - prev["lvl"] - prev["trend"])
+                         + 0.5 * old["season"])
+                assert s_new == r["season"], (et, r["day"])
+            # forecast uses the season from HW_PERIOD-1 days back
+            if t >= HW_PERIOD - 1:
+                s_next = rs[t - (HW_PERIOD - 1)]["season"]
+                assert r["forecast_next"] == (
+                    r["lvl"] + r["trend"] + s_next), (et, r["day"])

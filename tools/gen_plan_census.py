@@ -27,6 +27,7 @@ SKIP = {  # model fitting executes at build time; skipped in plan-only
     "rfm_kmeans_quality", "knn_ivf_kmeans_recall",
     "als_recommendations_shape", "knn_ivfpq_persisted_recall",
     "embedding_top_eigvec",  # checkpoints the matrix row at build time
+    "embedding_pca_outliers",  # checkpoints the iterate row at build time
 }
 
 FEATURES = [
