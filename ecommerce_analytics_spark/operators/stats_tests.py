@@ -1,0 +1,290 @@
+"""Exact distributional test statistics: KS, CUSUM changepoint, chi².
+
+Data pipelines gate on distribution drift ("did weekend traffic change
+shape?", "when did the metric shift?", "are these factors
+independent?"). The classic test statistics are all ratios of integer
+counting statistics, so the engine computes them EXACTLY — the
+ordering / argmax decisions happen on integers, and only the reported
+statistic divides to a rounded double:
+
+* ``ks_weekend_vs_weekday`` — two-sample Kolmogorov-Smirnov D between
+  weekend and weekday purchase values: D = max |n_b·cumA − n_a·cumB|
+  / (n_a·n_b) over the merged support, the max taken on the exact
+  integer numerator;
+* ``revenue_changepoint_cusum`` — offline CUSUM changepoint of daily
+  revenue: t* = argmax_t |n·S_t − t·S_n| on exact integer cents,
+  with the split means before/after;
+* ``chi2_event_type_weekend`` — chi² independence of event_type ×
+  weekend with each cell's (n·o − r·c)²/(n·r·c) term quantized to
+  1e-9 fixed point BEFORE the sum (float SUM order is unspecified in
+  both engines; integer sums are exact).
+
+Scale shape: each test reduces the fact table map-locally to a
+bounded-cardinality statistic table (distinct cent values, days,
+type×flag cells) in ONE aggregation; the window/argmax runs over that
+tiny table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+_DEC = "decimal(38,0)"
+CHI2_FIX = 1_000_000_000
+
+# weekend: ISO day-of-week 6/7 (Sat/Sun). Spark's weekday() is 0=Mon.
+_KS_ORACLE = """
+WITH vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         (isodow(ts) >= 6) AS wk
+  FROM events WHERE event_type = 'purchase'
+), by_val AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN wk THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+         CAST(sum(CASE WHEN wk THEN 0 ELSE 1 END) AS HUGEINT) AS b
+  FROM vals GROUP BY cents
+), cum AS (
+  SELECT cents,
+         sum(a) OVER (ORDER BY cents) AS ca,
+         sum(b) OVER (ORDER BY cents) AS cb,
+         (SELECT sum(a) FROM by_val) AS na,
+         (SELECT sum(b) FROM by_val) AS nb
+  FROM by_val
+), dev AS (
+  SELECT cents, abs(nb * ca - na * cb) AS d_num, na, nb FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_weekend, CAST(nb AS BIGINT) AS n_weekday,
+       CAST(max(d_num) AS BIGINT) AS d_num,
+       round(CAST(max(d_num) AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 8) AS ks_d,
+       CAST(min(cents) FILTER (
+           WHERE d_num = (SELECT max(d_num) FROM dev)) AS BIGINT)
+         AS at_cents
+FROM dev GROUP BY na, nb
+"""
+
+
+@query(
+    "ks_weekend_vs_weekday",
+    _KS_ORACLE,
+    doc="Two-sample Kolmogorov-Smirnov D between weekend and weekday "
+        "purchase-value distributions. The merged ECDF gap is the "
+        "exact integer |n_b*cumA - n_a*cumB| (cross-multiplied to "
+        "avoid any division before the max), maximized over the "
+        "distinct-cents support with the argmax value reported "
+        "(min cents on ties). One map-side-combined aggregation to "
+        "the distinct-value table, one tiny ordered window over it.",
+    tags=("eval", "stats", "window"),
+)
+def q_ks_weekend_vs_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vals = (events.filter(F.col("event_type") == "purchase")
+            .select(F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents"),
+                    (F.weekday("ts") >= 5).alias("wk")))
+    by_val = (vals.groupBy("cents")
+              .agg(F.sum(F.when(F.col("wk"), 1).otherwise(0))
+                   .cast(_DEC).alias("a"),
+                   F.sum(F.when(F.col("wk"), 0).otherwise(1))
+                   .cast(_DEC).alias("b")))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0)
+    tot = by_val.groupBy().agg(F.sum("a").alias("na"),
+                               F.sum("b").alias("nb"))
+    cum = (by_val
+           .select("cents",
+                   F.sum("a").over(w).alias("ca"),
+                   F.sum("b").over(w).alias("cb"))
+           .join(F.broadcast(tot)))
+    dev = cum.select(
+        "cents", "na", "nb",
+        F.abs(F.col("nb") * F.col("ca")
+              - F.col("na") * F.col("cb")).alias("d_num"))
+    mx = dev.groupBy().agg(F.max("d_num").alias("mx"))
+    return (dev.join(F.broadcast(mx))
+            .groupBy("na", "nb", "mx")
+            .agg(F.min(F.when(F.col("d_num") == F.col("mx"),
+                              F.col("cents"))).alias("at"))
+            .select(F.col("na").cast("long").alias("n_weekend"),
+                    F.col("nb").cast("long").alias("n_weekday"),
+                    F.col("mx").cast("long").alias("d_num"),
+                    F.round(F.col("mx").cast("double")
+                            / (F.col("na").cast("double")
+                               * F.col("nb").cast("double")), 8)
+                    .alias("ks_d"),
+                    F.col("at").cast("long").alias("at_cents")))
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), cum AS (
+  SELECT day, x,
+         CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS t,
+         sum(x) OVER (ORDER BY day) AS s,
+         (SELECT CAST(count(*) AS HUGEINT) FROM daily) AS n,
+         (SELECT sum(x) FROM daily) AS sn
+  FROM daily
+), dev AS (
+  SELECT day, t, s, n, sn, abs(n * s - t * sn) AS d FROM cum
+), best AS (
+  SELECT min(day) AS cp_day FROM dev
+  WHERE d = (SELECT max(d) FROM dev)
+)
+SELECT CAST(d.n AS BIGINT) AS n_days,
+       strftime(b.cp_day, '%Y-%m-%d') AS changepoint_day,
+       CAST(max(d.d) AS BIGINT) AS cusum_num,
+       round(CAST(max(d.d) AS DOUBLE)
+             / (CAST(d.n AS DOUBLE) * 100.0), 6) AS cusum_stat,
+       round(CAST(max(CASE WHEN d.day <= b.cp_day THEN d.s END)
+                  AS DOUBLE)
+             / CAST(max(CASE WHEN d.day <= b.cp_day THEN d.t END)
+                    AS DOUBLE) / 100.0, 6) AS mean_before,
+       round(CAST(d.sn - max(CASE WHEN d.day <= b.cp_day THEN d.s END)
+                  AS DOUBLE)
+             / CAST(d.n - max(CASE WHEN d.day <= b.cp_day THEN d.t END)
+                    AS DOUBLE) / 100.0, 6) AS mean_after
+FROM dev d, best b
+GROUP BY d.n, d.sn, b.cp_day
+"""
+
+
+@query(
+    "revenue_changepoint_cusum",
+    _CUSUM_ORACLE,
+    doc="Offline CUSUM changepoint of daily purchase revenue: the "
+        "split day t* maximizing |n*S_t - t*S_n| (the unnormalized "
+        "max-deviation-from-trend statistic), decided entirely on "
+        "exact integer cents (ties -> earliest day), with the exact "
+        "mean revenue before/after the split. One daily aggregation; "
+        "the cumulative window and argmax run over the tiny series.",
+    tags=("timeseries", "stats", "window"),
+)
+def q_revenue_changepoint_cusum(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (events.filter(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .cast(_DEC).alias("x")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.groupBy().agg(F.count(F.lit(1)).cast(_DEC).alias("n"),
+                              F.sum("x").alias("sn"))
+    cum = (daily.select(
+        "day", "x",
+        F.row_number().over(Window.orderBy("day")).cast(_DEC)
+        .alias("t"),
+        F.sum("x").over(w).alias("s"))
+        .join(F.broadcast(tot)))
+    dev = cum.select(
+        "day", "t", "s", "n", "sn",
+        F.abs(F.col("n") * F.col("s") - F.col("t") * F.col("sn"))
+        .alias("d"))
+    mx = dev.groupBy().agg(F.max("d").alias("mxd"))
+    best = (dev.join(F.broadcast(mx))
+            .filter(F.col("d") == F.col("mxd"))
+            .groupBy().agg(F.min("day").alias("cp_day")))
+    joined = dev.join(F.broadcast(best))
+    pre_s = F.max(F.when(F.col("day") <= F.col("cp_day"), F.col("s")))
+    pre_t = F.max(F.when(F.col("day") <= F.col("cp_day"), F.col("t")))
+    return (joined.groupBy("n", "sn", "cp_day")
+            .agg(F.max("d").alias("mxd"),
+                 pre_s.alias("ps"), pre_t.alias("pt"))
+            .select(F.col("n").cast("long").alias("n_days"),
+                    F.date_format("cp_day", "yyyy-MM-dd")
+                    .alias("changepoint_day"),
+                    F.col("mxd").cast("long").alias("cusum_num"),
+                    F.round(F.col("mxd").cast("double")
+                            / (F.col("n").cast("double") * 100.0), 6)
+                    .alias("cusum_stat"),
+                    F.round(F.col("ps").cast("double")
+                            / F.col("pt").cast("double") / 100.0, 6)
+                    .alias("mean_before"),
+                    F.round((F.col("sn") - F.col("ps")).cast("double")
+                            / (F.col("n") - F.col("pt")).cast("double")
+                            / 100.0, 6).alias("mean_after")))
+
+
+_CHI2_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, (isodow(ts) >= 6) AS wk,
+         CAST(count(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+), margins AS (
+  SELECT c.event_type, c.wk, c.o,
+         sum(c.o) OVER (PARTITION BY c.event_type) AS r,
+         sum(c.o) OVER (PARTITION BY c.wk) AS col_n,
+         sum(c.o) OVER () AS n
+  FROM cells c
+), terms AS (
+  SELECT CAST(round(
+           CAST((n * o - r * col_n) AS DOUBLE)
+           * CAST((n * o - r * col_n) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+              * CAST(col_n AS DOUBLE)) * {CHI2_FIX}) AS HUGEINT)
+           AS term_fix,
+         n
+  FROM margins
+), dims AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT wk) AS BIGINT) AS n_cols
+  FROM cells
+)
+SELECT CAST(t.n AS BIGINT) AS n_events,
+       (d.n_rows - 1) * (d.n_cols - 1) AS dof,
+       round(CAST(sum(t.term_fix) AS DOUBLE) / {CHI2_FIX}, 6) AS chi2
+FROM terms t, dims d
+GROUP BY t.n, d.n_rows, d.n_cols
+"""
+
+
+@query(
+    "chi2_event_type_weekend",
+    _CHI2_ORACLE,
+    doc="Chi-square independence test of event_type x weekend: each "
+        "cell's (n*o - r*c)^2 / (n*r*c) term — the n-scaled "
+        "observed-vs-expected form that never forms a fractional "
+        "expected count — is quantized to 1e-9 fixed point BEFORE "
+        "summing (float SUM accumulation order is unspecified in both "
+        "engines; integer sums are exact). One counting aggregation "
+        "to R*C cells; margins via windows over that tiny table.",
+    tags=("eval", "stats", "agg"),
+)
+def q_chi2_event_type_weekend(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cells = (events
+             .groupBy("event_type", (F.weekday("ts") >= 5).alias("wk"))
+             .agg(F.count(F.lit(1)).cast(_DEC).alias("o")))
+    margins = cells.select(
+        "event_type", "wk", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("wk")).alias("col_n"),
+        F.sum("o").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding,
+                Window.unboundedFollowing)).alias("n"))
+    num = (F.col("n") * F.col("o")
+           - F.col("r") * F.col("col_n")).cast("double")
+    term = F.round(
+        num * num / (F.col("n").cast("double") * F.col("r").cast("double")
+                     * F.col("col_n").cast("double")) * CHI2_FIX) \
+        .cast(_DEC)
+    terms = margins.select(term.alias("term_fix"), "n")
+    dims = cells.groupBy().agg(
+        F.countDistinct("event_type").cast("long").alias("n_rows"),
+        F.countDistinct("wk").cast("long").alias("n_cols"))
+    return (terms.join(F.broadcast(dims))
+            .groupBy("n", "n_rows", "n_cols")
+            .agg(F.sum("term_fix").alias("sfix"))
+            .select(F.col("n").cast("long").alias("n_events"),
+                    ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+                    .alias("dof"),
+                    F.round(F.col("sfix").cast("double") / CHI2_FIX, 6)
+                    .alias("chi2")))

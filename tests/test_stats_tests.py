@@ -1,0 +1,85 @@
+"""Statistical test queries vs independent numpy referees."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _purchases(spark, sf_dir):
+    from ecommerce_analytics_spark.io import load_table
+    return (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase"))
+
+
+def test_ks_matches_numpy_ecdf(spark, sf_dir):
+    from ecommerce_analytics_spark.operators.stats_tests import (
+        q_ks_weekend_vs_weekday,
+    )
+    rows = (_purchases(spark, sf_dir)
+            .select(F.round(F.col("value") * 100).cast("long")
+                    .alias("cents"),
+                    (F.weekday("ts") >= 5).alias("wk")).collect())
+    a = np.sort([r["cents"] for r in rows if r["wk"]])
+    b = np.sort([r["cents"] for r in rows if not r["wk"]])
+    support = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, support, side="right")
+    cb = np.searchsorted(b, support, side="right")
+    d_num = np.abs(len(b) * ca.astype(object)
+                   - len(a) * cb.astype(object))
+    want_d = int(max(d_num))
+
+    out = q_ks_weekend_vs_weekday(spark, sf_dir).collect()[0]
+    assert out["n_weekend"] == len(a) and out["n_weekday"] == len(b)
+    assert out["d_num"] == want_d
+    assert abs(out["ks_d"] - want_d / (len(a) * len(b))) < 1e-8
+    at = int(support[np.argmax(d_num == want_d)])
+    assert out["at_cents"] == at
+
+
+def test_cusum_matches_numpy_argmax(spark, sf_dir):
+    from ecommerce_analytics_spark.operators.stats_tests import (
+        q_revenue_changepoint_cusum,
+    )
+    daily = (_purchases(spark, sf_dir)
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("x"))
+             .orderBy("day").collect())
+    x = np.array([r["x"] for r in daily], dtype=object)
+    n = len(x)
+    s = np.cumsum(x)
+    t = np.arange(1, n + 1, dtype=object)
+    d = np.abs(n * s - t * s[-1])
+    k = int(np.argmax(d == max(d)))
+
+    out = q_revenue_changepoint_cusum(spark, sf_dir).collect()[0]
+    assert out["n_days"] == n
+    assert out["changepoint_day"] == daily[k]["day"].isoformat()
+    assert out["cusum_num"] == int(max(d))
+    before = float(s[k]) / (k + 1) / 100.0
+    after = float(s[-1] - s[k]) / (n - k - 1) / 100.0
+    assert abs(out["mean_before"] - before) < 1e-5
+    assert abs(out["mean_after"] - after) < 1e-5
+
+
+def test_chi2_matches_numpy_contingency(spark, sf_dir):
+    from ecommerce_analytics_spark.io import load_table
+    from ecommerce_analytics_spark.operators.stats_tests import (
+        q_chi2_event_type_weekend,
+    )
+    cells = (load_table(spark, sf_dir, "events")
+             .groupBy("event_type", (F.weekday("ts") >= 5).alias("wk"))
+             .count().collect())
+    types = sorted({r["event_type"] for r in cells})
+    obs = np.zeros((len(types), 2))
+    for r in cells:
+        obs[types.index(r["event_type"]), int(r["wk"])] = r["count"]
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+
+    out = q_chi2_event_type_weekend(spark, sf_dir).collect()[0]
+    assert out["n_events"] == int(n)
+    assert out["dof"] == (len(types) - 1) * (obs.shape[1] - 1)
+    assert abs(out["chi2"] - chi2) < 1e-5
