@@ -31,7 +31,12 @@ FAMILIES = [
     "product_pagerank",
     "event_classification",
     "pretrain_pipeline",
+    # round-5 additions: the two new corpus-wide passes
+    "bm25_self_retrieval_mrr",
+    "embedding_pca_outliers",
 ]
+if os.environ.get("SCALING_FAMILIES"):
+    FAMILIES = os.environ["SCALING_FAMILIES"].split(",")
 
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01", 0.01),
