@@ -288,3 +288,164 @@ def q_chi2_event_type_weekend(spark: SparkSession,
                     .alias("dof"),
                     F.round(F.col("sfix").cast("double") / CHI2_FIX, 6)
                     .alias("chi2")))
+
+
+ENT_FIX = 1_000_000_000
+
+_ENTROPY_ORACLE = f"""
+WITH cats AS (
+  SELECT 'events' AS tbl, 'event_type' AS col,
+         event_type AS val FROM events
+  UNION ALL
+  SELECT 'documents', 'lang', lang FROM documents
+  UNION ALL
+  SELECT 'documents', 'source', source FROM documents
+), counts AS (
+  SELECT tbl, col, val, CAST(count(*) AS HUGEINT) AS c
+  FROM cats GROUP BY tbl, col, val
+), tot AS (
+  SELECT tbl, col, CAST(sum(c) AS HUGEINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY tbl, col
+), terms AS (
+  SELECT c.tbl, c.col, t.n, t.n_distinct,
+         CAST(round(
+           -(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * log2(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * {ENT_FIX}) AS HUGEINT) AS term_fix
+  FROM counts c JOIN tot t ON t.tbl = c.tbl AND t.col = c.col
+)
+SELECT tbl, col, CAST(n AS BIGINT) AS n, n_distinct,
+       round(CAST(sum(term_fix) AS DOUBLE) / {ENT_FIX}, 6) AS entropy,
+       CASE WHEN n_distinct = 1 THEN 0.0
+            ELSE round(CAST(sum(term_fix) AS DOUBLE) / {ENT_FIX}
+                       / log2(CAST(n_distinct AS DOUBLE)), 6)
+       END AS norm_entropy
+FROM terms GROUP BY tbl, col, n, n_distinct
+"""
+
+
+@query(
+    "column_entropy_profile",
+    _ENTROPY_ORACLE,
+    doc="Shannon-entropy profile of the categorical columns "
+        "(events.event_type, documents.lang/source): per-column "
+        "distinct count, entropy in bits and entropy normalized by "
+        "log2(n_distinct) — the standard skew-at-a-glance data-audit "
+        "stat (norm_entropy ~1 = uniform, ~0 = one dominant value). "
+        "Each -p*log2(p) term is quantized to 1e-9 fixed point "
+        "before summing (exact integer sum; the log2 transcendental "
+        "follows the PMI round-6 precedent). One counting "
+        "aggregation per column, unioned map-locally.",
+    tags=("stats", "agg", "profiling"),
+)
+def q_column_entropy_profile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    cats = (events.select(F.lit("events").alias("tbl"),
+                          F.lit("event_type").alias("col"),
+                          F.col("event_type").alias("val"))
+            .unionAll(docs.select(F.lit("documents").alias("tbl"),
+                                  F.lit("lang").alias("col"),
+                                  F.col("lang").alias("val")))
+            .unionAll(docs.select(F.lit("documents").alias("tbl"),
+                                  F.lit("source").alias("col"),
+                                  F.col("source").alias("val"))))
+    counts = (cats.groupBy("tbl", "col", "val")
+              .agg(F.count(F.lit(1)).cast(_DEC).alias("c")))
+    tot = (counts.groupBy("tbl", "col")
+           .agg(F.sum("c").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct")))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = (counts.join(tot, ["tbl", "col"])
+             .select("tbl", "col", "n", "n_distinct",
+                     F.round(-p * F.log2(p) * ENT_FIX).cast(_DEC)
+                     .alias("term_fix")))
+    ent = F.sum("term_fix").cast("double") / ENT_FIX
+    return (terms.groupBy("tbl", "col", "n", "n_distinct")
+            .agg(F.round(ent, 6).alias("entropy"),
+                 F.when(F.col("n_distinct") == 1, F.lit(0.0))
+                 .otherwise(
+                     F.round(ent / F.log2(F.col("n_distinct")
+                                          .cast("double")), 6))
+                 .alias("norm_entropy"))
+            .select("tbl", "col", F.col("n").cast("long").alias("n"),
+                    "n_distinct", "entropy", "norm_entropy"))
+
+
+_BENFORD_ORACLE = f"""
+WITH pos AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' AND round(value * 100) > 0
+), digits AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS HUGEINT) AS n_obs
+  FROM pos GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(1, 9)) AS digit
+), filled AS (
+  SELECT s.digit, coalesce(d.n_obs, 0) AS n_obs,
+         (SELECT sum(n_obs) FROM digits) AS n
+  FROM spine s LEFT JOIN digits d ON d.digit = s.digit
+), scored AS (
+  SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+         CAST(n AS BIGINT) AS n,
+         round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           AS obs_share,
+         round(log2(1.0 + 1.0 / digit) / log2(10.0), 6) AS benford_p,
+         CAST(round(abs(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                        - log2(1.0 + 1.0 / digit) / log2(10.0))
+                    * {ENT_FIX}) AS HUGEINT) AS dev_fix
+  FROM filled
+)
+SELECT digit, n_obs, obs_share, benford_p,
+       round(CAST((SELECT sum(dev_fix) FROM scored) AS DOUBLE)
+             / 9.0 / {ENT_FIX}, 6) AS mad
+FROM scored
+"""
+
+
+@query(
+    "benford_first_digit",
+    _BENFORD_ORACLE,
+    doc="Benford's-law conformity audit of purchase amounts: observed "
+        "first-significant-digit shares (digit via integer-cents "
+        "string prefix — no float log tricks) vs the Benford "
+        "expectation log10(1+1/d), plus the standard MAD conformity "
+        "statistic (mean |obs - expected| over the 9 digits; "
+        "Nigrini's close-conformity threshold is 0.006). Per-digit "
+        "deviations quantize to fixed point before the mean. One "
+        "9-key counting aggregation — nothing grows with data.",
+    tags=("stats", "agg", "profiling"),
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    digits = (events
+              .filter((F.col("event_type") == "purchase") & (cents > 0))
+              .select(F.substring(cents.cast("string"), 1, 1)
+                      .cast("long").alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).cast(_DEC).alias("n_obs")))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    tot = digits.groupBy().agg(F.sum("n_obs").alias("n"))
+    filled = (spine.join(digits, "digit", "left")
+              .join(F.broadcast(tot))
+              .select("digit",
+                      F.coalesce("n_obs", F.lit(0).cast(_DEC))
+                      .alias("n_obs"), "n"))
+    share = F.col("n_obs").cast("double") / F.col("n").cast("double")
+    bp = (F.log2(1.0 + 1.0 / F.col("digit").cast("double"))
+          / F.log2(F.lit(10.0)))
+    scored = filled.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(share, 6).alias("obs_share"),
+        F.round(bp, 6).alias("benford_p"),
+        F.round(F.abs(share - bp) * ENT_FIX).cast(_DEC).alias("dev_fix"))
+    mad = scored.groupBy().agg(
+        F.round(F.sum("dev_fix").cast("double") / 9.0 / ENT_FIX, 6)
+        .alias("mad"))
+    return (scored.join(F.broadcast(mad))
+            .select("digit", "n_obs", "obs_share", "benford_p", "mad"))

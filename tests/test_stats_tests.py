@@ -83,3 +83,51 @@ def test_chi2_matches_numpy_contingency(spark, sf_dir):
     assert out["n_events"] == int(n)
     assert out["dof"] == (len(types) - 1) * (obs.shape[1] - 1)
     assert abs(out["chi2"] - chi2) < 1e-5
+
+
+def test_entropy_matches_numpy(spark, sf_dir):
+    from ecommerce_analytics_spark.operators.stats_tests import (
+        q_column_entropy_profile,
+    )
+    from ecommerce_analytics_spark.io import load_table
+    rows = {(r["tbl"], r["col"]): r
+            for r in q_column_entropy_profile(spark, sf_dir).collect()}
+    assert set(rows) == {("events", "event_type"),
+                         ("documents", "lang"), ("documents", "source")}
+    vals = [r["event_type"] for r in
+            load_table(spark, sf_dir, "events")
+            .select("event_type").collect()]
+    _, counts = np.unique(vals, return_counts=True)
+    p = counts / counts.sum()
+    want = float(-(p * np.log2(p)).sum())
+    got = rows[("events", "event_type")]
+    assert got["n"] == len(vals) and got["n_distinct"] == len(counts)
+    assert abs(got["entropy"] - want) < 1e-5
+    assert abs(got["norm_entropy"] - want / np.log2(len(counts))) < 1e-5
+    for r in rows.values():
+        assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-9
+
+
+def test_benford_matches_numpy(spark, sf_dir):
+    from ecommerce_analytics_spark.operators.stats_tests import (
+        q_benford_first_digit,
+    )
+    cents = np.array([r["cents"] for r in
+                      _purchases(spark, sf_dir)
+                      .select(F.round(F.col("value") * 100).cast("long")
+                              .alias("cents")).collect()])
+    cents = cents[cents > 0]
+    first = np.array([int(str(c)[0]) for c in cents])
+    out = {r["digit"]: r for r in
+           q_benford_first_digit(spark, sf_dir).collect()}
+    assert set(out) == set(range(1, 10))
+    n = len(first)
+    devs = []
+    for d in range(1, 10):
+        obs = int((first == d).sum())
+        assert out[d]["n_obs"] == obs
+        bp = np.log10(1 + 1 / d)
+        assert abs(out[d]["benford_p"] - bp) < 1e-6
+        devs.append(abs(obs / n - bp))
+    mad = float(np.mean(devs))
+    assert abs(out[1]["mad"] - mad) < 1e-5
