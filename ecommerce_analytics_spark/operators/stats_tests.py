@@ -449,3 +449,113 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mad"))
     return (scored.join(F.broadcast(mad))
             .select("digit", "n_obs", "obs_share", "benford_p", "mad"))
+
+
+CUSUM_CAL = 7  # calibration window (days) for the online detector
+
+_CUSUM_ONLINE_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1, 2
+), cal0 AS (
+  SELECT event_type, x FROM daily WHERE rn <= {CUSUM_CAL}
+), calsum AS (
+  SELECT event_type, CAST(sum(x) AS HUGEINT) AS s7
+  FROM cal0 GROUP BY event_type
+), cal1 AS (
+  SELECT c.event_type, s.s7,
+         CAST(2 * max(abs({CUSUM_CAL} * c.x - s.s7)) AS HUGEINT) AS h
+  FROM cal0 c JOIN calsum s ON s.event_type = c.event_type
+  GROUP BY c.event_type, s.s7
+), det AS (
+  SELECT c.event_type, CAST({CUSUM_CAL} AS BIGINT) AS rn,
+         CAST(0 AS HUGEINT) AS sp, CAST(0 AS HUGEINT) AS sm,
+         c.s7, c.h
+  FROM cal1 c
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         greatest(CAST(0 AS HUGEINT),
+                  t.sp + ({CUSUM_CAL} * d.x - t.s7)) AS sp,
+         greatest(CAST(0 AS HUGEINT),
+                  t.sm - ({CUSUM_CAL} * d.x - t.s7)) AS sm,
+         t.s7, t.h
+  FROM daily d
+  JOIN det t ON d.event_type = t.event_type AND d.rn = t.rn + 1
+)
+SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.x AS DOUBLE) / 100.0 AS rev,
+       CAST(t.sp AS BIGINT) AS sp_scaled,
+       CAST(t.sm AS BIGINT) AS sm_scaled,
+       CAST(t.h AS BIGINT) AS h_scaled,
+       (t.sp > t.h OR t.sm > t.h) AS alarm
+FROM det t JOIN daily d
+  ON d.event_type = t.event_type AND d.rn = t.rn
+WHERE t.rn > {CUSUM_CAL}
+"""
+
+
+@query(
+    "cusum_online_daily",
+    _CUSUM_ONLINE_ORACLE,
+    doc=f"ONLINE two-sided CUSUM drift detector over daily revenue "
+        f"per event type (the streamable counterpart of the offline "
+        f"revenue_changepoint_cusum): self-calibrates on the first "
+        f"{CUSUM_CAL} days (target = calibration mean, threshold h = "
+        f"2x the max calibration deviation), then runs "
+        f"S+ = max(0, S+ + D), S- = max(0, S- - D) with "
+        f"D = {CUSUM_CAL}*x - sum(cal) — everything scaled by the "
+        f"window length so the entire recurrence is EXACT INTEGER "
+        f"cents, no mean division ever happens, and the iterates "
+        f"hash-match the recursive-CTE oracle bitwise. alarm = "
+        f"either side exceeds h. streaming/cusum_state.py runs the "
+        f"identical recurrence as keyed day-close state "
+        f"(tests/test_streaming_cusum.py pins stream==batch parity). "
+        f"One daily aggregation; the recurrence runs over the tiny "
+        f"per-type series.",
+    tags=("timeseries", "stats", "state", "stream-parity"),
+)
+def q_cusum_online_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("x")))
+
+    # imported at BUILD time (driver side) and captured in the UDF
+    # closure: workers of an external driver don't have this package
+    # importable, so the UDF body must not import it
+    from ecommerce_analytics_spark.streaming.cusum_state import (
+        make_cusum_recurrence,
+    )
+    cusum_calibrate, cusum_step = make_cusum_recurrence()
+
+    def detect(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) <= CUSUM_CAL:
+            return pd.DataFrame(columns=[
+                "event_type", "day", "rev", "sp_scaled", "sm_scaled",
+                "h_scaled", "alarm"])
+        xs = [int(v) for v in pdf["x"]]
+        s7, h = cusum_calibrate(xs[:CUSUM_CAL])
+        sp = sm = 0
+        out = []
+        for t in range(CUSUM_CAL, len(xs)):
+            sp, sm = cusum_step(sp, sm, xs[t], s7)
+            out.append((pdf["event_type"][t],
+                        pdf["day"][t].strftime("%Y-%m-%d"),
+                        float(xs[t]) / 100.0, sp, sm, h,
+                        sp > h or sm > h))
+        return pd.DataFrame(out, columns=[
+            "event_type", "day", "rev", "sp_scaled", "sm_scaled",
+            "h_scaled", "alarm"])
+
+    return (daily.groupBy("event_type")
+            .applyInPandas(detect,
+                           "event_type string, day string, rev double, "
+                           "sp_scaled long, sm_scaled long, "
+                           "h_scaled long, alarm boolean"))
