@@ -704,13 +704,13 @@ HW_MIN_LEN = HW_PERIOD + 1
 
 _HW_ORACLE = f"""
 WITH RECURSIVE bounds AS (
-  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
-  FROM events
+  SELECT event_type, min(CAST(ts AS DATE)) AS lo,
+         max(CAST(ts AS DATE)) AS hi
+  FROM events GROUP BY event_type
 ), spine AS (
-  SELECT t.event_type, CAST(g.d AS DATE) AS day
-  FROM (SELECT DISTINCT event_type FROM events) t,
-       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
-        FROM bounds) g
+  SELECT b.event_type, CAST(g.d AS DATE) AS day
+  FROM bounds b,
+       unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS g(d)
 ), sparse AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          sum(CAST(round(value * 100) AS BIGINT)) AS cents
@@ -760,7 +760,10 @@ WHERE h.rn > {HW_PERIOD}
     _HW_ORACLE,
     doc=f"Holt-Winters ADDITIVE seasonal smoothing (period "
         f"{HW_PERIOD}, alpha=beta=gamma=0.5) of daily revenue per "
-        f"event type over the DENSE zero-filled calendar spine "
+        f"event type over the DENSE zero-filled calendar spine — "
+        f"PER-TYPE bounds, so a type's series starts at its own "
+        f"first day and the streaming twin (streaming/hw_state.py, "
+        f"which can only see its key's rows) mirrors exactly "
         f"(seasonal lag must be calendar-aligned, unlike the sparse "
         f"rn of holt_linear): l = a(x - s_old) + (1-a)(l'+b'), "
         f"b = B(l-l') + (1-B)b', s = g(x-l'-b') + (1-g)s_old, seeded "
@@ -779,42 +782,46 @@ def q_holt_winters_daily_revenue(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    # imported at BUILD time and captured by value in the UDF closure
+    # (workers of an external driver cannot import this package); the
+    # same closure pair drives streaming/hw_state.py, so stream==batch
+    # parity is parity of plumbing, not of two recurrence copies
+    from ecommerce_analytics_spark.streaming.hw_state import (
+        make_hw_recurrence,
+    )
+    seed, step = make_hw_recurrence()
+
     events = load_table(spark, sf_dir, "events")
     sparse = (events
               .groupBy("event_type", F.to_date("ts").alias("day"))
               .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                    .alias("cents")))
     spine = (events
+             .groupBy("event_type")
              .agg(F.min(F.to_date("ts")).alias("lo"),
                   F.max(F.to_date("ts")).alias("hi"))
-             .select(F.explode(F.sequence("lo", "hi")).alias("day"))
-             .crossJoin(F.broadcast(events.select("event_type")
-                                    .distinct())))
+             .select("event_type",
+                     F.explode(F.sequence("lo", "hi")).alias("day")))
     daily = (spine.join(sparse, ["event_type", "day"], "left")
              .select("event_type", "day",
                      F.coalesce("cents", F.lit(0)).alias("cents")))
 
+    period, min_len = HW_PERIOD, HW_MIN_LEN
+
     def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("day").reset_index(drop=True)
         et = pdf["event_type"].iloc[0] if len(pdf) else None
-        if len(pdf) < HW_MIN_LEN:
+        if len(pdf) < min_len:
             return pd.DataFrame(columns=["event_type", "day", "rev",
                                          "lvl", "trend", "season",
                                          "forecast_next"])
         cents = pdf["cents"].tolist()
-        xs = [float(c) / 100.0 for c in cents]
-        lvl = float(sum(cents[:HW_PERIOD])) / 100.0 / float(HW_PERIOD)
-        trend = 0.0
-        sarr = [x - lvl for x in xs[:HW_PERIOD]]
+        lvl, trend, sarr = seed(cents[:period])
         out = []
-        for t in range(HW_PERIOD, len(xs)):
-            x, s_old, l_prev, b_prev = xs[t], sarr[0], lvl, trend
-            lvl = 0.5 * (x - s_old) + 0.5 * (l_prev + b_prev)
-            trend = 0.5 * (lvl - l_prev) + 0.5 * b_prev
-            s_new = 0.5 * (x - l_prev - b_prev) + 0.5 * s_old
-            sarr = sarr[1:] + [s_new]
-            out.append((et, pdf["day"][t], x, lvl, trend, s_new,
-                        lvl + trend + sarr[0]))
+        for t in range(period, len(cents)):
+            x = float(cents[t]) / 100.0
+            lvl, trend, sarr, s_new, fc = step(lvl, trend, sarr, x)
+            out.append((et, pdf["day"][t], x, lvl, trend, s_new, fc))
         return pd.DataFrame(out, columns=["event_type", "day", "rev",
                                           "lvl", "trend", "season",
                                           "forecast_next"])
