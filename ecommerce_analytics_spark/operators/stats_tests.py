@@ -290,6 +290,104 @@ def q_chi2_event_type_weekend(spark: SparkSession,
                     .alias("chi2")))
 
 
+_MW_ORACLE = """
+WITH vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         (isodow(ts) >= 6) AS wk
+  FROM events WHERE event_type = 'purchase'
+), by_val AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN wk THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+         CAST(sum(CASE WHEN wk THEN 0 ELSE 1 END) AS HUGEINT) AS b
+  FROM vals GROUP BY cents
+), cum AS (
+  SELECT cents, a, b, a + b AS t,
+         sum(a + b) OVER (ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - (a + b) AS cb
+  FROM by_val
+), agg AS (
+  SELECT (SELECT sum(a) FROM by_val) AS na,
+         (SELECT sum(b) FROM by_val) AS nb,
+         sum(a * (2 * cb + t + 1)) AS r2a,
+         sum(t * t * t - t) AS ties
+  FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_weekend, CAST(nb AS BIGINT) AS n_weekday,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_weekend,
+       round((CAST(r2a - na * (na + 1) AS DOUBLE)
+              - CAST(na * nb AS DOUBLE))
+             / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                           / 12.0
+                           * (CAST(na + nb + 1 AS DOUBLE)
+                              - CAST(ties AS DOUBLE)
+                                / (CAST(na + nb AS DOUBLE)
+                                   * CAST(na + nb - 1 AS DOUBLE))))),
+             6) AS z,
+       round(1.0 - CAST(r2a - na * (na + 1) AS DOUBLE)
+                   / CAST(na * nb AS DOUBLE), 6) AS rank_biserial
+FROM agg
+"""
+
+
+@query(
+    "mannwhitney_weekend_value",
+    _MW_ORACLE,
+    doc="Mann-Whitney U rank test of weekend vs weekday purchase "
+        "values — the nonparametric location-shift companion of the "
+        "KS shape test. Doubled midranks (2*avgrank = 2*cum_before "
+        "+ t + 1) keep the tied-rank sum an exact integer, so 2U is "
+        "decided entirely on integers; the tie-corrected normal "
+        "z and the rank-biserial effect size (1 - 2U/(na*nb)) are "
+        "the only float divisions, written identically on both "
+        "engines. Same scale shape as the KS test: one "
+        "map-side-combined reduction to the distinct-cents table, "
+        "one ordered window over that tiny support.",
+    tags=("eval", "stats", "window"),
+)
+def q_mannwhitney_weekend_value(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vals = (events.filter(F.col("event_type") == "purchase")
+            .select(F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents"),
+                    (F.weekday("ts") >= 5).alias("wk")))
+    by_val = (vals.groupBy("cents")
+              .agg(F.sum(F.when(F.col("wk"), 1).otherwise(0))
+                   .cast(_DEC).alias("a"),
+                   F.sum(F.when(F.col("wk"), 0).otherwise(1))
+                   .cast(_DEC).alias("b")))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0)
+    t = F.col("a") + F.col("b")
+    cum = by_val.select(
+        "a", "b", t.alias("t"),
+        (F.sum(F.col("a") + F.col("b")).over(w) - t).alias("cb"))
+    agg = cum.groupBy().agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb"),
+        F.sum(F.col("a") * (2 * F.col("cb") + F.col("t") + 1))
+        .alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("ties"))
+    na, nb = F.col("na"), F.col("nb")
+    u2 = F.col("r2a") - na * (na + 1)
+    u2d = u2.cast("double")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    var = (nad * nbd / 12.0
+           * ((na + nb + 1).cast("double")
+              - F.col("ties").cast("double")
+                / ((na + nb).cast("double")
+                   * (na + nb - 1).cast("double"))))
+    return agg.select(
+        na.cast("long").alias("n_weekend"),
+        nb.cast("long").alias("n_weekday"),
+        u2.cast("long").alias("u2_weekend"),
+        F.round((u2d - (na * nb).cast("double"))
+                / (2.0 * F.sqrt(var)), 6).alias("z"),
+        F.round(1.0 - u2d / (na * nb).cast("double"), 6)
+        .alias("rank_biserial"))
+
+
 ENT_FIX = 1_000_000_000
 
 _ENTROPY_ORACLE = f"""

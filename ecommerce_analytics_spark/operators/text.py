@@ -361,3 +361,83 @@ def q_bigram_pmi_collocations(spark: SparkSession,
             .select("w1", "w2", "c_ab", "c_a", "c_b",
                     (F.col("pmi_fix").cast("double") / PMI_FIX)
                     .alias("pmi")))
+
+
+KL_FIX = 1_000_000_000
+
+_KL_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), by_src AS (
+  SELECT source, tok, CAST(count(*) AS HUGEINT) AS c
+  FROM toks GROUP BY source, tok
+), src_tot AS (
+  SELECT source, CAST(sum(c) AS HUGEINT) AS ns,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM by_src GROUP BY source
+), corpus AS (
+  SELECT tok, CAST(sum(c) AS HUGEINT) AS cc FROM by_src GROUP BY tok
+), corpus_tot AS (
+  SELECT CAST(sum(cc) AS HUGEINT) AS nc FROM corpus
+), terms AS (
+  SELECT s.source, t.ns, t.vocab,
+         CAST(round((CAST(s.c AS DOUBLE) / CAST(t.ns AS DOUBLE))
+              * log2((CAST(s.c AS DOUBLE) / CAST(t.ns AS DOUBLE))
+                     / (CAST(g.cc AS DOUBLE) / CAST(ct.nc AS DOUBLE)))
+              * {KL_FIX}) AS HUGEINT) AS term_fix
+  FROM by_src s
+  JOIN src_tot t ON t.source = s.source
+  JOIN corpus g ON g.tok = s.tok
+  CROSS JOIN corpus_tot ct
+)
+SELECT source, CAST(ns AS BIGINT) AS n_tokens, vocab,
+       round(CAST(sum(term_fix) AS DOUBLE) / {KL_FIX}, 6) AS kl_bits
+FROM terms GROUP BY source, ns, vocab
+"""
+
+
+@query(
+    "corpus_kl_divergence",
+    _KL_ORACLE,
+    doc="Distribution-shift audit per source: KL(P_source || "
+        "P_corpus) in bits between each source's unigram LM and the "
+        "whole-corpus unigram LM — the drift score a training "
+        "pipeline uses to spot a source whose token mix diverged "
+        "(no smoothing needed: every source token is in the corpus "
+        "by construction, so q > 0 always). Each p*log2(p/q) term "
+        "quantizes to 1e-9 fixed point before the exact integer sum "
+        "(the entropy/PMI precedent). Shuffle profile: one explode "
+        "(map-side), counting aggregation on (source, token), the "
+        "corpus LM derived from THAT aggregate (never a second scan "
+        "of the raw text), then an equi-join back on token.",
+    tags=("northstar", "text", "stats", "agg"),
+)
+def q_corpus_kl_divergence(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    _DEC = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    by_src = (docs
+              .select("source",
+                      F.explode(F.split(F.col("text"), " ")).alias("tok"))
+              .groupBy("source", "tok")
+              .agg(F.count(F.lit(1)).cast(_DEC).alias("c")))
+    src_tot = (by_src.groupBy("source")
+               .agg(F.sum("c").alias("ns"),
+                    F.count(F.lit(1)).cast("long").alias("vocab")))
+    corpus = by_src.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.groupBy().agg(F.sum("cc").alias("nc"))
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = F.col("cc").cast("double") / F.col("nc").cast("double")
+    terms = (by_src
+             .join(F.broadcast(src_tot), "source")
+             .join(corpus, "tok")
+             .join(F.broadcast(corpus_tot))
+             .select("source", "ns", "vocab",
+                     F.round(p * F.log2(p / q) * KL_FIX).cast(_DEC)
+                     .alias("term_fix")))
+    return (terms.groupBy("source", "ns", "vocab")
+            .agg(F.round(F.sum("term_fix").cast("double") / KL_FIX, 6)
+                 .alias("kl_bits"))
+            .select("source", F.col("ns").cast("long").alias("n_tokens"),
+                    "vocab", "kl_bits"))
