@@ -165,3 +165,100 @@ def q_embedding_covariance_stats(spark: SparkSession,
                  F.sum("b.xf").cast("long").alias("sum_j"),
                  F.sum(F.col("a.xf") * F.col("b.xf"))
                  .cast("long").alias("sum_ij")))
+
+
+_DRIFT_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(g.i AS INTEGER) AS dim,
+         CAST(round(CAST(embedding[g.i] AS DOUBLE) * {COV_FIX})
+              AS BIGINT) AS xf
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(i)
+), per AS (
+  SELECT d.source, e.dim, CAST(sum(e.xf) AS HUGEINT) AS s,
+         CAST(count(*) AS HUGEINT) AS ns
+  FROM ex e JOIN documents d ON d.doc_id = e.vec_id
+  GROUP BY d.source, e.dim
+), corpus AS (
+  SELECT dim, CAST(sum(s) AS HUGEINT) AS sc,
+         CAST(sum(ns) AS HUGEINT) AS nc
+  FROM per GROUP BY dim
+), b2 AS (
+  SELECT CAST(sum(sc * sc) AS HUGEINT) AS b2 FROM corpus
+), terms AS (
+  SELECT p.source, p.ns, c.nc,
+         p.s * c.sc AS dotterm, p.s * p.s AS aterm,
+         (c.nc * p.s - p.ns * c.sc)
+           * (c.nc * p.s - p.ns * c.sc) AS l2term
+  FROM per p JOIN corpus c ON c.dim = p.dim
+)
+SELECT t.source, CAST(t.ns AS BIGINT) AS n_docs,
+       round(CAST(sum(t.dotterm) AS DOUBLE)
+             / (sqrt(CAST(sum(t.aterm) AS DOUBLE))
+                * sqrt(CAST(b.b2 AS DOUBLE))), 6) AS cos_centroid,
+       round(sqrt(CAST(sum(t.l2term) AS DOUBLE))
+             / (CAST(t.ns AS DOUBLE) * CAST(t.nc AS DOUBLE)
+                * {COV_FIX}), 6) AS l2_centroid
+FROM terms t CROSS JOIN b2 b
+GROUP BY t.source, t.ns, t.nc, b.b2
+"""
+
+
+@query(
+    "embedding_source_drift",
+    _DRIFT_ORACLE,
+    doc="Embedding-drift monitor per source: cosine and L2 distance "
+        "between each source's embedding centroid and the corpus "
+        "centroid — the representation-shift alarm for a multi-source "
+        "ingest. The 1/n normalizations CANCEL in the cosine "
+        "(cos(mean_s, mean_c) = Sum(S_sd*S_cd) / (|S_s||S_c|)) and "
+        "cross-multiply out of the L2 numerator ((nc*S_sd - "
+        "ns*S_cd)^2), so with 1e-6 fixed-point coordinates (the "
+        "COV_FIX discipline) EVERY accumulated term is an exact "
+        "integer; the only float ops are the final sqrt/divide. One "
+        "coordinate explode joined to the doc dimension, per-(source,"
+        "dim) aggregation, the corpus centroid derived from THAT "
+        "aggregate — never a second pass over the vectors.",
+    tags=("ml", "agg", "north-star", "multimodal"),
+)
+def q_embedding_source_drift(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    _DEC = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (emb.select("vec_id", F.posexplode("embedding")
+                     .alias("dim0", "x"))
+          .select("vec_id",
+                  (F.col("dim0") + 1).cast("int").alias("dim"),
+                  F.round(F.col("x").cast("double") * COV_FIX)
+                  .cast("long").alias("xf")))
+    per = (ex.join(docs.select(F.col("doc_id").alias("vec_id"),
+                               "source"), "vec_id")
+           .groupBy("source", "dim")
+           .agg(F.sum("xf").cast(_DEC).alias("s"),
+                F.count(F.lit(1)).cast(_DEC).alias("ns")))
+    corpus = (per.groupBy("dim")
+              .agg(F.sum("s").alias("sc"), F.sum("ns").alias("nc")))
+    b2 = corpus.groupBy().agg(
+        F.sum(F.col("sc") * F.col("sc")).alias("b2"))
+    diff = F.col("nc") * F.col("s") - F.col("ns") * F.col("sc")
+    terms = (per.join(corpus, "dim")
+             .select("source", "ns", "nc",
+                     (F.col("s") * F.col("sc")).alias("dotterm"),
+                     (F.col("s") * F.col("s")).alias("aterm"),
+                     (diff * diff).alias("l2term")))
+    return (terms.join(F.broadcast(b2))
+            .groupBy("source", "ns", "nc", "b2")
+            .agg(F.sum("dotterm").alias("dot"),
+                 F.sum("aterm").alias("a2"),
+                 F.sum("l2term").alias("l2"))
+            .select(
+                "source", F.col("ns").cast("long").alias("n_docs"),
+                F.round(F.col("dot").cast("double")
+                        / (F.sqrt(F.col("a2").cast("double"))
+                           * F.sqrt(F.col("b2").cast("double"))), 6)
+                .alias("cos_centroid"),
+                F.round(F.sqrt(F.col("l2").cast("double"))
+                        / (F.col("ns").cast("double")
+                           * F.col("nc").cast("double") * COV_FIX), 6)
+                .alias("l2_centroid")))

@@ -311,11 +311,51 @@ def _shingle_expr(positions) -> str:
 def q_bm25_self_retrieval_mrr(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    ranked = shingle_bm25_ranked(
+        docs, F.col("doc_id") % MRR_QDOC_MOD == MRR_QDOC_RES)
+    perq = (ranked.groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                 F.max(F.when(F.col("doc_id") == F.col("qid"),
+                              F.col("rank"))).alias("self_rank")))
+    rr_fix = F.when(F.col("self_rank").isNull(), F.lit(0).cast("long")) \
+              .otherwise(F.round(float(RR_FIX) / F.col("self_rank"))
+                         .cast("long"))
+    ndcg_fix = F.when(
+        F.col("self_rank").isNull() | (F.col("self_rank") > NDCG_K),
+        F.lit(0).cast("long")).otherwise(
+        F.round(float(RR_FIX)
+                / F.log2(F.col("self_rank").cast("double") + 1.0))
+        .cast("long"))
+    fixed = perq.select("qid", "n_candidates", "self_rank",
+                        rr_fix.alias("rr_fix"),
+                        ndcg_fix.alias("ndcg_fix"))
+    glob = fixed.groupBy().agg(
+        F.round(F.sum("rr_fix").cast("double") / F.count(F.lit(1))
+                / RR_FIX, 6).alias("mrr"),
+        F.round(F.sum("ndcg_fix").cast("double") / F.count(F.lit(1))
+                / RR_FIX, 6).alias("mean_ndcg"))
+    return (fixed.join(F.broadcast(glob))
+            .select("qid", "n_candidates", "self_rank",
+                    F.round(F.col("rr_fix").cast("double") / RR_FIX, 6)
+                    .alias("rr"),
+                    F.round(F.col("ndcg_fix").cast("double") / RR_FIX, 6)
+                    .alias(f"ndcg{NDCG_K}"),
+                    "mrr", "mean_ndcg"))
+
+
+def shingle_bm25_ranked(docs: DataFrame, qdoc_pred,
+                        exclude_self: bool = False) -> DataFrame:
+    """Full shingle-BM25 candidate ranking (qid, doc_id, score_fix,
+    rank) for every query doc selected by ``qdoc_pred`` (composed with
+    the MRR_MIN_TOKENS shingle-length floor). The shared lexical leg
+    of the MRR eval above and the RRF fusion below; ``exclude_self``
+    drops the query doc from its own candidate list BEFORE ranking
+    (retrieval semantics) — the MRR eval keeps it (self-rank IS the
+    metric)."""
     toks = F.split("text", " ")
     pos_arr = "array(" + ", ".join(str(p) for p in MRR_SH_POS) + ")"
     qterms = (docs
-              .filter((F.size(toks) >= MRR_MIN_TOKENS)
-                      & (F.col("doc_id") % MRR_QDOC_MOD == MRR_QDOC_RES))
+              .filter((F.size(toks) >= MRR_MIN_TOKENS) & qdoc_pred)
               .select(F.col("doc_id").alias("qid"),
                       F.expr(_shingle_expr(pos_arr)).alias("term"))
               .distinct())
@@ -356,35 +396,170 @@ def q_bm25_self_retrieval_mrr(spark: SparkSession,
                      .alias("fix")))
     byqd = (persc.groupBy("qid", "doc_id")
             .agg(F.sum("fix").cast("long").alias("score_fix")))
+    if exclude_self:
+        byqd = byqd.filter(F.col("doc_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(
         F.desc("score_fix"), F.asc("doc_id"))
-    ranked = byqd.withColumn("rank",
-                             F.row_number().over(w).cast("long"))
-    perq = (ranked.groupBy("qid")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                 F.max(F.when(F.col("doc_id") == F.col("qid"),
-                              F.col("rank"))).alias("self_rank")))
-    rr_fix = F.when(F.col("self_rank").isNull(), F.lit(0).cast("long")) \
-              .otherwise(F.round(float(RR_FIX) / F.col("self_rank"))
-                         .cast("long"))
-    ndcg_fix = F.when(
-        F.col("self_rank").isNull() | (F.col("self_rank") > NDCG_K),
-        F.lit(0).cast("long")).otherwise(
-        F.round(float(RR_FIX)
-                / F.log2(F.col("self_rank").cast("double") + 1.0))
-        .cast("long"))
-    fixed = perq.select("qid", "n_candidates", "self_rank",
-                        rr_fix.alias("rr_fix"),
-                        ndcg_fix.alias("ndcg_fix"))
-    glob = fixed.groupBy().agg(
-        F.round(F.sum("rr_fix").cast("double") / F.count(F.lit(1))
-                / RR_FIX, 6).alias("mrr"),
-        F.round(F.sum("ndcg_fix").cast("double") / F.count(F.lit(1))
-                / RR_FIX, 6).alias("mean_ndcg"))
-    return (fixed.join(F.broadcast(glob))
-            .select("qid", "n_candidates", "self_rank",
-                    F.round(F.col("rr_fix").cast("double") / RR_FIX, 6)
-                    .alias("rr"),
-                    F.round(F.col("ndcg_fix").cast("double") / RR_FIX, 6)
-                    .alias(f"ndcg{NDCG_K}"),
-                    "mrr", "mean_ndcg"))
+    return byqd.withColumn("rank",
+                           F.row_number().over(w).cast("long"))
+
+
+RRF_K = 60                 # standard reciprocal-rank-fusion constant
+RRF_FIX = 1_000_000_000    # per-leg 1/(k+rank) fixed point
+RRF_TOP_K = 10
+
+
+def _rrf_oracle() -> str:
+    from ecommerce_analytics_spark.operators.similarity import (
+        N_QUERIES, _cos_sql)
+    pos = ", ".join(str(p) for p in MRR_SH_POS)
+    return f"""
+WITH td AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), qterms AS (
+  SELECT DISTINCT doc_id AS qid, sh AS term FROM (
+    SELECT doc_id,
+           unnest(list_transform([{pos}],
+                                 i -> {_SH_EXPR_SQL})) AS sh
+    FROM td
+    WHERE len(toks) >= {MRR_MIN_TOKENS}
+      AND doc_id < {N_QUERIES})
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks) - 2) AS BIGINT) AS total_sh
+  FROM td
+), dl AS (
+  SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS dl FROM td
+), tf AS MATERIALIZED (
+  SELECT doc_id, sh AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 2),
+                                 i -> {_SH_EXPR_SQL})) AS sh
+    FROM td)
+  WHERE sh IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, sh
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), kept AS (
+  SELECT term, df FROM df, stats WHERE {MRR_DF_CAP} * df <= n_docs
+), persc AS (
+  SELECT q.qid, t.doc_id,
+         CAST(round(
+           ((CAST(s.n_docs AS DOUBLE) - CAST(k.df AS DOUBLE) + 0.5)
+              / (CAST(k.df AS DOUBLE) + 0.5))
+           * ((CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+              / (CAST(t.tf AS DOUBLE)
+                 + {BM25_K1} * ((1.0 - {BM25_B})
+                    + {BM25_B} * (CAST(l.dl AS DOUBLE)
+                       / (CAST(s.total_sh AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+           * {MRR_FIX}) AS BIGINT) AS fix
+  FROM qterms q
+  JOIN kept k ON k.term = q.term
+  JOIN tf t ON t.term = q.term
+  JOIN dl l ON l.doc_id = t.doc_id, stats s
+), byqd AS (
+  SELECT qid, doc_id, CAST(sum(fix) AS BIGINT) AS score_fix
+  FROM persc WHERE doc_id <> qid GROUP BY qid, doc_id
+), lex AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY score_fix DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM byqd
+), qv AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+), vscored AS (
+  SELECT qv.vec_id AS qid, c.vec_id AS doc_id,
+         {_cos_sql('qv.embedding', 'c.embedding')} AS cos_sim
+  FROM qv JOIN embeddings c ON qv.vec_id <> c.vec_id
+), vec AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS vec_rank
+  FROM vscored
+), fused AS (
+  SELECT coalesce(l.qid, v.qid) AS qid,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rank, v.vec_rank,
+         coalesce(CAST(round({RRF_FIX}.0 / ({RRF_K} + l.lex_rank))
+                       AS BIGINT), 0)
+         + coalesce(CAST(round({RRF_FIX}.0 / ({RRF_K} + v.vec_rank))
+                         AS BIGINT), 0) AS rrf_fix
+  FROM lex l FULL OUTER JOIN vec v
+    ON v.qid = l.qid AND v.doc_id = l.doc_id
+), franked AS (
+  SELECT qid, doc_id, lex_rank, vec_rank, rrf_fix,
+         CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY rrf_fix DESC, doc_id) AS BIGINT) AS rank
+  FROM fused
+)
+SELECT qid, doc_id, lex_rank, vec_rank,
+       round(CAST(rrf_fix AS DOUBLE) / {RRF_FIX}, 6) AS rrf, rank
+FROM franked WHERE rank <= {RRF_TOP_K}
+"""
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    _rrf_oracle(),
+    doc=f"Hybrid search: reciprocal-rank fusion (k={RRF_K}) of the "
+        f"shingle-BM25 lexical ranking (shared builder with the MRR "
+        f"eval, self-excluded) and the exact-cosine vector ranking "
+        f"(the knn_bruteforce leg) for the same query docs, top-"
+        f"{RRF_TOP_K} fused per query — the standard production "
+        f"pattern for combining an inverted index with an ANN tier. "
+        f"Each leg's 1/(k+rank) contribution snaps to 1e-9 fixed "
+        f"point from an INTEGER rank, so fusion scores and the final "
+        f"ranking are exact; a doc missing from one leg contributes "
+        f"0 through the full-outer join (no rank imputation). At "
+        f"scale the vector leg swaps for the IVF/PQ tier "
+        f"(similarity.py, ivfpq.py) without touching the fusion.",
+    tags=("text", "retrieval", "similarity", "north-star", "join"),
+)
+def q_hybrid_retrieval_rrf(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ecommerce_analytics_spark.operators.similarity import (
+        N_QUERIES, dot, norm)
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = (shingle_bm25_ranked(docs, F.col("doc_id") < N_QUERIES,
+                               exclude_self=True)
+           .select("qid", "doc_id",
+                   F.col("rank").alias("lex_rank")))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (emb.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("q_emb"),
+                  norm(F.col("embedding")).alias("q_norm")))
+    c = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("c_emb"),
+                   norm(F.col("embedding")).alias("c_norm"))
+    vscored = (F.broadcast(qv)
+               .join(c, F.col("qid") != F.col("doc_id"))
+               .select("qid", "doc_id",
+                       (dot(F.col("q_emb"), F.col("c_emb"))
+                        / (F.col("q_norm") * F.col("c_norm")))
+                       .alias("cos_sim")))
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id"))
+    vec = (vscored
+           .withColumn("vec_rank", F.row_number().over(wv).cast("long"))
+           .select("qid", "doc_id", "vec_rank"))
+
+    leg = lambda r: F.round(float(RRF_FIX) / (RRF_K + F.col(r))) \
+        .cast("long")
+    fused = (lex.join(vec, ["qid", "doc_id"], "full_outer")
+             .select("qid", "doc_id", "lex_rank", "vec_rank",
+                     (F.coalesce(leg("lex_rank"), F.lit(0))
+                      + F.coalesce(leg("vec_rank"), F.lit(0)))
+                     .alias("rrf_fix")))
+    wf = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_fix"), F.asc("doc_id"))
+    return (fused
+            .withColumn("rank", F.row_number().over(wf).cast("long"))
+            .filter(F.col("rank") <= RRF_TOP_K)
+            .select("qid", "doc_id", "lex_rank", "vec_rank",
+                    F.round(F.col("rrf_fix").cast("double") / RRF_FIX, 6)
+                    .alias("rrf"), "rank"))
