@@ -482,3 +482,55 @@ def q_top_product_per_nation(spark: SparkSession,
         "nation",
         (-F.col("m.neg_pid")).cast("long").alias("product_id"),
         F.col("m.revenue").alias("revenue"))
+
+
+_NEW_RETURNING_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), fd AS (
+  SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+)
+SELECT strftime(u.day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN u.day = f.first_day THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_returning,
+       round(CAST(sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS new_share
+FROM ud u JOIN fd f ON f.user_id = u.user_id
+GROUP BY u.day
+"""
+
+
+@query(
+    "daily_new_vs_returning",
+    _NEW_RETURNING_ORACLE,
+    doc="Daily active users decomposed into new (first-ever-seen that "
+        "day) vs returning — the growth-accounting curve every "
+        "product dashboard leads with. Shuffle profile: ONE user-hash "
+        "exchange serves both the (user, day) distinct and the "
+        "per-user min-day aggregate, and the join back on user_id is "
+        "co-partitioned on it; the final day groupBy moves only "
+        "per-day counts. All counts exact integers; the one ratio "
+        "divides at the end.",
+    tags=("agg", "window", "tier-b"),
+)
+def q_daily_new_vs_returning(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = (events.select("user_id", F.to_date("ts").alias("day"))
+          .distinct())
+    fd = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.sum(F.when(F.col("day") == F.col("first_day"), 1)
+                   .otherwise(0))
+    return (ud.join(fd, "user_id")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_active"),
+                 is_new.cast("long").alias("n_new"),
+                 (F.count(F.lit(1)) - is_new).cast("long")
+                 .alias("n_returning"),
+                 F.round(is_new.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("new_share"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_active", "n_new", "n_returning", "new_share"))
