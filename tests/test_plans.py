@@ -397,3 +397,37 @@ def test_pmi_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(query_map()["bigram_pmi_collocations"](spark, sf_dir),
                  "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_moment_reductions_single_scalar_exchange(spark, sf_dir):
+    # the closed-form inference family's scale claim: the fact table
+    # reduces to a scalar moment row through ONE map-side-combined
+    # SinglePartition aggregate — never a data-sized hash shuffle
+    for name in ("lineitem_correlation_matrix",
+                 "abtest_weekend_conversion"):
+        plan = _plan(query_map()[name](spark, sf_dir), "simple")
+        assert plan.count("Exchange SinglePartition") == 1, (name, plan)
+        assert "Exchange hashpartitioning" not in plan, (name, plan)
+        assert plan.count("HashAggregate") >= 2, (name, plan)
+
+
+def test_new_vs_returning_user_exchanges_bounded(spark, sf_dir):
+    # the (user, day) distinct, the per-user min-day aggregate, and
+    # the join back are all partitioned on user_id — at most one
+    # user-hash exchange per side of the self-join (a data-sized
+    # regression shows up as a third); the final day groupBy moves
+    # only per-day counts
+    plan = _plan(query_map()["daily_new_vs_returning"](spark, sf_dir),
+                 "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_vector_leg_broadcasts_queries(spark, sf_dir):
+    # the fusion query's vector leg must broadcast the 16-row query
+    # set against the candidate stream (the knn_bruteforce
+    # discipline), not shuffle the corpus
+    plan = _plan(query_map()["hybrid_retrieval_rrf"](spark, sf_dir),
+                 "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
