@@ -217,3 +217,95 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.count(F.lit(1)) / F.lit(LOG_FIX), 6)
              .alias("avg_neg_logprob"))
     )
+
+
+DSIR_TARGET = "src0"  # the "domain" corpus the sampler up-weights
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), gvocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cg FROM tok GROUP BY tok
+), tvocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS ct
+  FROM tok WHERE source = '{DSIR_TARGET}' GROUP BY tok
+), consts AS (
+  SELECT (SELECT sum(cg) FROM gvocab) AS ng,
+         (SELECT count(*) FROM gvocab) AS v,
+         (SELECT coalesce(sum(ct), 0) FROM tvocab) AS nt
+), logfix AS (
+  SELECT g.tok,
+         CAST(round((ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                        / CAST(c.nt + c.v AS DOUBLE))
+                     - ln(CAST(g.cg AS DOUBLE) / CAST(c.ng AS DOUBLE)))
+                    * {LOG_FIX}) AS BIGINT) AS ratio_fix
+  FROM gvocab g
+  LEFT JOIN tvocab t ON t.tok = g.tok
+  CROSS JOIN consts c
+)
+SELECT k.doc_id, k.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(l.ratio_fix) AS DOUBLE) / {LOG_FIX}, 6)
+         AS log_importance,
+       round(CAST(sum(l.ratio_fix) AS DOUBLE) / count(*)
+             / {LOG_FIX}, 6) AS per_token_logratio
+FROM tok k JOIN logfix l ON l.tok = k.tok
+GROUP BY k.doc_id, k.source
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    _DSIR_ORACLE,
+    doc=f"DSIR-style importance weights (Xie et al. 2023, data "
+        f"selection via importance resampling): per document, the "
+        f"log-likelihood ratio between the TARGET domain's "
+        f"Laplace-smoothed unigram LM (source='{DSIR_TARGET}') and "
+        f"the general corpus LM — the score a domain-upsampling "
+        f"pipeline feeds into weighted/temperature resampling "
+        f"(corpus_resample, weighted_sample_per_lang). Per-token "
+        f"ln-ratio snaps to 1e-9 fixed point ONCE per vocabulary "
+        f"entry; each document then sums exact integers through the "
+        f"token-keyed join (tf-weighting falls out of the instance "
+        f"join). Both LMs derive from the same single (token) "
+        f"aggregate family; the token stream shuffles once.",
+    tags=("northstar", "text", "sampling", "agg"),
+)
+def q_dsir_importance_weights(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    gvocab = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cg"))
+    tvocab = (tok.filter(F.col("source") == DSIR_TARGET)
+              .groupBy("tok")
+              .agg(F.count(F.lit(1)).cast("long").alias("ct")))
+    consts = (gvocab.groupBy()
+              .agg(F.sum("cg").alias("ng"),
+                   F.count(F.lit(1)).alias("v"))
+              .crossJoin(F.broadcast(
+                  tvocab.groupBy().agg(
+                      F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))))
+    logfix = (gvocab
+              .join(tvocab, "tok", "left")
+              .join(F.broadcast(consts))
+              .select("tok",
+                      F.round((F.log((F.coalesce(F.col("ct"), F.lit(0))
+                                      + 1).cast("double")
+                                     / (F.col("nt") + F.col("v"))
+                                     .cast("double"))
+                               - F.log(F.col("cg").cast("double")
+                                       / F.col("ng").cast("double")))
+                              * LOG_FIX).cast("long")
+                      .alias("ratio_fix")))
+    return (tok.join(logfix, "tok")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.round(F.sum("ratio_fix").cast("double") / LOG_FIX, 6)
+                 .alias("log_importance"),
+                 F.round(F.sum("ratio_fix").cast("double")
+                         / F.count(F.lit(1)) / LOG_FIX, 6)
+                 .alias("per_token_logratio")))

@@ -441,3 +441,58 @@ def q_corpus_kl_divergence(spark: SparkSession,
                  .alias("kl_bits"))
             .select("source", F.col("ns").cast("long").alias("n_tokens"),
                     "vocab", "kl_bits"))
+
+
+BPE_TOP_K = 20
+
+_BPE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), pairs AS (
+  SELECT substr(t, CAST(g.i AS INTEGER), 2) AS pair
+  FROM tok, unnest(generate_series(1, length(t) - 1)) AS g(i)
+  WHERE length(t) >= 2
+), counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+), ranked AS (
+  SELECT pair, n,
+         CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+           AS rank
+  FROM counted
+)
+SELECT pair, n, rank FROM ranked WHERE rank <= {BPE_TOP_K}
+"""
+
+
+@query(
+    "bpe_merge_candidates",
+    _BPE_ORACLE,
+    doc=f"Tokenizer-training primitive: the top-{BPE_TOP_K} adjacent "
+        f"character pairs by corpus frequency — exactly the merge-"
+        f"candidate table the first BPE training iteration maximizes "
+        f"over (later iterations re-run the same count after applying "
+        f"the merge; the counting pass IS the distributed work). "
+        f"Exact integer counts, ties broken lexicographically. "
+        f"Shuffle profile: the char-pair explode is map-side, the "
+        f"count is one compact-key aggregation, and the top-K is "
+        f"TakeOrderedAndProject over the counted pairs — at 100 TB "
+        f"the pair vocabulary (bounded by charset^2 per length-2 "
+        f"window) stays tiny regardless of corpus size.",
+    tags=("northstar", "text", "agg"),
+)
+def q_bpe_merge_candidates(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select(F.explode(F.split(F.col("text"), " "))
+                       .alias("t"))
+           .filter(F.length("t") >= 2))
+    pairs = tok.select(
+        F.explode(F.expr("transform(sequence(1, length(t) - 1), "
+                         "i -> substring(t, i, 2))")).alias("pair"))
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    top = counted.orderBy(F.desc("n"), F.asc("pair")).limit(BPE_TOP_K)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (top.withColumn("rank",
+                           F.row_number().over(w).cast("long"))
+            .select("pair", "n", "rank"))
