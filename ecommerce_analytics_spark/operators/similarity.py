@@ -783,3 +783,73 @@ def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "neighbor_label",
                     "dot_q", "rank"))
+
+
+_KNN_LABEL_ORACLE = f"""
+WITH knn AS (
+  SELECT * FROM ({_KNN_ORACLE})
+), votes AS (
+  SELECT query_id, neighbor_label,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM knn GROUP BY query_id, neighbor_label
+), pred AS (
+  SELECT query_id, neighbor_label AS predicted_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, neighbor_label)
+           AS rn
+  FROM votes
+), scored AS (
+  SELECT p.query_id, e.label AS true_label, p.predicted_label,
+         p.votes, (p.predicted_label = e.label) AS correct
+  FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+  WHERE p.rn = 1
+)
+SELECT s.query_id, s.true_label, s.predicted_label, s.votes,
+       s.correct,
+       round(CAST((SELECT sum(CASE WHEN correct THEN 1 ELSE 0 END)
+                   FROM scored) AS DOUBLE)
+             / (SELECT count(*) FROM scored), 6) AS accuracy
+FROM scored s
+"""
+
+
+@query(
+    "knn_label_accuracy",
+    _KNN_LABEL_ORACLE,
+    doc=f"kNN classifier evaluation: majority-vote label prediction "
+        f"over the exact top-{TOP_K} cosine neighbors for the "
+        f"{N_QUERIES} query vectors vs their own labels, plus the "
+        f"overall leave-self-out accuracy — the standard "
+        f"embedding-quality probe (a good representation predicts "
+        f"its own label from neighbors). Composes the certified "
+        f"knn_bruteforce ranking verbatim (both engines wrap the "
+        f"same subquery); the vote argmax is exact integer counts "
+        f"with ties to the smallest label.",
+    tags=("similarity", "eval", "ml", "north-star"),
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = q_knn_bruteforce(spark, sf_dir)
+    votes = (knn.groupBy("query_id", "neighbor_label")
+             .agg(F.count(F.lit(1)).cast("long").alias("votes")))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("neighbor_label"))
+    pred = (votes.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("query_id",
+                    F.col("neighbor_label").alias("predicted_label"),
+                    "votes"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = (pred.join(emb.select(F.col("vec_id").alias("query_id"),
+                                   F.col("label").alias("true_label")),
+                        "query_id")
+              .select("query_id", "true_label", "predicted_label",
+                      "votes",
+                      (F.col("predicted_label") == F.col("true_label"))
+                      .alias("correct")))
+    acc = scored.groupBy().agg(
+        F.round(F.sum(F.when(F.col("correct"), 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6)
+        .alias("accuracy"))
+    return (scored.join(F.broadcast(acc))
+            .select("query_id", "true_label", "predicted_label",
+                    "votes", "correct", "accuracy"))
