@@ -1,0 +1,218 @@
+"""Multinomial Naive Bayes source classifier over the document corpus.
+
+The domain/quality-classifier step of a pretraining data pipeline
+(fastText-style source discrimination: train a cheap bag-of-words
+classifier on labeled slices, score the whole corpus with it). The
+reference ships no classifier at all (SURVEY §2.8's sequential rules
+are its only "model"); this is the north-star family's supervised
+counterpart to ``dsir_importance_weights`` (same decomposition, but
+per-class argmax instead of a two-corpus ratio).
+
+Train/test split is the content-hash uniform from dedup_resolve
+(replayable, no RNG state): u(doc_id) < 0.8 → train, else test.
+
+Multinomial NB with add-1 smoothing, decomposed so zero-count tokens
+cost nothing:
+
+    score(d, c) = ln P(c) + sum_{t in d} ln P(t | c)
+                = ln(n_c / n_train)
+                  - n_tokens(d) * ln(tot_c + V)
+                  + sum_{t in d} ln(cnt_{t,c} + 1)
+
+``cnt = 0`` contributes ln(1) = 0, so the per-token sum only needs
+the (token, class) pairs that EXIST in the train counts — the join
+probes a counts table of at most |vocab| * |classes| rows (KBs here,
+tens of MB at 100 TB corpus scale after mincount pruning) and never
+materializes the zero cells.
+
+Cross-engine determinism: every ln() operand is a ratio of exact
+integers, and each log term is snapped to 1e-9 fixed point (BIGINT)
+BEFORE summing — integer sums are associative, so plan shape and
+engine cannot change a doc's score (the doc_unigram_logprob / DSIR
+discipline, decontam.py:24-30). Argmax ties break to the smallest
+source string.
+
+Scale shape: ONE token explode over train (compact (token, source)
+shuffle), the counts/priors tables broadcast, test tokens join
+map-side, one (doc, class) partial-agg, one 20-way-per-doc argmax
+window riding the same doc-hash exchange. No all-pairs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.operators.dedup_resolve import _U_SQL
+from ecommerce_analytics_spark.plans.registry import query
+
+NB_TRAIN_FRAC = 0.8
+LOG_FIX = 1_000_000_000  # 1e-9 fixed point for ln() (decontam.py idiom)
+
+
+_NB_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, text, source,
+         ({_U_SQL} < {NB_TRAIN_FRAC}) AS is_train
+  FROM documents
+), train_tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM split WHERE is_train
+), counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM train_tok GROUP BY source, tok
+), class_tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS tot
+  FROM counts GROUP BY source
+), vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM counts
+), priors AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_c
+  FROM split WHERE is_train GROUP BY source
+), n_train AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM split WHERE is_train
+), class_consts AS (
+  SELECT p.source,
+         CAST(round(ln(CAST(p.n_c AS DOUBLE) / n_train.n)
+                    * {LOG_FIX}) AS BIGINT) AS prior_fix,
+         CAST(round(ln(CAST(ct.tot + vocab.v AS DOUBLE))
+                    * {LOG_FIX}) AS BIGINT) AS denom_fix
+  FROM priors p
+  JOIN class_tot ct ON ct.source = p.source
+  CROSS JOIN vocab CROSS JOIN n_train
+), match_fix AS (
+  SELECT source, tok,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE)) * {LOG_FIX}) AS BIGINT)
+           AS lf
+  FROM counts
+), test_tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM split WHERE NOT is_train
+), test_len AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+  FROM test_tok GROUP BY doc_id
+), match_sum AS (
+  SELECT t.doc_id, m.source, CAST(sum(m.lf) AS BIGINT) AS msum
+  FROM test_tok t JOIN match_fix m ON m.tok = t.tok
+  GROUP BY t.doc_id, m.source
+), scored AS (
+  SELECT l.doc_id, cc.source,
+         cc.prior_fix - l.n_tok * cc.denom_fix
+           + coalesce(ms.msum, 0) AS score_fix
+  FROM test_len l
+  CROSS JOIN class_consts cc
+  LEFT JOIN match_sum ms
+    ON ms.doc_id = l.doc_id AND ms.source = cc.source
+), pred AS (
+  SELECT doc_id, source AS predicted_source, score_fix,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_fix DESC, source) AS rn
+  FROM scored
+), labeled AS (
+  SELECT p.doc_id, s.source AS true_source, p.predicted_source,
+         round(CAST(p.score_fix AS DOUBLE) / {LOG_FIX}, 6) AS score,
+         (p.predicted_source = s.source) AS correct
+  FROM pred p JOIN split s ON s.doc_id = p.doc_id
+  WHERE p.rn = 1
+)
+SELECT lb.doc_id, lb.true_source, lb.predicted_source, lb.score,
+       lb.correct,
+       round(CAST((SELECT sum(CASE WHEN correct THEN 1 ELSE 0 END)
+                   FROM labeled) AS DOUBLE)
+             / (SELECT count(*) FROM labeled), 6) AS accuracy
+FROM labeled lb
+"""
+
+
+@query(
+    "nb_source_classifier",
+    _NB_ORACLE,
+    doc="Multinomial Naive Bayes source classifier: add-1-smoothed "
+        "bag-of-words model trained on the deterministic 80% "
+        "content-hash split, scoring every held-out doc against all "
+        "classes and reporting argmax prediction + leave-out accuracy "
+        "— the fastText-style domain-classifier step of a pretraining "
+        "pipeline. Zero-count decomposition means scoring joins only "
+        "EXISTING (token, class) count rows (the counts/priors tables "
+        "broadcast); every log term is 1e-9 fixed-point snapped before "
+        "the associative integer sum, so the score is engine- and "
+        "plan-shape-exact. Ties argmax to the smallest source.",
+    tags=("ml", "text", "classification", "north-star"),
+)
+def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id", "text", "source",
+        (F.expr(_U_SQL) < NB_TRAIN_FRAC).alias("is_train"))
+
+    train = split.filter("is_train")
+    test = split.filter("NOT is_train")
+
+    train_tok = train.select(
+        "source", F.explode(F.split("text", " ")).alias("tok"))
+    counts = (train_tok.groupBy("source", "tok")
+              .agg(F.count(F.lit(1)).alias("c")))
+    class_tot = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    vocab = counts.agg(F.countDistinct("tok").alias("v"))
+    priors = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n"))
+
+    class_consts = (
+        priors.join(class_tot, "source")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "source",
+            F.round(F.log(F.col("n_c").cast("double") / F.col("n"))
+                    * LOG_FIX).cast("bigint").alias("prior_fix"),
+            F.round(F.log((F.col("tot") + F.col("v")).cast("double"))
+                    * LOG_FIX).cast("bigint").alias("denom_fix")))
+
+    match_fix = counts.select(
+        "source", "tok",
+        F.round(F.log((F.col("c") + 1).cast("double")) * LOG_FIX)
+        .cast("bigint").alias("lf"))
+
+    test_tok = test.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    test_len = test_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"))
+    match_sum = (test_tok.join(F.broadcast(match_fix), "tok")
+                 .groupBy("doc_id", "source")
+                 .agg(F.sum("lf").alias("msum")))
+
+    scored = (
+        test_len.crossJoin(F.broadcast(class_consts))
+        .join(match_sum, ["doc_id", "source"], "left")
+        .select(
+            "doc_id", "source",
+            (F.col("prior_fix") - F.col("n_tok") * F.col("denom_fix")
+             + F.coalesce("msum", F.lit(0).cast("bigint")))
+            .alias("score_fix")))
+
+    wp = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fix"), F.asc("source"))
+    pred = (scored.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("doc_id",
+                    F.col("source").alias("predicted_source"),
+                    "score_fix"))
+
+    labeled = (
+        pred.join(split.select("doc_id",
+                               F.col("source").alias("true_source")),
+                  "doc_id")
+        .select("doc_id", "true_source", "predicted_source",
+                F.round(F.col("score_fix").cast("double") / LOG_FIX, 6)
+                .alias("score"),
+                (F.col("predicted_source") == F.col("true_source"))
+                .alias("correct")))
+
+    acc = labeled.groupBy().agg(
+        F.round(F.sum(F.when(F.col("correct"), 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6)
+        .alias("accuracy"))
+    return (labeled.join(F.broadcast(acc))
+            .select("doc_id", "true_source", "predicted_source",
+                    "score", "correct", "accuracy"))

@@ -431,3 +431,38 @@ def test_rrf_vector_leg_broadcasts_queries(spark, sf_dir):
                  "simple")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_nb_scoring_broadcasts_model_tables(spark, sf_dir):
+    # the classifier's model tables (per-class token counts, class
+    # constants) are broadcast build sides — the test-token stream
+    # never shuffles on token, and no all-pairs shape exists; the
+    # only data-sized exchanges are doc_id-hash (per-doc sums +
+    # argmax window riding the same key)
+    plan = _plan(query_map()["nb_source_classifier"](spark, sf_dir),
+                 "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    # token-hash exchanges exist only on the model-build side: every
+    # one must feed the vocab-distinct partial aggregate (keys=[tok],
+    # no functions). The test-token stream joins the broadcast counts
+    # (BroadcastHashJoin on tok, no exchange) and aggregates by doc —
+    # the subtree may appear twice because the accuracy scalar attach
+    # duplicates the tree, but no NEW tok shuffle shape may appear.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning(tok" in line:
+            child = lines[i + 1]
+            assert ("HashAggregate(keys=[tok" in child
+                    and "functions=[]" in child), plan
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+
+
+def test_segment_migration_single_user_exchange(spark, sf_dir):
+    # halves are conditional columns under ONE user-hash aggregate
+    # (never two half-aggregates joined); the tier groupBy's 16-cell
+    # domain then exchanges only per-cell partials
+    plan = _plan(query_map()["segment_migration_matrix"](
+        spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
