@@ -1,0 +1,147 @@
+"""Classical additive seasonal decomposition of daily revenue.
+
+The timeseries family already covers smoothing (EWMA, Holt, Holt-
+Winters) and detection (z-score/MAD anomalies, CUSUM changepoints);
+what it lacks is the *decomposition* view — the `statsmodels
+seasonal_decompose` / STL shape every BI stack exposes: observed =
+trend + seasonal + residual. This is the classical moving-average
+variant (Kendall & Stuart; the `seasonal_decompose(model="additive")`
+algorithm) over the per-event-type daily revenue series:
+
+- trend_t    = centered 7-day moving average (defined only where the
+  window holds a full 7 rows — the classic edge-NaN behavior),
+- seasonal_d = mean of the detrended values per day-of-week slot
+  (uncentered: we skip the subtract-the-grand-mean step so every
+  quantity stays an exact integer ratio — documented deviation),
+- residual_t = observed - trend - seasonal.
+
+Cross-engine exactness (the [[numerics]] discipline): the daily series
+reduces to exact BIGINT cents c_t first. Then every output is a SINGLE
+division of exact integers, so both engines produce the identical IEEE
+double:
+
+    trend_t    = sum7_t / 700                      (sum7 = 7-day cent sum)
+    detrend7_t = 7*c_t - sum7_t                    (exact BIGINT)
+    seasonal_d = s_d / (700 * n_d)                 (s_d = sum detrend7)
+    residual_t = (7*n_d*c_t - n_d*sum7_t - s_d) / (700 * n_d)
+
+(the residual numerator is the exact common-denominator form of
+observed - trend - seasonal — no chained float subtraction anywhere).
+Day-of-week slots are epoch-day mod 7 (identical integer arithmetic in
+both engines; 0 = Thursday, it is an index not a label).
+
+Integer headroom: |detrend7| <= 7*max_day_cents; the residual
+numerator <= 7*n_d*max_day_cents — with day totals ~1e8 cents and
+n_d ~ 1e3 (a 20-year series) that is ~1e12, far inside BIGINT. ANSI
+mode keeps any 100 TB overflow loud.
+
+Scale shape: ONE (event_type, day) aggregation over the fact table —
+the only data-sized shuffle; the windows/joins after it run on the
+reduced series (days x types rows). The rows-window partitions by
+event_type, so no single-partition WindowExec on the raw facts. At
+100 TB the daily series is still tiny (dates x types); this is the
+same pre-aggregate-then-analyze shape as [[ewma_daily_revenue]]
+(timeseries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.numerics import cents_sql
+from ecommerce_analytics_spark.plans.registry import query
+
+_DECOMP_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum({cents_sql("value")}) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), w AS (
+  SELECT event_type, day, c,
+         CASE WHEN count(*) OVER win = 7
+              THEN CAST(sum(c) OVER win AS BIGINT) END AS sum7
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dw AS (
+  SELECT event_type, day, c, sum7,
+         date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+         7 * c - sum7 AS det7
+  FROM w
+), seas AS (
+  SELECT event_type, dow,
+         CAST(sum(det7) AS BIGINT) AS s_d,
+         CAST(count(*) AS BIGINT) AS n_d
+  FROM dw WHERE det7 IS NOT NULL
+  GROUP BY event_type, dow
+)
+SELECT dw.event_type,
+       strftime(dw.day, '%Y-%m-%d') AS day,
+       CAST(dw.dow AS BIGINT) AS dow,
+       CAST(dw.c AS DOUBLE) / 100 AS revenue,
+       CAST(dw.sum7 AS DOUBLE) / 700 AS trend,
+       CAST(s.s_d AS DOUBLE) / CAST(700 * s.n_d AS DOUBLE) AS seasonal,
+       CAST(7 * s.n_d * dw.c - s.n_d * dw.sum7 - s.s_d AS DOUBLE)
+         / CAST(700 * s.n_d AS DOUBLE) AS residual
+FROM dw
+LEFT JOIN seas s ON s.event_type = dw.event_type AND s.dow = dw.dow
+"""
+
+
+@query(
+    "seasonal_decompose_daily",
+    _DECOMP_ORACLE,
+    doc="Classical additive seasonal decomposition (the "
+        "seasonal_decompose(model='additive') algorithm) of per-type "
+        "daily revenue: trend = centered 7-day moving average (NULL "
+        "at the <7-row edges), seasonal = per day-of-week-slot mean "
+        "of the detrended series (uncentered — documented deviation "
+        "keeping every quantity an exact integer ratio), residual = "
+        "observed - trend - seasonal via its exact common-denominator "
+        "BIGINT numerator. One fact-table shuffle to BIGINT daily "
+        "cents; windows and the seasonal join run on the reduced "
+        "dates-x-types series, partitioned by event_type (no global "
+        "single-partition window).",
+    tags=("timeseries", "window", "agg", "north-star"),
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .cast("bigint").alias("c")))
+
+    win = (Window.partitionBy("event_type").orderBy("day")
+           .rowsBetween(-3, 3))
+    w = daily.select(
+        "event_type", "day", "c",
+        F.when(F.count(F.lit(1)).over(win) == 7,
+               F.sum("c").over(win).cast("bigint")).alias("sum7"))
+
+    dw = w.select(
+        "event_type", "day", "c", "sum7",
+        (F.datediff("day", F.to_date(F.lit("1970-01-01"))) % 7)
+        .cast("bigint").alias("dow"),
+        (7 * F.col("c") - F.col("sum7")).alias("det7"))
+
+    seas = (dw.filter(F.col("det7").isNotNull())
+            .groupBy("event_type", "dow")
+            .agg(F.sum("det7").cast("bigint").alias("s_d"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_d")))
+
+    return (
+        dw.join(seas, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            (F.col("c").cast("double") / 100).alias("revenue"),
+            (F.col("sum7").cast("double") / 700).alias("trend"),
+            (F.col("s_d").cast("double")
+             / (700 * F.col("n_d")).cast("double")).alias("seasonal"),
+            ((7 * F.col("n_d") * F.col("c")
+              - F.col("n_d") * F.col("sum7") - F.col("s_d")).cast("double")
+             / (700 * F.col("n_d")).cast("double")).alias("residual"))
+    )

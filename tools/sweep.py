@@ -90,9 +90,28 @@ def main() -> int:
     print(json.dumps(summary), flush=True)
     out = os.environ.get("SWEEP_JSON_OUT")
     if out:
+        doc = {"summary": summary, "records": records}
+        if os.environ.get("SWEEP_JSON_MERGE") and os.path.exists(out):
+            # Partial-sweep merge: replace/append the just-run records
+            # in the committed artifact, keep every other row, and
+            # re-derive the summary — so mid-round additions keep the
+            # artifact registry-synced (test_docs_sync) without paying
+            # a full re-sweep per commit. Round end still does a full
+            # fresh sweep.
+            with open(out) as f:
+                prior = json.load(f)
+            ran = {r["q"] for r in records}
+            live = set(queries)
+            merged = [r for r in prior["records"]
+                      if r["q"] not in ran and r["q"] in live]
+            merged.extend(records)
+            doc = {"summary": {
+                "total_sec": round(sum(r["sec"] for r in merged), 1),
+                "n_queries": len(merged),
+                "failures": sum(not r["ok"] for r in merged),
+            }, "records": merged}
         with open(out, "w") as f:
-            json.dump({"summary": summary, "records": records}, f,
-                      indent=1)
+            json.dump(doc, f, indent=1)
     return 1 if failures else 0
 
 
