@@ -179,3 +179,85 @@ def q_repeated_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", pruned_toks)).alias("pruned_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal shared runs — the suffix-array question answered distributively
+
+RUN_OCC_CAP = 64  # grams above this total-occurrence count are boilerplate
+
+
+_RUNS_ORACLE = _GRAMS_CTE + f"""
+, gh AS (
+  SELECT doc_id, i, md5(gram) AS h FROM g
+), ok AS (
+  SELECT h FROM gh GROUP BY h
+  HAVING count(*) <= {RUN_OCC_CAP} AND count(DISTINCT doc_id) >= 2
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.i - b.i AS diag, a.i AS pos
+  FROM gh a
+  JOIN ok ON ok.h = a.h
+  JOIN gh b ON b.h = a.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), isl AS (
+  SELECT doc_a, doc_b, diag, pos,
+         pos - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                  ORDER BY pos) AS grp
+  FROM m
+), runs AS (
+  SELECT doc_a, doc_b,
+         CAST(count(*) + {NGRAM_N - 1} AS BIGINT) AS run_tokens
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b,
+       max(run_tokens) AS longest_run_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY doc_a, doc_b
+"""
+
+
+@query(
+    "longest_shared_run",
+    _RUNS_ORACLE,
+    doc="The suffix-array question of Lee et al. 2022 answered "
+        "distributively: for every document pair sharing a word "
+        "8-gram, the exact length in tokens of their longest common "
+        "contiguous run, plus the count of maximal shared runs. "
+        "Matching 8-gram positions lie on (pos_a - pos_b) diagonals; "
+        "consecutive positions on one diagonal are one shared run "
+        "(gaps-and-islands: pos - row_number), of token length "
+        "island_size + 7. Grams occurring > 64 times are excluded "
+        "(boilerplate belongs to repeated_ngram_prune; the cap bounds "
+        "the per-gram pair fan-out at 64^2 so no mega-gram can melt "
+        "the join — the same df-cap discipline as dedup_ngram_jaccard)"
+        ". One gram scan, posting-list pair explode, window over "
+        "(pair, diagonal) — no all-pairs, no collects.",
+    tags=("text", "dedup", "window", "north-star"),
+)
+def q_longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    grams = _doc_grams(spark, sf_dir)
+    # posting-list per gram hash, capped: one scan, bounded buffers
+    posts = (grams.groupBy("gram_hash")
+             .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
+             .filter((F.size("occ") <= RUN_OCC_CAP)
+                     & (F.size(F.array_distinct(
+                         F.expr("transform(occ, x -> x.doc_id)"))) >= 2)))
+    pairs = (posts.select(F.explode(F.expr(
+        "filter(flatten(transform(occ, x -> transform(occ, y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.pos - y.pos AS diag, x.pos AS pos)))), "
+        "p -> p.doc_a < p.doc_b)")).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.diag", "p.pos")
+        .distinct())
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos")
+    runs = (pairs
+            .withColumn("grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "diag", "grp")
+            .agg((F.count(F.lit(1)) + (NGRAM_N - 1)).cast("long")
+                 .alias("run_tokens")))
+    return (runs.groupBy("doc_a", "doc_b")
+            .agg(F.max("run_tokens").alias("longest_run_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_runs")))
