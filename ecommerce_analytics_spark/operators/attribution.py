@@ -1,0 +1,259 @@
+"""Markov-chain multi-touch attribution (removal effect).
+
+The data-driven attribution model (Anderl et al. 2014; the
+ChannelAttribution package; GA4's "data-driven attribution"):
+journeys are per-(user, day) event-type paths truncated at the first
+purchase; a first-order Markov chain is fit on the transition counts;
+each channel's credit is its REMOVAL EFFECT — how much the
+START→conversion probability drops when the channel's node is deleted
+(edges into it redirect to NULL, edges out of it vanish):
+
+    effect(c) = (p_full - p_removed(c)) / p_full
+    share(c)  = effect(c) / sum_c effect(c)
+
+[[event_transition_matrix]] fits the chain; this puts it to its
+canonical use. Channels = the non-purchase event types; 'purchase'
+becomes the absorbing CONV state, journeys without one absorb in
+NULL.
+
+Conversion probability is the K-step truncated reach probability
+(K = {K}): v0 = [CONV: 1], v_{{t+1}}(i) = sum_j P(i,j) * v_t(j). The
+chain has cycles, so the infinite-horizon value is a linear solve;
+the K-step truncation is the declared metric — both engines compute
+the identical recursion, and at K=16 journeys this short are
+numerically converged anyway.
+
+Cross-engine exactness ([[product_pagerank]]'s fixed-point integer
+discipline): probabilities never materialize as floats —
+
+    v_fix^{{t+1}}(i) = sum_j ( c_ij * v_fix^t(j) ) div c_i
+
+(BIGINT counts c_ij, out-degree totals c_i, integer division,
+associative integer sums), absorbing states pinned at FIX / 0. The
+removal effect is one more integer op, effect_fix = ((p_full_fix -
+p_rem_fix) * FIX) div p_full_fix, and shares divide effect_fix by the
+associative BIGINT sum of effect_fixes — every float in the output is
+a SINGLE division of exact integers. Truncation error <= 1e-9 per
+edge-step, far below any attribution use. Negative effects (a channel
+that mostly routes to NULL) are kept as-is — standard in the model.
+
+All removal variants run in ONE plan: the transition table is stacked
+with a variant key ('full' + one per removed channel — a channels+1
+fan-out of a channels^2-row table), and the K iterations join on
+(variant, node). Scale shape: ONE fact-sized shuffle (user-day
+journey windowing), one transition count aggregation; everything
+after runs on the ~variants x channels^2 matrix rows. No collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_spark.io import load_table
+from ecommerce_analytics_spark.plans.registry import query
+
+ATTR_ITERS = 16
+ATTR_FIX = 1_000_000_000  # 1e-9 fixed point
+CONV_TYPE = "purchase"
+
+
+def _oracle() -> str:
+    cte = f"""
+WITH j AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), fp AS MATERIALIZED (
+  SELECT user_id, day, min(rn) AS prn FROM j
+  WHERE event_type = '{CONV_TYPE}' GROUP BY user_id, day
+), steps AS MATERIALIZED (
+  SELECT j.user_id, j.day, j.rn,
+         CASE WHEN j.event_type = '{CONV_TYPE}' THEN 'CONV'
+              ELSE j.event_type END AS state,
+         fp.prn
+  FROM j LEFT JOIN fp ON fp.user_id = j.user_id AND fp.day = j.day
+  WHERE fp.prn IS NULL OR j.rn <= fp.prn
+), hops AS MATERIALIZED (
+  SELECT user_id, day,
+         coalesce(lag(state) OVER (PARTITION BY user_id, day
+                                   ORDER BY rn), 'START') AS src,
+         state AS dst
+  FROM steps
+  UNION ALL
+  SELECT user_id, day, state AS src, 'NULL' AS dst
+  FROM steps s
+  WHERE prn IS NULL
+    AND rn = (SELECT max(rn) FROM steps t
+              WHERE t.user_id = s.user_id AND t.day = s.day)
+), chan AS MATERIALIZED (
+  SELECT DISTINCT event_type AS c FROM events
+  WHERE event_type <> '{CONV_TYPE}'
+), variants AS MATERIALIZED (
+  SELECT 'full' AS variant, NULL AS removed
+  UNION ALL SELECT 'remove_' || c, c FROM chan
+), trans AS MATERIALIZED (
+  SELECT v.variant,
+         h.src,
+         CASE WHEN h.dst = v.removed THEN 'NULL' ELSE h.dst END AS dst,
+         CAST(count(*) AS BIGINT) AS c_ij
+  FROM hops h CROSS JOIN variants v
+  WHERE v.removed IS NULL OR h.src <> v.removed
+  GROUP BY 1, 2, 3
+), outdeg AS MATERIALIZED (
+  SELECT variant, src, CAST(sum(c_ij) AS BIGINT) AS c_i
+  FROM trans GROUP BY variant, src
+), v0 AS MATERIALIZED (
+  SELECT variant, src AS node, CAST(0 AS BIGINT) AS v_fix FROM outdeg
+)"""
+    for t in range(1, ATTR_ITERS + 1):
+        p = f"v{t - 1}"
+        cte += f""", v{t} AS MATERIALIZED (
+  SELECT o.variant, o.src AS node,
+         CAST(sum((tr.c_ij * CASE WHEN tr.dst = 'CONV'
+                                  THEN {ATTR_FIX}
+                                  WHEN tr.dst = 'NULL' THEN 0
+                                  ELSE coalesce(pv.v_fix, 0) END)
+                  // o.c_i) AS BIGINT) AS v_fix
+  FROM outdeg o
+  JOIN trans tr ON tr.variant = o.variant AND tr.src = o.src
+  LEFT JOIN {p} pv ON pv.variant = tr.variant AND pv.node = tr.dst
+  GROUP BY o.variant, o.src
+)"""
+    return cte + f""", p AS MATERIALIZED (
+  SELECT variant, v_fix FROM v{ATTR_ITERS} WHERE node = 'START'
+), eff AS MATERIALIZED (
+  SELECT c.c AS channel,
+         (SELECT v_fix FROM p WHERE variant = 'full') AS p_full_fix,
+         (SELECT v_fix FROM p WHERE variant = 'remove_' || c.c)
+           AS p_rem_fix
+  FROM chan c
+), effx AS MATERIALIZED (
+  SELECT channel, p_full_fix, p_rem_fix,
+         ((p_full_fix - p_rem_fix) * {ATTR_FIX}) // p_full_fix
+           AS effect_fix
+  FROM eff
+)
+SELECT channel,
+       round(CAST(p_full_fix AS DOUBLE) / {ATTR_FIX}, 6) AS p_conv_full,
+       round(CAST(p_rem_fix AS DOUBLE) / {ATTR_FIX}, 6) AS p_conv_removed,
+       round(CAST(effect_fix AS DOUBLE) / {ATTR_FIX}, 6) AS removal_effect,
+       round(CAST(effect_fix AS DOUBLE)
+             / CAST((SELECT sum(effect_fix) FROM effx) AS DOUBLE), 6)
+         AS attribution_share
+FROM effx
+"""
+
+
+@query(
+    "markov_attribution",
+    _oracle(),
+    doc=f"Data-driven multi-touch attribution: per-(user, day) "
+        f"journeys truncated at first purchase, a first-order Markov "
+        f"chain per removal variant ('full' + one per channel, edges "
+        f"into the removed node redirected to NULL, its out-edges "
+        f"dropped), and each channel's removal effect on the "
+        f"{ATTR_ITERS}-step START->CONV reach probability plus the "
+        f"normalized attribution share. The whole recursion runs in "
+        f"1e-9 fixed-point integer arithmetic (contrib = c_ij * "
+        f"v_fix div c_i), so the iterative result hash-matches the "
+        f"unrolled-CTE oracle; every output float is one division of "
+        f"exact BIGINTs. One fact shuffle for journey windowing, one "
+        f"transition count agg; all {ATTR_ITERS} rounds run on the "
+        f"variants x channels^2 matrix.",
+    tags=("funnel", "ml", "iterative", "north-star"),
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w_day = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    j = (events
+         .select("user_id", F.to_date("ts").alias("day"),
+                 "event_type", "ts", "event_id")
+         .withColumn("rn", F.row_number().over(w_day)))
+    fp = (j.filter(F.col("event_type") == CONV_TYPE)
+          .groupBy("user_id", "day").agg(F.min("rn").alias("prn")))
+    steps = (j.join(fp, ["user_id", "day"], "left")
+             .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+             .select("user_id", "day", "rn", "prn",
+                     F.when(F.col("event_type") == CONV_TYPE, "CONV")
+                     .otherwise(F.col("event_type")).alias("state")))
+    w_seq = Window.partitionBy("user_id", "day").orderBy("rn")
+    hops_fwd = steps.select(
+        F.coalesce(F.lag("state").over(w_seq), F.lit("START")).alias("src"),
+        F.col("state").alias("dst"))
+    last_rn = Window.partitionBy("user_id", "day")
+    hops_end = (steps
+                .withColumn("mx", F.max("rn").over(last_rn))
+                .filter(F.col("prn").isNull() & (F.col("rn") == F.col("mx")))
+                .select(F.col("state").alias("src"),
+                        F.lit("NULL").alias("dst")))
+    hops = hops_fwd.unionByName(hops_end)
+
+    chan = (events.filter(F.col("event_type") != CONV_TYPE)
+            .select(F.col("event_type").alias("c")).distinct())
+    variants = (chan.select(F.concat(F.lit("remove_"), "c").alias("variant"),
+                            F.col("c").alias("removed"))
+                .unionByName(spark.range(1).select(
+                    F.lit("full").alias("variant"),
+                    F.lit(None).cast("string").alias("removed"))))
+
+    trans = (hops.crossJoin(F.broadcast(variants))
+             .filter(F.col("removed").isNull()
+                     | (F.col("src") != F.col("removed")))
+             .select("variant", "src",
+                     F.when(F.col("dst") == F.col("removed"), "NULL")
+                     .otherwise(F.col("dst")).alias("dst"))
+             .groupBy("variant", "src", "dst")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c_ij"))
+             .localCheckpoint(eager=True))
+    outdeg = (trans.groupBy("variant", F.col("src"))
+              .agg(F.sum("c_ij").cast("bigint").alias("c_i")))
+
+    v = outdeg.select("variant", F.col("src").alias("node"),
+                      F.lit(0).cast("bigint").alias("v_fix"))
+    for _ in range(ATTR_ITERS):
+        pv = v.select(F.col("variant").alias("pvar"),
+                      F.col("node").alias("pnode"), "v_fix")
+        v = (outdeg
+             .join(trans, ["variant", "src"])
+             .join(pv, (F.col("variant") == F.col("pvar"))
+                   & (F.col("dst") == F.col("pnode")), "left")
+             .select("variant", F.col("src").alias("node"),
+                     F.expr(f"(c_ij * (CASE WHEN dst = 'CONV' "
+                            f"THEN CAST({ATTR_FIX} AS BIGINT) "
+                            f"WHEN dst = 'NULL' THEN CAST(0 AS BIGINT) "
+                            f"ELSE coalesce(v_fix, CAST(0 AS BIGINT)) "
+                            f"END)) div c_i").alias("contrib"))
+             .groupBy("variant", "node")
+             .agg(F.sum("contrib").cast("bigint").alias("v_fix")))
+
+    p = (v.filter(F.col("node") == "START")
+         .select("variant", "v_fix"))
+    p_full = p.filter(F.col("variant") == "full") \
+        .select(F.col("v_fix").alias("p_full_fix"))
+    eff = (chan
+           .join(p.withColumn("c", F.expr(
+               "substring(variant, 8)")).filter(
+               F.col("variant") != "full")
+               .select("c", F.col("v_fix").alias("p_rem_fix")), "c")
+           .crossJoin(F.broadcast(p_full))
+           .select(F.col("c").alias("channel"), "p_full_fix", "p_rem_fix",
+                   F.expr(f"((p_full_fix - p_rem_fix) "
+                          f"* CAST({ATTR_FIX} AS BIGINT)) div p_full_fix")
+                   .alias("effect_fix")))
+    tot = eff.agg(F.sum("effect_fix").cast("bigint").alias("tot_fix"))
+    return (eff.crossJoin(F.broadcast(tot))
+            .select(
+                "channel",
+                F.round(F.col("p_full_fix").cast("double") / ATTR_FIX, 6)
+                .alias("p_conv_full"),
+                F.round(F.col("p_rem_fix").cast("double") / ATTR_FIX, 6)
+                .alias("p_conv_removed"),
+                F.round(F.col("effect_fix").cast("double") / ATTR_FIX, 6)
+                .alias("removal_effect"),
+                F.round(F.col("effect_fix").cast("double")
+                        / F.col("tot_fix").cast("double"), 6)
+                .alias("attribution_share")))
