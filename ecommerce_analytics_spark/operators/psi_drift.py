@@ -104,23 +104,10 @@ GROUP BY t.feature, t.k, t.nr, t.na
 """
 
 
-@query(
-    "psi_feature_drift",
-    _PSI_ORACLE,
-    doc="Population Stability Index drift monitor: events split at "
-        "the exact integer midpoint day into reference/actual halves; "
-        "event_type (categorical) and $50-bucketed value (exact "
-        "integer-cent division, capped at bin 19) each scored with "
-        "add-one-smoothed PSI = sum (p-q)*ln(p/q). Every float op "
-        "consumes a single ratio of exact BIGINTs and the per-bin "
-        "term snaps to 1e-9 fixed point before the associative "
-        "integer sum (LOG_FIX discipline). One compact "
-        "(feature,bin,period) aggregation over the facts; the PSI "
-        "math runs on the K-row bin table.",
-    tags=("profiling", "drift", "ml", "north-star"),
-)
-def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+def binned_features(events: DataFrame) -> DataFrame:
+    """(d epoch-day, feature, bin) stack — shared by the batch query
+    and the streaming drift monitor (streaming/psi_state.py) so both
+    sides bin identically."""
     base = events.select(
         F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
         .alias("d"),
@@ -129,27 +116,20 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # floor-division `//` — no float binning anywhere
         F.least(F.expr("cast(round(value * 100) as bigint) div 5000"),
                 F.lit(19).cast("bigint")).cast("string").alias("vbin"))
+    return (base.select(
+        "d",
+        F.explode(F.array(
+            F.struct(F.lit("event_type").alias("feature"),
+                     F.col("event_type").alias("bin")),
+            F.struct(F.lit("value_bin").alias("feature"),
+                     F.col("vbin").alias("bin")))).alias("f"))
+        .select("d", "f.feature", "f.bin"))
 
-    split = base.agg(
-        ((F.min("d") + F.max("d")) / 2).cast("bigint").alias("mid"))
 
-    stacked = (base.crossJoin(F.broadcast(split))
-               .select(
-                   F.when(F.col("d") <= F.col("mid"), F.lit("ref"))
-                   .otherwise(F.lit("act")).alias("period"),
-                   F.explode(F.array(
-                       F.struct(F.lit("event_type").alias("feature"),
-                                F.col("event_type").alias("bin")),
-                       F.struct(F.lit("value_bin").alias("feature"),
-                                F.col("vbin").alias("bin")))).alias("f"))
-               .select("period", "f.feature", "f.bin"))
-
-    counts = (stacked.groupBy("feature", "bin")
-              .agg(F.sum(F.when(F.col("period") == "ref", 1)
-                         .otherwise(0)).cast("bigint").alias("r"),
-                   F.sum(F.when(F.col("period") == "act", 1)
-                         .otherwise(0)).cast("bigint").alias("a")))
-
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI per feature from a (feature, bin, r, a) count table — the
+    exact fixed-point formula, shared by the batch query and the
+    streaming parity check."""
     tot = (counts.groupBy("feature")
            .agg(F.sum("r").cast("bigint").alias("nr"),
                 F.sum("a").cast("bigint").alias("na"),
@@ -176,3 +156,35 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("feature"), F.col("k").alias("n_bins"),
                     F.col("nr").alias("n_ref"), F.col("na").alias("n_act"),
                     F.col("psi")))
+
+
+@query(
+    "psi_feature_drift",
+    _PSI_ORACLE,
+    doc="Population Stability Index drift monitor: events split at "
+        "the exact integer midpoint day into reference/actual halves; "
+        "event_type (categorical) and $50-bucketed value (exact "
+        "integer-cent division, capped at bin 19) each scored with "
+        "add-one-smoothed PSI = sum (p-q)*ln(p/q). Every float op "
+        "consumes a single ratio of exact BIGINTs and the per-bin "
+        "term snaps to 1e-9 fixed point before the associative "
+        "integer sum (LOG_FIX discipline). One compact "
+        "(feature,bin,period) aggregation over the facts; the PSI "
+        "math runs on the K-row bin table.",
+    tags=("profiling", "drift", "ml", "north-star"),
+)
+def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    feats = binned_features(events)
+    split = feats.agg(
+        ((F.min("d") + F.max("d")) / 2).cast("bigint").alias("mid"))
+    stacked = (feats.crossJoin(F.broadcast(split))
+               .select(F.when(F.col("d") <= F.col("mid"), F.lit("ref"))
+                       .otherwise(F.lit("act")).alias("period"),
+                       "feature", "bin"))
+    counts = (stacked.groupBy("feature", "bin")
+              .agg(F.sum(F.when(F.col("period") == "ref", 1)
+                         .otherwise(0)).cast("bigint").alias("r"),
+                   F.sum(F.when(F.col("period") == "act", 1)
+                         .otherwise(0)).cast("bigint").alias("a")))
+    return psi_from_counts(counts)
