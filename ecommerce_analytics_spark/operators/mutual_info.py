@@ -169,3 +169,155 @@ def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("mi_fix").cast("double")
                             / F.col("h_fix").cast("double"), 6)
                     .alias("uncertainty_coef")))
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: the best single split per feature (1R / C4.5 root)
+
+_STUMP_ORACLE = f"""
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         f.feature, f.bin
+  FROM lineitem,
+  LATERAL (VALUES
+    ('linestatus', l_linestatus),
+    ('quantity_bin', CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR)),
+    ('discount_pct', CAST(CAST(round(l_discount * 100) AS BIGINT)
+                          AS VARCHAR)),
+    ('ship_month', CAST(month(l_shipdate) AS VARCHAR))
+  ) AS f(feature, bin)
+), cells AS (
+  SELECT feature, bin,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(y) AS BIGINT) AS d1
+  FROM base GROUP BY feature, bin
+), tot AS (
+  SELECT feature, CAST(sum(n1) AS BIGINT) AS n,
+         CAST(sum(d1) AS BIGINT) AS d
+  FROM cells GROUP BY feature
+), hy AS (
+  SELECT feature,
+         CAST(round(CASE WHEN d = 0 OR d = n THEN 0.0 ELSE
+           (CAST(d AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / d)
+           END * {LOG_FIX}) AS BIGINT)
+         + CAST(round(CASE WHEN d = 0 OR d = n THEN 0.0 ELSE
+           (CAST(n - d AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / (n - d))
+           END * {LOG_FIX}) AS BIGINT) AS hy_fix
+  FROM tot
+), branch AS (
+  SELECT c.feature, c.bin, c.n1, c.d1,
+         t.n - c.n1 AS n0, t.d - c.d1 AS d0, t.n AS n
+  FROM cells c JOIN tot t ON t.feature = c.feature
+), gain AS (
+  SELECT feature, bin, n1, d1, n0, d0, n,
+         (SELECT hy_fix FROM hy WHERE hy.feature = branch.feature)
+         - (CAST(round(CASE WHEN d1 = 0 THEN 0.0 ELSE
+              (CAST(d1 AS DOUBLE) / n) * ln(CAST(n1 AS DOUBLE) / d1)
+              END * {LOG_FIX}) AS BIGINT)
+            + CAST(round(CASE WHEN n1 = d1 THEN 0.0 ELSE
+              (CAST(n1 - d1 AS DOUBLE) / n)
+                * ln(CAST(n1 AS DOUBLE) / (n1 - d1))
+              END * {LOG_FIX}) AS BIGINT)
+            + CAST(round(CASE WHEN d0 = 0 THEN 0.0 ELSE
+              (CAST(d0 AS DOUBLE) / n) * ln(CAST(n0 AS DOUBLE) / d0)
+              END * {LOG_FIX}) AS BIGINT)
+            + CAST(round(CASE WHEN n0 = d0 THEN 0.0 ELSE
+              (CAST(n0 - d0 AS DOUBLE) / n)
+                * ln(CAST(n0 AS DOUBLE) / (n0 - d0))
+              END * {LOG_FIX}) AS BIGINT)) AS gain_fix
+  FROM branch
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY feature
+                               ORDER BY gain_fix DESC, bin) AS rk
+  FROM gain
+)
+SELECT feature, bin AS split_bin, n1 AS n_in,
+       round(CAST(gain_fix AS DOUBLE) / {LOG_FIX}, 6) AS gain_nats,
+       round(CAST(d1 AS DOUBLE) / n1, 6) AS p_return_in,
+       round(CAST(d0 AS DOUBLE) / n0, 6) AS p_return_out
+FROM ranked WHERE rk = 1
+"""
+
+
+@query(
+    "decision_stump_returns",
+    _STUMP_ORACLE,
+    doc="Decision-stump learner (the 1R / C4.5 root split): for each "
+        "of the four exactly-binned features, the equality split with "
+        "maximum information gain on the returns label, with the "
+        "in/out branch return rates. Each entropy term is "
+        "(count/N)*ln(n/count) — a product of two deterministic "
+        "doubles from single exact-integer ratios, snapped to 1e-9 "
+        "fixed point; the gain argmax runs on exact BIGINTs with a "
+        "total (gain DESC, bin) tie-break. Zero-count branches "
+        "contribute exact 0 via CASE guards, never ln(0). Same "
+        "one-aggregation scale shape as mi_feature_ranking.",
+    tags=("ml", "stats", "north-star"),
+)
+def q_decision_stump_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.explode(F.array(
+            F.struct(F.lit("linestatus").alias("feature"),
+                     F.col("l_linestatus").alias("bin")),
+            F.struct(F.lit("quantity_bin").alias("feature"),
+                     F.expr("cast(cast(l_quantity as bigint) div 10 "
+                            "as string)").alias("bin")),
+            F.struct(F.lit("discount_pct").alias("feature"),
+                     F.expr("cast(cast(round(l_discount * 100) as bigint) "
+                            "as string)").alias("bin")),
+            F.struct(F.lit("ship_month").alias("feature"),
+                     F.month("l_shipdate").cast("string").alias("bin")),
+        )).alias("f")).select("y", "f.feature", "f.bin")
+
+    cells = (base.groupBy("feature", "bin")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n1"),
+                  F.sum("y").cast("bigint").alias("d1")))
+    tot = (cells.groupBy("feature")
+           .agg(F.sum("n1").cast("bigint").alias("n"),
+                F.sum("d1").cast("bigint").alias("d")))
+
+    def ent_term(cnt, n_branch, n_total):
+        # (cnt/N) * ln(n_branch/cnt), exact-0 guard at cnt == 0 or
+        # cnt == n_branch
+        return F.when((cnt == 0) | (cnt == n_branch),
+                      F.lit(0).cast("bigint")).otherwise(
+            F.round((cnt.cast("double") / n_total)
+                    * F.log(n_branch.cast("double") / cnt.cast("double"))
+                    * LOG_FIX).cast("bigint"))
+
+    hy = tot.select(
+        "feature",
+        (ent_term(F.col("d"), F.col("n"), F.col("n"))
+         + ent_term(F.col("n") - F.col("d"), F.col("n"), F.col("n")))
+        .alias("hy_fix"))
+
+    branch = (cells.join(F.broadcast(tot), "feature")
+              .select("feature", "bin", "n1", "d1", "n",
+                      (F.col("n") - F.col("n1")).alias("n0"),
+                      (F.col("d") - F.col("d1")).alias("d0")))
+    gain = (branch.join(F.broadcast(hy), "feature")
+            .select("feature", "bin", "n1", "d1", "n0", "d0", "n",
+                    (F.col("hy_fix")
+                     - (ent_term(F.col("d1"), F.col("n1"), F.col("n"))
+                        + ent_term(F.col("n1") - F.col("d1"),
+                                   F.col("n1"), F.col("n"))
+                        + ent_term(F.col("d0"), F.col("n0"), F.col("n"))
+                        + ent_term(F.col("n0") - F.col("d0"),
+                                   F.col("n0"), F.col("n"))))
+                    .alias("gain_fix")))
+    w = Window.partitionBy("feature").orderBy(F.col("gain_fix").desc(),
+                                              "bin")
+    return (gain.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("feature", F.col("bin").alias("split_bin"),
+                    F.col("n1").alias("n_in"),
+                    F.round(F.col("gain_fix").cast("double") / LOG_FIX, 6)
+                    .alias("gain_nats"),
+                    F.round(F.col("d1").cast("double") / F.col("n1"), 6)
+                    .alias("p_return_in"),
+                    F.round(F.col("d0").cast("double") / F.col("n0"), 6)
+                    .alias("p_return_out")))
