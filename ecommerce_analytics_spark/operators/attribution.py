@@ -146,28 +146,14 @@ FROM effx
 """
 
 
-@query(
-    "markov_attribution",
-    _oracle(),
-    doc=f"Data-driven multi-touch attribution: per-(user, day) "
-        f"journeys truncated at first purchase, a first-order Markov "
-        f"chain per removal variant ('full' + one per channel, edges "
-        f"into the removed node redirected to NULL, its out-edges "
-        f"dropped), and each channel's removal effect on the "
-        f"{ATTR_ITERS}-step START->CONV reach probability plus the "
-        f"normalized attribution share. The whole recursion runs in "
-        f"1e-9 fixed-point integer arithmetic (contrib = c_ij * "
-        f"v_fix div c_i), so the iterative result hash-matches the "
-        f"unrolled-CTE oracle; every output float is one division of "
-        f"exact BIGINTs. One fact shuffle for journey windowing, one "
-        f"transition count agg; all {ATTR_ITERS} rounds run on the "
-        f"variants x channels^2 matrix.",
-    tags=("funnel", "ml", "iterative", "north-star"),
-)
-def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def journey_hops(events: DataFrame) -> DataFrame:
+    """(src, dst) journey transitions — per (user, day), START ->
+    first state, consecutive states, truncated at first purchase
+    (-> CONV) or closed with -> NULL. Shared by the batch query and
+    the streaming twin's parity check (streaming/attribution_state.py)
+    so both sides define journeys identically."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
     w_day = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
     j = (events
          .select("user_id", F.to_date("ts").alias("day"),
@@ -190,10 +176,14 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("prn").isNull() & (F.col("rn") == F.col("mx")))
                 .select(F.col("state").alias("src"),
                         F.lit("NULL").alias("dst")))
-    hops = hops_fwd.unionByName(hops_end)
+    return hops_fwd.unionByName(hops_end)
 
-    chan = (events.filter(F.col("event_type") != CONV_TYPE)
-            .select(F.col("event_type").alias("c")).distinct())
+
+def attribution_from_hops(spark: SparkSession, hops: DataFrame,
+                          chan: DataFrame) -> DataFrame:
+    """The removal-effect model over a (src, dst) hop table and a
+    (c) channel table — the certified math, shared by the batch query
+    and the streaming parity check."""
     variants = (chan.select(F.concat(F.lit("remove_"), "c").alias("variant"),
                             F.col("c").alias("removed"))
                 .unionByName(spark.range(1).select(
@@ -257,3 +247,28 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("effect_fix").cast("double")
                         / F.col("tot_fix").cast("double"), 6)
                 .alias("attribution_share")))
+
+
+@query(
+    "markov_attribution",
+    _oracle(),
+    doc=f"Data-driven multi-touch attribution: per-(user, day) "
+        f"journeys truncated at first purchase, a first-order Markov "
+        f"chain per removal variant ('full' + one per channel, edges "
+        f"into the removed node redirected to NULL, its out-edges "
+        f"dropped), and each channel's removal effect on the "
+        f"{ATTR_ITERS}-step START->CONV reach probability plus the "
+        f"normalized attribution share. The whole recursion runs in "
+        f"1e-9 fixed-point integer arithmetic (contrib = c_ij * "
+        f"v_fix div c_i), so the iterative result hash-matches the "
+        f"unrolled-CTE oracle; every output float is one division of "
+        f"exact BIGINTs. One fact shuffle for journey windowing, one "
+        f"transition count agg; all {ATTR_ITERS} rounds run on the "
+        f"variants x channels^2 matrix.",
+    tags=("funnel", "ml", "iterative", "north-star"),
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    chan = (events.filter(F.col("event_type") != CONV_TYPE)
+            .select(F.col("event_type").alias("c")).distinct())
+    return attribution_from_hops(spark, journey_hops(events), chan)
