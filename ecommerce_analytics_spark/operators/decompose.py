@@ -145,3 +145,82 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               - F.col("n_d") * F.col("sum7") - F.col("s_d")).cast("double")
              / (700 * F.col("n_d")).cast("double")).alias("residual"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling regression: trailing 28-day revenue slope per type
+
+ROLL_N = 28
+_DEC = "decimal(38,0)"
+
+_ROLL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, d, y,
+         count(*) OVER win AS k,
+         CAST(sum(d) OVER win AS HUGEINT) AS sx,
+         CAST(sum(y) OVER win AS HUGEINT) AS sy,
+         CAST(sum(CAST(d AS HUGEINT) * y) OVER win AS HUGEINT) AS sxy,
+         CAST(sum(CAST(d AS HUGEINT) * d) OVER win AS HUGEINT) AS sxx
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       strftime(DATE '1970-01-01' + INTERVAL (d) DAY, '%Y-%m-%d') AS day,
+       round(CAST({ROLL_N} * sxy - sx * sy AS DOUBLE)
+             / CAST({ROLL_N} * sxx - sx * sx AS DOUBLE) / 100, 6)
+         AS slope_dollars_per_day
+FROM w WHERE k = {ROLL_N}
+"""
+
+
+@query(
+    "rolling_28d_revenue_slope",
+    _ROLL_ORACLE,
+    doc=f"Rolling regression: per event type and day, the OLS slope "
+        f"of daily revenue over the trailing {ROLL_N}-day window "
+        f"(emitted only on full windows) — the trend-detection "
+        f"sibling of the decomposition's global trend. All window "
+        f"moment sums are exact integers (epoch-day x, BIGINT cents "
+        f"y, HUGEINT/DECIMAL(38,0) products), the slope one division "
+        f"of exact integers scaled to dollars/day. Same "
+        f"pre-aggregate-then-window shape: one fact shuffle to daily "
+        f"cents, windows on the dates x types series.",
+    tags=("timeseries", "window", "stats"),
+)
+def q_rolling_28d_revenue_slope(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("event_type",
+                      F.datediff(F.to_date("ts"),
+                                 F.to_date(F.lit("1970-01-01"))).alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .cast("bigint").alias("y")))
+    win = (Window.partitionBy("event_type").orderBy("d")
+           .rowsBetween(-(ROLL_N - 1), 0))
+    w = daily.select(
+        "event_type", "d",
+        F.count(F.lit(1)).over(win).alias("k"),
+        F.sum(F.col("d").cast(_DEC)).over(win).cast(_DEC).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).over(win).cast(_DEC).alias("sy"),
+        F.sum(F.col("d").cast(_DEC) * F.col("y")).over(win).cast(_DEC)
+        .alias("sxy"),
+        F.sum(F.col("d").cast(_DEC) * F.col("d")).over(win).cast(_DEC)
+        .alias("sxx"))
+    num = (F.lit(ROLL_N).cast(_DEC) * F.col("sxy")
+           - F.col("sx") * F.col("sy"))
+    den = (F.lit(ROLL_N).cast(_DEC) * F.col("sxx")
+           - F.col("sx") * F.col("sx"))
+    return (w.filter(F.col("k") == ROLL_N)
+            .select("event_type",
+                    F.date_format(
+                        F.date_add(F.to_date(F.lit("1970-01-01")), "d"),
+                        "yyyy-MM-dd").alias("day"),
+                    F.round(num.cast("double") / den.cast("double") / 100,
+                            6).alias("slope_dollars_per_day")))

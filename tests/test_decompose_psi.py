@@ -97,3 +97,36 @@ def test_psi_matches_textbook_float_formula(spark, sf_dir):
     # the smoothing algebra): a synthetic equal-split check
     p = q = 1 / 4
     assert (p - q) * math.log(p / q) == 0.0
+
+
+def test_rolling_slope_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from ecommerce_analytics_spark.operators.decompose import ROLL_N
+    from ecommerce_analytics_spark.plans.registry import query_map
+    got = {(r["event_type"], r["day"]): r["slope_dollars_per_day"]
+           for r in query_map()["rolling_28d_revenue_slope"](
+               spark, sf_dir).collect()}
+
+    daily = duckdb.sql(f"""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               sum(round(value * 100)) AS y
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2, 3 ORDER BY 1, 3""").fetchall()
+    series = collections.defaultdict(list)
+    for et, day, d, y in daily:
+        series[et].append((day, d, y))
+
+    n_checked = 0
+    for et, pts in series.items():
+        for i in range(ROLL_N - 1, len(pts)):
+            win = pts[i - ROLL_N + 1:i + 1]
+            x = np.array([p[1] for p in win], dtype=float)
+            y = np.array([p[2] for p in win], dtype=float)
+            slope = np.polyfit(x, y, 1)[0] / 100
+            key = (et, pts[i][0].isoformat())
+            assert key in got
+            assert abs(got[key] - slope) < 1e-6, key
+            n_checked += 1
+    assert n_checked == len(got) > 0
