@@ -188,3 +188,66 @@ def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("blob")).alias("total_bytes"),
         F.max(F.octet_length("blob")).cast("long").alias("max_bytes"),
     )
+
+
+CHUNK_BYTES = 64
+MAX_CHUNKS = 8
+
+_FRAME_DEDUP_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, s AS chunk_idx,
+         md5(substring(text, {CHUNK_BYTES} * (s - 1) + 1,
+                       {CHUNK_BYTES})) AS fp
+  FROM documents,
+       unnest(generate_series(1, {MAX_CHUNKS})) AS u(s)
+  WHERE len(text) >= {CHUNK_BYTES} * s
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_chunks
+FROM f a
+JOIN f b ON a.fp = b.fp AND a.chunk_idx = b.chunk_idx
+        AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@query(
+    "multimodal_frame_dedup",
+    _FRAME_DEDUP_ORACLE,
+    doc=f"N4 x N1 composition - binary near-dup detection on the blob "
+        f"column by fixed-size chunk hashing (the rsync/storage-dedup "
+        f"algorithm; with a real codec the chunk hash becomes a "
+        f"per-frame perceptual hash, same plan): blobs pair up per "
+        f"shared md5 of an aligned full {CHUNK_BYTES}-byte chunk "
+        f"(first {MAX_CHUNKS} chunks), counting shared chunks - so "
+        f"prefix-sharing near-duplicates surface even when the whole "
+        f"blob differs. Engine side chunks the BINARY column; the "
+        f"oracle chunks the text twin (byte == char on this ASCII "
+        f"corpus - a non-ASCII corpus would only misalign the ORACLE, "
+        f"the binary path is the production-correct semantics). One "
+        f"mapInPandas-free byte fan-out, one (fp, idx) equi-join "
+        f"bucket discipline, one pair aggregation - no all-pairs.",
+    tags=("multimodal", "dedup", "north-star"),
+)
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_blob(docs).select("doc_id", "blob")
+    chunks = (blobs
+              .select("doc_id", F.explode(F.sequence(
+                  F.lit(1), F.lit(MAX_CHUNKS))).alias("chunk_idx"),
+                  F.col("blob"))
+              .filter(F.octet_length("blob")
+                      >= CHUNK_BYTES * F.col("chunk_idx"))
+              .select("doc_id", "chunk_idx",
+                      F.md5(F.expr(
+                          f"substring(blob, {CHUNK_BYTES} * (chunk_idx - 1)"
+                          f" + 1, {CHUNK_BYTES})")).alias("fp")))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_shared_chunks")))
