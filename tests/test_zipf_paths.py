@@ -49,3 +49,31 @@ def test_top_paths_match_plain_recount(spark, sf_dir):
 
     assert [(r["path"], r["n_journeys"]) for r in
             sorted(got, key=lambda r: (-r["n_journeys"], r["path"]))] == exp
+
+
+def test_heaps_matches_numpy_polyfit(spark, sf_dir):
+    from ecommerce_analytics_spark.plans.registry import query_map
+    row = query_map()["heaps_vocab_growth"](spark, sf_dir).collect()[0]
+
+    docs = duckdb.sql(f"""
+        SELECT doc_id, text FROM '{sf_dir}/documents.parquet'
+        ORDER BY doc_id""").fetchall()
+    seen: set = set()
+    cum_toks = cum_vocab = 0
+    xs, ys = [], []
+    for _, text in docs:
+        toks = text.split(" ")
+        cum_toks += len(toks)
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                cum_vocab += 1
+        xs.append(math.log(cum_toks))
+        ys.append(math.log(cum_vocab))
+    slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+
+    assert row["n_docs"] == len(docs)
+    assert abs(row["heaps_beta"] - slope) < 1e-4
+    assert abs(row["intercept_ln_vocab"] - intercept) < 1e-3
+    # sub-linear vocabulary growth
+    assert 0.0 < row["heaps_beta"] < 1.0
