@@ -224,3 +224,131 @@ def q_rolling_28d_revenue_slope(spark: SparkSession,
                         "yyyy-MM-dd").alias("day"),
                     F.round(num.cast("double") / den.cast("double") / 100,
                             6).alias("slope_dollars_per_day")))
+
+
+# ---------------------------------------------------------------------------
+# Residual diagnostics: Durbin-Watson + lag-1 autocorrelation
+
+RESID_FIX = 1_000_000  # 1e-6 fixed point for residual products
+
+
+_RESID_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum({{cents}}) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), w AS (
+  SELECT event_type, day, c,
+         CASE WHEN count(*) OVER win = 7
+              THEN CAST(sum(c) OVER win AS BIGINT) END AS sum7
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dw AS (
+  SELECT event_type, day, c, sum7,
+         date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+         7 * c - sum7 AS det7
+  FROM w
+), seas AS (
+  SELECT event_type, dow,
+         CAST(sum(det7) AS BIGINT) AS s_d,
+         CAST(count(*) AS BIGINT) AS n_d
+  FROM dw WHERE det7 IS NOT NULL
+  GROUP BY event_type, dow
+), resid AS (
+  SELECT dw.event_type, dw.day,
+         CAST(7 * s.n_d * dw.c - s.n_d * dw.sum7 - s.s_d AS DOUBLE)
+           / CAST(700 * s.n_d AS DOUBLE) AS e
+  FROM dw JOIN seas s ON s.event_type = dw.event_type
+                     AND s.dow = dw.dow
+  WHERE dw.det7 IS NOT NULL
+), lagged AS (
+  SELECT event_type, e,
+         lag(e) OVER (PARTITION BY event_type ORDER BY day) AS e1
+  FROM resid
+), terms AS (
+  SELECT event_type,
+         CAST(round(e * e * {RESID_FIX}) AS BIGINT) AS ee,
+         CASE WHEN e1 IS NOT NULL THEN
+           CAST(round((e - e1) * (e - e1) * {RESID_FIX}) AS BIGINT)
+         END AS dd,
+         CASE WHEN e1 IS NOT NULL THEN
+           CAST(round(e * e1 * {RESID_FIX}) AS BIGINT)
+         END AS ce
+  FROM lagged
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_resid,
+       round(CAST(sum(dd) AS DOUBLE) / CAST(sum(ee) AS DOUBLE), 6)
+         AS durbin_watson,
+       round(CAST(sum(ce) AS DOUBLE) / CAST(sum(ee) AS DOUBLE), 6)
+         AS lag1_autocorr
+FROM terms GROUP BY event_type
+"""
+
+
+@query(
+    "residual_autocorrelation",
+    _RESID_ORACLE.format(cents=cents_sql("value")),
+    doc="Residual-whiteness diagnostics for the seasonal "
+        "decomposition: per event type, the Durbin-Watson statistic "
+        "sum((e_t - e_{t-1})^2) / sum(e_t^2) (white residuals ~ 2) "
+        "and the lag-1 autocorrelation sum(e_t * e_{t-1}) / "
+        "sum(e_t^2) over day-ordered trend-defined residuals. Each "
+        "residual is one exact-integer division (the decomposition's "
+        "common-denominator form), products of two identical doubles "
+        "snap to 1e-6 fixed point before the associative integer "
+        "sums, and both statistics are single divisions of exact "
+        "integers. Same reduced-series shape as the decomposition.",
+    tags=("timeseries", "stats", "window"),
+)
+def q_residual_autocorrelation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .cast("bigint").alias("c")))
+    win = (Window.partitionBy("event_type").orderBy("day")
+           .rowsBetween(-3, 3))
+    w = daily.select(
+        "event_type", "day", "c",
+        F.when(F.count(F.lit(1)).over(win) == 7,
+               F.sum("c").over(win).cast("bigint")).alias("sum7"))
+    dw = w.select(
+        "event_type", "day", "c", "sum7",
+        (F.datediff("day", F.to_date(F.lit("1970-01-01"))) % 7)
+        .cast("bigint").alias("dow"),
+        (7 * F.col("c") - F.col("sum7")).alias("det7"))
+    seas = (dw.filter(F.col("det7").isNotNull())
+            .groupBy("event_type", "dow")
+            .agg(F.sum("det7").cast("bigint").alias("s_d"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_d")))
+    resid = (dw.filter(F.col("det7").isNotNull())
+             .join(seas, ["event_type", "dow"])
+             .select("event_type", "day",
+                     ((7 * F.col("n_d") * F.col("c")
+                       - F.col("n_d") * F.col("sum7") - F.col("s_d"))
+                      .cast("double")
+                      / (700 * F.col("n_d")).cast("double")).alias("e")))
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    lagged = resid.select(
+        "event_type", "e", F.lag("e").over(w_lag).alias("e1"))
+    terms = lagged.select(
+        "event_type",
+        F.round(F.col("e") * F.col("e") * RESID_FIX).cast("bigint")
+        .alias("ee"),
+        F.when(F.col("e1").isNotNull(),
+               F.round((F.col("e") - F.col("e1"))
+                       * (F.col("e") - F.col("e1")) * RESID_FIX)
+               .cast("bigint")).alias("dd"),
+        F.when(F.col("e1").isNotNull(),
+               F.round(F.col("e") * F.col("e1") * RESID_FIX)
+               .cast("bigint")).alias("ce"))
+    return (terms.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_resid"),
+                 F.round(F.sum("dd").cast("double")
+                         / F.sum("ee").cast("double"), 6)
+                 .alias("durbin_watson"),
+                 F.round(F.sum("ce").cast("double")
+                         / F.sum("ee").cast("double"), 6)
+                 .alias("lag1_autocorr")))

@@ -130,3 +130,52 @@ def test_rolling_slope_matches_numpy(spark, sf_dir):
             assert abs(got[key] - slope) < 1e-6, key
             n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_residual_autocorr_matches_plain_float(spark, sf_dir):
+    from ecommerce_analytics_spark.plans.registry import query_map
+    got = {r["event_type"]: r for r in
+           query_map()["residual_autocorrelation"](spark,
+                                                   sf_dir).collect()}
+
+    daily = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(round(value * 100)) / 100.0 AS rev
+            FROM '{sf_dir}/events.parquet'
+            GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    series = collections.defaultdict(list)
+    for et, day, rev in series_rows(daily):
+        series[et].append((day, rev))
+
+    for et, pts in series.items():
+        days = [d for d, _ in pts]
+        revs = [r for _, r in pts]
+        trend = [
+            sum(revs[i - 3:i + 4]) / 7 if 3 <= i <= len(revs) - 4 else None
+            for i in range(len(revs))]
+        det = [(d, r - t)
+               for d, r, t in zip(days, revs, trend) if t is not None]
+        by_dow = collections.defaultdict(list)
+        for d, x in det:
+            by_dow[(d - datetime.date(1970, 1, 1)).days % 7].append(x)
+        seas = {k: sum(v) / len(v) for k, v in by_dow.items()}
+        resid = [x - seas[(d - datetime.date(1970, 1, 1)).days % 7]
+                 for d, x in det]
+
+        ee = sum(e * e for e in resid)
+        dd = sum((a - b) * (a - b) for a, b in zip(resid[1:], resid))
+        ce = sum(a * b for a, b in zip(resid[1:], resid))
+        g = got[et]
+        assert g["n_resid"] == len(resid)
+        assert abs(g["durbin_watson"] - dd / ee) < 1e-4, et
+        assert abs(g["lag1_autocorr"] - ce / ee) < 1e-4, et
+        # DW range and the DW ~ 2(1 - r1) identity (edge-term slack)
+        assert 0.0 <= g["durbin_watson"] <= 4.0
+        edge = (resid[0] ** 2 + resid[-1] ** 2) / ee
+        assert abs(g["durbin_watson"]
+                   - (2 * (1 - g["lag1_autocorr"]) - edge)) < 1e-3
+
+
+def series_rows(daily):
+    for et, day, rev in daily:
+        yield et, day, rev
