@@ -32,6 +32,16 @@ Python loop; host-level frequency/contention noise), and multi-stage
 shuffles amplify that to 3-5× on identical plans; (b) AQE picks
 different physical plans at sf0.001 vs the target SF (broadcast vs
 shuffle), so the first target-SF run still JIT-compiles those stages.
+
+``--heavy`` (VERDICT r5 #1) times the HEAVY tier instead: the ~11 most
+expensive registry plans (iterative graph/BPE/attribution fixed
+points, ANN index build+cold-serve round trips, checkpointed streaming
+topologies, power-iteration eigen decompositions). These only ever ran
+inside correctness sweeps, where DuckDB-oracle time pollutes the
+number; here each is timed Spark-side only (noop sink, no oracle),
+min-of-3 with {min,p50,max} bands, and committed per round as
+BENCH_HEAVY_r{N}.json so the 180+ non-headline queries get the same
+regression radar the 12 headline queries have had since r1.
 """
 
 from __future__ import annotations
@@ -64,10 +74,36 @@ HEADLINE = [
     "knn_bruteforce",
 ]
 
+# The heavy tail (--heavy): the most expensive Spark plans in the
+# registry by committed-sweep wall time, Spark-side cost only (oracle
+# time excluded by construction here). One representative per heavy
+# family: ANN index build+cold-serve (PQ / IVFADC), power-iteration
+# eigen, checkpointed streaming e2e topologies, iterative fixed points
+# (connected components ×2 algorithms, PageRank, Markov attribution,
+# BPE training).
+HEAVY = [
+    "knn_ivfpq_persisted_recall",
+    "knn_pq_recall",
+    "embedding_top_eigvec",
+    "embedding_pca_outliers",
+    "stream_pipeline_e2e",
+    "stream_sessionize_e2e",
+    "markov_attribution",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "bpe_train_merges",
+    "product_pagerank",
+]
+
 
 def main() -> None:
     from ecommerce_analytics_spark.plans.registry import query_map
     from ecommerce_analytics_spark.session import get_spark
+
+    heavy = "--heavy" in sys.argv[1:]
+    names, metric, default_runs = (
+        (HEAVY, "heavy_queries_total", "3") if heavy
+        else (HEADLINE, "headline_queries_total", "7"))
 
     spark = get_spark("bench")
     queries = query_map()
@@ -78,19 +114,21 @@ def main() -> None:
     # JIT/codegen warmup at the smallest SF (identical plans, tiny data)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in names:
             queries[name](spark, warm_dir) \
                 .write.mode("overwrite").format("noop").save()
 
-    # min-of-7: this host's run-to-run variance is ~1.5× on identical
-    # plans (see module docstring) and multi-stage chains amplify it —
-    # r3's sales_by_region_year recorded 3.0s driver-side while two
-    # other hosts measured 0.88-1.9s on the same commit. More runs
-    # tighten the min; the full stats expose the spread.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
+    # headline: min-of-7 — this host's run-to-run variance is ~1.5× on
+    # identical plans (see module docstring) and multi-stage chains
+    # amplify it — r3's sales_by_region_year recorded 3.0s driver-side
+    # while two other hosts measured 0.88-1.9s on the same commit.
+    # More runs tighten the min; the full stats expose the spread.
+    # heavy: min-of-3 — each run is seconds-to-a-minute, and the long
+    # multi-stage plans average out per-stage noise on their own.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", default_runs))
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         runs: list[float] = []
         for _ in range(n_runs):
@@ -106,7 +144,7 @@ def main() -> None:
         }
 
     print(json.dumps({
-        "metric": "headline_queries_total",
+        "metric": metric,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

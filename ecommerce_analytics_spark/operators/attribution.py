@@ -34,8 +34,18 @@ removal effect is one more integer op, effect_fix = ((p_full_fix -
 p_rem_fix) * FIX) div p_full_fix, and shares divide effect_fix by the
 associative BIGINT sum of effect_fixes — every float in the output is
 a SINGLE division of exact integers. Truncation error <= 1e-9 per
-edge-step, far below any attribution use. Negative effects (a channel
-that mostly routes to NULL) are kept as-is — standard in the model.
+edge-step, far below any attribution use. Removal effects are
+NONNEGATIVE BY CONSTRUCTION: removing a channel reroutes its outgoing
+mass to NULL (an absorbing non-conversion state), and the truncated-
+horizon value recursion is monotone in the transition weights, so
+p_rem_fix <= p_full_fix at every node and iteration. This matters for
+cross-engine exactness — effect_fix uses DuckDB `//` (floor division)
+on the oracle side and Spark `div` (truncation toward zero), which
+agree only for nonnegative numerators; the monotonicity argument is
+what guarantees both engines stay on the agreeing branch. If the model
+ever changes to one where negative effects are possible (e.g. removed
+mass redistributed pro-rata instead of to NULL), the division must be
+rewritten to a shared rounding rule (compute on abs, re-sign).
 
 All removal variants run in ONE plan: the transition table is stacked
 with a variant key ('full' + one per removed channel — a channels+1

@@ -273,7 +273,9 @@ _YEAR_A, _YEAR_B = 1996, 1997
         "sketch's retained hashes present in BOTH per-set sketches "
         "(a membership test on the sample — no inclusion-exclusion "
         "error blow-up), and |A\\\\B| by subtraction, over the "
-        "customers who ordered in 1994 vs 1995 (retention / churn / "
+        f"customers who ordered in {_YEAR_A} vs {_YEAR_B} (the last "
+        "two full years inside the synthetic date span — see the "
+        "comment at _YEAR_A above) (retention / churn / "
         "new-customer cardinalities from two stored sketches, no "
         "fact-table re-scan). Sketch build is the two-phase bounded "
         "aggregation; the algebra runs on ≤2K retained hashes as "

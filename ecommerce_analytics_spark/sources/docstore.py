@@ -40,6 +40,52 @@ class _FileCommit(WriterCommitMessage):
         self.filename = filename
 
 
+# Store layout versions (persisted in a `_format_version` file at the
+# store root, written atomically by the first driver-side commit):
+#   1 — legacy batch manifests with random 16-hex tags: lexicographic
+#       manifest order is NOT commit order, so `as_of` version numbers
+#       would resolve arbitrarily. Readable un-pinned only.
+#   2 — ordered tags (zero-padded commit nanos for batch, zero-padded
+#       batchId for streaming): manifest sort order IS commit order;
+#       `as_of` time travel is supported.
+# MIGRATION: a v1 store stays v1 forever (appends are allowed — the
+# committed file SET is order-independent — but the version file pins
+# the as_of refusal by VERSION, not by filename-shape sniffing, so the
+# break survives later well-formed commits). To get time travel,
+# re-materialize into a fresh store path.
+FORMAT_VERSION = 2
+_VERSION_FILE = "_format_version"
+
+
+def store_format_version(path: str) -> int | None:
+    """The store's persisted layout version; None for an empty/new
+    store. Stores created before the version file existed are sniffed
+    once (legacy random-tag manifests → 1, else 2) — the next commit
+    persists that answer."""
+    vf = os.path.join(path, _VERSION_FILE)
+    if os.path.exists(vf):
+        with open(vf) as f:
+            return int(json.load(f)["format_version"])
+    manifests = docstore_versions(path)
+    if not manifests:
+        return None
+    return 1 if _has_legacy_manifests(manifests) else 2
+
+
+def _ensure_version_file(path: str) -> None:
+    """Stamp the store's layout version if not already stamped
+    (atomic tmp+rename; idempotent — never rewrites an existing
+    stamp, so a legacy store can never be 'upgraded' in place)."""
+    vf = os.path.join(path, _VERSION_FILE)
+    if os.path.exists(vf):
+        return
+    version = store_format_version(path) or FORMAT_VERSION
+    tmp = vf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"format_version": version}, f)
+    os.replace(tmp, vf)
+
+
 def _json_default(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
@@ -66,7 +112,11 @@ def _write_staging(path: str, rows, suffix: str) -> _FileCommit:
 
 
 def _publish(path: str, manifest_name: str, messages) -> None:
-    """Atomically publish the committed file list (tmp + rename)."""
+    """Atomically publish the committed file list (tmp + rename).
+    Driver-side only. Also stamps the store's `_format_version` on
+    first commit (a pre-existing stamp is never rewritten)."""
+    os.makedirs(path, exist_ok=True)
+    _ensure_version_file(path)
     files = [m.filename for m in messages if m is not None]
     final = os.path.join(path, manifest_name)
     tmp = final + ".tmp"
@@ -159,7 +209,10 @@ def docstore_versions(path: str) -> list[str]:
     order; ``committed_files`` refuses ``as_of`` on such stores (a
     wrong-but-plausible version resolution would silently break
     snapshot isolation). Un-pinned reads remain valid — the committed
-    file SET is order-independent."""
+    file SET is order-independent. The refusal is keyed on the
+    store's persisted ``_format_version`` (see FORMAT_VERSION above),
+    with filename-shape sniffing only as the fallback for stores
+    created before the version file existed."""
     if not os.path.isdir(path):
         return []
     return sorted(e for e in os.listdir(path)
@@ -192,14 +245,15 @@ def committed_files(path: str, as_of: int | None = None) -> list[str]:
     seen: set[str] = set()
     manifests = docstore_versions(path)
     if as_of is not None:
-        if _has_legacy_manifests(manifests):
+        if store_format_version(path) == 1:
             raise ValueError(
-                f"as_of unsupported: store at {path!r} contains "
-                f"legacy random-tag batch manifests whose lexicographic "
-                f"order is not commit order — version numbers would "
-                f"resolve arbitrarily. Re-materialize the store (or "
-                f"read un-pinned: the latest file SET is "
-                f"order-independent)")
+                f"as_of unsupported: store at {path!r} is format "
+                f"version 1 (legacy random-tag batch manifests, whose "
+                f"lexicographic order is not commit order — version "
+                f"numbers would resolve arbitrarily; the version file "
+                f"pins this even after later well-formed commits). "
+                f"Re-materialize the store (or read un-pinned: the "
+                f"latest file SET is order-independent)")
         if not 0 <= as_of < len(manifests):
             raise ValueError(
                 f"as_of={as_of} out of range: store at {path!r} has "

@@ -50,6 +50,14 @@ CUSUM_STATE_SCHEMA = T.StructType([
     T.StructField("h", T.LongType()),
     T.StructField("sp", T.LongType()),
     T.StructField("sm", T.LongType()),
+    # Highest day already finalized (the ordered-replay watermark) and
+    # a count of contract-violating rows at-or-below it. Without the
+    # watermark a late-arriving older day would re-enter the walk as a
+    # fresh observation OUT OF ORDER, silently corrupting the
+    # recurrence; with it, late rows are dropped, counted, and
+    # observable in state instead of lingering or replaying.
+    T.StructField("last_final", T.StringType()),
+    T.StructField("late_days", T.LongType()),
 ])
 
 
@@ -86,11 +94,13 @@ def make_cusum_state_func():
                          state: GroupState) -> Iterator[pd.DataFrame]:
         (event_type,) = key
         if state.exists:
-            (open_days, open_cents, cal_cents, s7, h, sp, sm) = state.get
+            (open_days, open_cents, cal_cents, s7, h, sp, sm,
+             last_final, late_days) = state.get
             sums = dict(zip(open_days, open_cents))
             cal = list(cal_cents)
         else:
             sums, cal, s7, h, sp, sm = {}, [], 0, 0, 0, 0
+            last_final, late_days = None, 0
 
         max_day = None
         for pdf in pdfs:
@@ -101,11 +111,21 @@ def make_cusum_state_func():
                 if max_day is None or mx > max_day:
                     max_day = mx
 
+        # Ordered-replay contract enforcement: a day at-or-below the
+        # finalization watermark was already fed to the recurrence —
+        # replaying it out of order would corrupt sp/sm. Drop + count.
+        if last_final is not None:
+            stale = [d for d in sums if d <= last_final]
+            for d in stale:
+                sums.pop(d)
+            late_days += len(stale)
+
         out = []
         for d in sorted(sums):
             if max_day is None or d >= max_day:
                 continue  # still open
             x = sums.pop(d)
+            last_final = d
             if len(cal) < CUSUM_CAL:
                 cal.append(x)
                 if len(cal) == CUSUM_CAL:
@@ -116,7 +136,7 @@ def make_cusum_state_func():
                         sp > h or sm > h))
 
         state.update((sorted(sums), [sums[d] for d in sorted(sums)],
-                      cal, s7, h, sp, sm))
+                      cal, s7, h, sp, sm, last_final, late_days))
         yield pd.DataFrame(out, columns=[
             "event_type", "day", "rev", "sp_scaled", "sm_scaled",
             "h_scaled", "alarm"])

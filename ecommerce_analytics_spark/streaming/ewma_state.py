@@ -41,12 +41,18 @@ EWMA_OUTPUT_SCHEMA = T.StructType([
     T.StructField("ewma", T.DoubleType()),
 ])
 
-# state: parallel arrays of open days + cent sums, last ewma, have_ewma
+# state: parallel arrays of open days + cent sums, last ewma, have_ewma,
+# plus the ordered-replay watermark (highest finalized day) and a count
+# of contract-violating late rows dropped at-or-below it (see
+# cusum_state.py — replaying an older day out of order would corrupt
+# the recurrence; dropping silently would leak state unobservably).
 EWMA_STATE_SCHEMA = T.StructType([
     T.StructField("open_days", T.ArrayType(T.StringType())),
     T.StructField("open_cents", T.ArrayType(T.LongType())),
     T.StructField("last_ewma", T.DoubleType()),
     T.StructField("has_ewma", T.BooleanType()),
+    T.StructField("last_final", T.StringType()),
+    T.StructField("late_days", T.LongType()),
 ])
 
 
@@ -57,10 +63,12 @@ def make_ewma_state_func():
                         state: GroupState) -> Iterator[pd.DataFrame]:
         (event_type,) = key
         if state.exists:
-            open_days, open_cents, last_ewma, has_ewma = state.get
+            (open_days, open_cents, last_ewma, has_ewma,
+             last_final, late_days) = state.get
             sums = dict(zip(open_days, open_cents))
         else:
             sums, last_ewma, has_ewma = {}, 0.0, False
+            last_final, late_days = None, 0
 
         max_day = None
         for pdf in pdfs:
@@ -73,6 +81,14 @@ def make_ewma_state_func():
                 if max_day is None or mx > max_day:
                     max_day = mx
 
+        # Ordered-replay contract: drop + count days already finalized
+        # (they would otherwise replay out of order through the EWMA).
+        if last_final is not None:
+            stale = [d for d in sums if d <= last_final]
+            for d in stale:
+                sums.pop(d)
+            late_days += len(stale)
+
         out = []
         for d in sorted(sums):
             if max_day is None or d >= max_day:
@@ -80,10 +96,11 @@ def make_ewma_state_func():
             rev = float(sums.pop(d)) / 100.0
             last_ewma = rev if not has_ewma else 0.5 * rev + 0.5 * last_ewma
             has_ewma = True
+            last_final = d
             out.append((event_type, d, rev, last_ewma))
 
         state.update((sorted(sums), [sums[d] for d in sorted(sums)],
-                      last_ewma, has_ewma))
+                      last_ewma, has_ewma, last_final, late_days))
         yield pd.DataFrame(out, columns=["event_type", "day",
                                          "rev", "ewma"])
 

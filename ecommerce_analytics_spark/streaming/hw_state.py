@@ -52,6 +52,13 @@ HW_STATE_SCHEMA = T.StructType([
     T.StructField("trend", T.DoubleType()),
     T.StructField("sarr", T.ArrayType(T.DoubleType())),
     T.StructField("seeded", T.BooleanType()),
+    # Count of input rows that violated the time-ordered replay
+    # contract (day < finalization cursor). Such rows can never be
+    # folded into an already-finalized day; they are dropped HERE,
+    # counted, and never linger in state — without this they would sit
+    # in `sums` forever (the cursor walk never revisits finalized
+    # days), silently inflating state while never reaching output.
+    T.StructField("late_days", T.LongType()),
 ])
 
 
@@ -90,12 +97,13 @@ def make_hw_state_func():
         (event_type,) = key
         if state.exists:
             (open_days, open_cents, cursor, cal, lvl, trend, sarr,
-             seeded) = state.get
+             seeded, late_days) = state.get
             sums = dict(zip(open_days, open_cents))
             cal, sarr = list(cal), list(sarr)
         else:
             sums, cursor, cal = {}, None, []
             lvl, trend, sarr, seeded = 0.0, 0.0, [], False
+            late_days = 0
 
         max_day = None
         for pdf in pdfs:
@@ -105,6 +113,16 @@ def make_hw_state_func():
                 mx = pdf["day"].max()
                 if max_day is None or mx > max_day:
                     max_day = mx
+
+        # Ordered-replay contract enforcement: a day strictly below the
+        # finalization cursor was already finalized — drop it from the
+        # open sums and count it, so the violation is observable in
+        # state (late_days) instead of silently leaking entries.
+        if cursor is not None:
+            stale = [d for d in sums if d < cursor]
+            for d in stale:
+                sums.pop(d)
+            late_days += len(stale)
 
         out = []
         if max_day is not None:
@@ -127,7 +145,7 @@ def make_hw_state_func():
                 cursor = d.isoformat()
 
         state.update((sorted(sums), [sums[d] for d in sorted(sums)],
-                      cursor, cal, lvl, trend, sarr, seeded))
+                      cursor, cal, lvl, trend, sarr, seeded, late_days))
         yield pd.DataFrame(out, columns=[
             "event_type", "day", "rev", "lvl", "trend", "season",
             "forecast_next"])

@@ -201,3 +201,62 @@ def test_as_of_refuses_legacy_random_tag_stores(spark, sf_dir, tmp_path):
     # un-pinned read still resolves the committed set
     got = read_docstore(spark, str(store), "doc_id long").collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_format_version_file_lifecycle(spark, sf_dir, tmp_path):
+    """VERDICT r5 #7: the store's layout version is persisted in a
+    `_format_version` file at creation, and the as_of guard is keyed
+    on it — a legacy (v1) store stays refused even after later
+    well-formed commits land (sniffing alone would wrongly re-enable
+    time travel on the mixed store), while a fresh store is stamped
+    v2 and time travel works."""
+    import pytest
+
+    from ecommerce_analytics_spark.sources.docstore import (
+        FORMAT_VERSION, committed_files, docstore_versions,
+        store_format_version,
+    )
+
+    register_docstore_sink(spark)
+    events = load_table(spark, sf_dir, "events").drop("props").limit(10)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+
+    # --- new store: stamped v2 at first commit, as_of works
+    new_store = str(tmp_path / "new_store")
+    assert store_format_version(new_store) is None
+    (events.write.format("docstore").option("path", new_store)
+     .mode("append").save())
+    assert store_format_version(new_store) == FORMAT_VERSION == 2
+    assert os.path.exists(os.path.join(new_store, "_format_version"))
+    assert len(read_docstore(spark, new_store, schema, as_of=0)
+               .collect()) == 10
+
+    # --- legacy store: sniffed v1 while unstamped
+    legacy = tmp_path / "legacy_store"
+    staging = legacy / "_staging"
+    staging.mkdir(parents=True)
+    (staging / "part-legacy.json").write_text('{"doc_id": 1}\n')
+    (legacy / "_manifest-batch-0123456789abcdef.json").write_text(
+        json.dumps({"files": ["part-legacy.json"]}))
+    assert store_format_version(str(legacy)) == 1
+
+    # a later WELL-FORMED commit appends fine but stamps the store v1:
+    # the break is now pinned by version, not by filename sniffing
+    (spark.createDataFrame([(1, None, 1, "x", 1.0)], schema)
+     .coalesce(1)
+     .write.format("docstore").option("path", str(legacy))
+     .mode("append").save())
+    assert store_format_version(str(legacy)) == 1   # sticky
+    assert len(docstore_versions(str(legacy))) == 2
+    with pytest.raises(ValueError, match="format version 1"):
+        committed_files(str(legacy), as_of=1)
+    # un-pinned reads keep working (order-independent file SET)
+    assert len(committed_files(str(legacy))) == 2
+
+    # the stamp itself is never rewritten by further commits
+    (spark.createDataFrame([(2, None, 2, "y", 2.0)], schema)
+     .coalesce(1)
+     .write.format("docstore").option("path", str(legacy))
+     .mode("append").save())
+    assert store_format_version(str(legacy)) == 1

@@ -10,6 +10,7 @@ list-typed columns — see ``testing.driver_canon``).
 Usage::
 
     python tools/sweep.py [sf_dir] [name-substring ...]
+    python tools/sweep.py --changed [sf_dir]
 
 Defaults to ``/root/testdata/sf0.01``. Exit code 1 on any mismatch.
 
@@ -17,10 +18,25 @@ Set ``SWEEP_JSON_OUT=/path/to/SWEEP_rN.json`` to also write the full
 per-query record list as one JSON document (VERDICT r3 #3: the
 committed artifact lets the judge diff the self-run sweep against the
 driver's CORRECTNESS_rN row-for-row).
+
+Two-tier workflow (VERDICT r5 #4):
+
+* **mid-round** — ``--changed`` sweeps only queries whose implementing
+  module source or oracle SQL differs from the fingerprint stored in
+  the committed artifact (``SWEEP_JSON_OUT``, which must exist), then
+  merges the fresh records back in. Merged artifacts are stamped
+  ``"merged": true`` and carry no ``total_sec`` (records were timed in
+  different epochs — ADVICE r5), so a partial sweep can never be
+  mistaken for a fresh full-sweep timing.
+* **round end** — a full fresh run (no flags, ``SWEEP_JSON_MERGE``
+  unset) remains the gate; it rewrites the artifact with uniform
+  timings and fresh fingerprints.
 """
 
 from __future__ import annotations
 
+import hashlib
+import importlib
 import importlib.util
 import json
 import os
@@ -44,22 +60,90 @@ def load_entry():
     return mod
 
 
+_SRC_CACHE: dict[str, bytes] = {}
+
+
+def _module_src(modname: str) -> bytes:
+    if modname not in _SRC_CACHE:
+        try:
+            f = importlib.import_module(modname).__file__
+            _SRC_CACHE[modname] = pathlib.Path(f).read_bytes()
+        except Exception:
+            _SRC_CACHE[modname] = b""
+    return _SRC_CACHE[modname]
+
+
+def fingerprint(fn, sql: str | None) -> str:
+    """md5 of (implementing module source, oracle SQL) — the change
+    signal for --changed. Registry/testing-infra edits don't bump it;
+    the round-end full fresh sweep covers those."""
+    h = hashlib.md5(_module_src(getattr(fn, "__module__", "") or ""))
+    h.update(b"\x00")
+    h.update((sql or "").encode())
+    return h.hexdigest()
+
+
+def registry_fingerprints() -> dict[str, str]:
+    """Per-query fingerprints from the REGISTRY's raw callables. The
+    entry module's wrappers all carry the entry's own __module__, which
+    would collapse every query's module component to one file — the
+    registry's spark_fn keeps the true defining module."""
+    from ecommerce_analytics_spark.plans.registry import all_queries
+    return {name: fingerprint(q.spark_fn, q.oracle)
+            for name, q in all_queries().items()}
+
+
+def select_changed(fps: dict, prior_records: list[dict]) -> list[str]:
+    """Names to re-sweep: new queries, queries whose fingerprint
+    drifted, and artifact rows missing a fingerprint entirely (the
+    pre-fp artifact format) — anything the committed artifact cannot
+    vouch for at the current source."""
+    prior_fp = {r["q"]: r.get("fp") for r in prior_records}
+    return [name for name, fp in fps.items()
+            if prior_fp.get(name) != fp]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    argv = [a for a in sys.argv[1:]]
+    changed_only = "--changed" in argv
+    if changed_only:
+        argv.remove("--changed")
+    sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = sys.argv[2:]
+    only = argv[1:]
     entry = load_entry()
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    out = os.environ.get("SWEEP_JSON_OUT")
+    merge = bool(os.environ.get("SWEEP_JSON_MERGE"))
+
+    fps = registry_fingerprints()
+    assert set(fps) == set(queries), "entry/registry drift"
+
+    if changed_only:
+        if not (out and os.path.exists(out)):
+            print("--changed needs SWEEP_JSON_OUT pointing at the "
+                  "committed artifact", file=sys.stderr)
+            return 2
+        with open(out) as f:
+            only = select_changed(fps, json.load(f)["records"])
+        merge = True
+        print(json.dumps({"changed_mode": True,
+                          "to_run": sorted(only)}), flush=True)
+        if not only:
+            print(json.dumps({"n_queries": 0, "failures": 0}))
+            return 0
+
     spark = get_spark()
     failures = 0
     records: list[dict] = []
     t_all = time.time()
     for name, fn in queries.items():
-        if only and not any(s in name for s in only):
+        if only and not any(
+                (name == s if changed_only else s in name) for s in only):
             continue
         t0 = time.time()
-        rec: dict = {"q": name, "sf": sf_dir}
+        rec: dict = {"q": name, "sf": sf_dir, "fp": fps[name]}
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
             rec["spark_rows"] = len(spark_pdf)
@@ -88,16 +172,17 @@ def main() -> int:
     summary = {"total_sec": round(time.time() - t_all, 1),
                "n_queries": len(records), "failures": failures}
     print(json.dumps(summary), flush=True)
-    out = os.environ.get("SWEEP_JSON_OUT")
     if out:
         doc = {"summary": summary, "records": records}
-        if os.environ.get("SWEEP_JSON_MERGE") and os.path.exists(out):
+        if merge and os.path.exists(out):
             # Partial-sweep merge: replace/append the just-run records
             # in the committed artifact, keep every other row, and
             # re-derive the summary — so mid-round additions keep the
             # artifact registry-synced (test_docs_sync) without paying
             # a full re-sweep per commit. Round end still does a full
-            # fresh sweep.
+            # fresh sweep. Merged summaries are STAMPED and carry no
+            # total_sec: the constituent records were timed under
+            # different conditions (ADVICE r5).
             with open(out) as f:
                 prior = json.load(f)
             ran = {r["q"] for r in records}
@@ -105,8 +190,9 @@ def main() -> int:
             merged = [r for r in prior["records"]
                       if r["q"] not in ran and r["q"] in live]
             merged.extend(records)
+            merged.sort(key=lambda r: r["q"])
             doc = {"summary": {
-                "total_sec": round(sum(r["sec"] for r in merged), 1),
+                "merged": True,
                 "n_queries": len(merged),
                 "failures": sum(not r["ok"] for r in merged),
             }, "records": merged}
