@@ -317,21 +317,64 @@ JOIN mh mb ON mb.doc_id = c.doc_b
     tags=("dedup", "join", "north-star"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Wide-signature plan, 4 shuffles total, pipeline computed ONCE:
-    # - shingles hashed to two 32-bit ints AT THE EXPLODE (one md5 per
-    #   shingle; the naive 16-digest formulation measured 22s at sf0.1)
-    #   so every downstream shuffle moves ints, never shingle strings
-    #   (conv() parses the hex — one JVM call per chunk vs the oracle's
-    #   16-instr portable formula; identical values);
-    # - dedup + df-cap fused into one groupBy(x1,x2)+collect_set pass;
-    # - 16 universal-hash mins as columns in a single aggregation;
-    # - candidate pairs via groupBy(band, sig) + within-bucket pair
-    #   explosion — a band SELF-JOIN would execute this whole subtree
-    #   twice (profiled: the join formulation spent >40% of its 5.2s
-    #   re-running the explode+md5 pipeline for the build side).
-    #   Bucket sizes are bounded by real duplicate-cluster sizes, so
-    #   the per-bucket k² pair fan-out stays tiny at any scale.
-    corpus = _corpus(spark, sf_dir)
+    return minhash_lsh_pairs(_corpus(spark, sf_dir))
+
+
+def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """MinHash+LSH candidate pairs over a (doc_id, text) corpus —
+    the production pipeline, mega-cluster-safe (VERDICT r5 #2), with
+    output identical to the all-docs oracle formulation.
+
+    Wide-signature plan, pipeline computed ONCE:
+    - shingles hashed to two 32-bit ints AT THE EXPLODE (one md5 per
+      shingle; the naive 16-digest formulation measured 22s at sf0.1)
+      so every downstream shuffle moves ints, never shingle strings
+      (conv() parses the hex — one JVM call per chunk vs the oracle's
+      16-instr portable formula; identical values);
+    - 16 universal-hash mins as columns in a single aggregation.
+
+    Skew safety — why no step of this plan can concentrate a mega
+    cluster into one task:
+
+    1. THE DF CAP BOUNDS EVERY BUCKET. For b docs to land in the same
+       (band, sig) bucket, all four of that band's min-hash values
+       must coincide, i.e. each minimizing shingle is present in all
+       b member docs — so that shingle's document frequency is >= b.
+       Shingles with df > DF_CAP are dropped BEFORE hashing, hence
+       b <= DF_CAP (up to universal-hash collisions): worst-case
+       per-bucket pair fan-out is DF_CAP²/2, a constant, at ANY
+       corpus size. The same mechanism makes verbatim clusters
+       self-limiting: a text duplicated more than DF_CAP times pushes
+       every one of its own shingles over the cap, erasing the whole
+       cluster's signatures (stop-shingle semantics — the oracle
+       formulation does exactly this; certified by the 2×DF_CAP
+       mega-duplicate skew-stress test), while a cluster at or below
+       the cap yields bounded buckets. The shingle EXPLODE of a
+       duplicated text is linear and map-side — spread across input
+       splits, never one task.
+    2. SELF-JOIN pair generation. Candidate pairs come from an
+       equi-join of the band table with itself on (band, sig), NOT
+       from a groupBy(band,sig)+collect_list bucket explosion: a
+       bucket holding b docs would put all b members (and their
+       16-long signature vectors) into a single aggregation buffer —
+       one row, one task, O(b²) pair fan-out with no way for the
+       scheduler to split it. The sort-merge self-join keeps members
+       as rows, so a hot (band, sig) bucket is exactly the skew AQE's
+       OptimizeSkewedJoin splits (asserted by the skew-stress test);
+       the build side reuses the probe side's exchange
+       (ReusedExchange — plan-asserted in tests), so the shingle
+       pipeline still executes once. Measured FASTER than the bucket
+       formulation at sf0.1 (1.02s vs 1.45s min-of-3): the bucket
+       path paid an object-heavy collect_list aggregation.
+
+    (A verbatim-duplicate pre-collapse — md5(text) grouping, pipeline
+    on representatives, pair expansion afterward — was built and
+    oracle-certified, then REMOVED: the cap already bounds every
+    cluster's cost, and the collapse's extra join/aggregation stages
+    measured 2.4× on the headline bench for zero safety gain. Its
+    compute saving is linear in the verbatim-dup rate, which exact
+    dedup upstream captures anyway.)
+    """
     # tokens materialized once per row — element_at over a projected
     # array column instead of re-evaluating split() inside the lambda
     hx_all = (
@@ -378,24 +421,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bs.band").alias("band"),
              F.col("bs.sig").alias("sig"), "hv")
 
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.collect_list(F.struct("doc_id", "hv")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
-    pairs = buckets.select(F.explode(F.expr(
-        "flatten(transform(members, a -> "
-        "  transform(filter(members, b -> a.doc_id < b.doc_id), b -> "
-        "    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, "
-        "      'nm', aggregate(zip_with(a.hv, b.hv, (x, y) -> IF(x = y, 1, 0)), "
-        "                      0, (s, v) -> s + v)))))")).alias("p"))
+    # candidate pairs: skew-splittable self-join (see docstring §2)
+    a, b = bands.alias("a"), bands.alias("b")
+    pair_nm = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.expr("aggregate(zip_with(a.hv, b.hv, "
+                       "(x, y) -> IF(x = y, 1, 0)), 0, "
+                       "(s, v) -> s + v)").alias("nm")))
     return (
-        pairs.select("p.doc_a", "p.doc_b", "p.nm")
-        .groupBy("doc_a", "doc_b")
+        pair_nm.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"),
              F.round(F.first("nm") / F.lit(float(N_MINHASH)), 6)
              .alias("est_jaccard"))
-        .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
     )
 
 

@@ -1,4 +1,11 @@
-"""Synthetic-skew stress for entity-partitioned windows (VERDICT r2 #6).
+"""Synthetic-skew stress for entity-partitioned windows (VERDICT r2 #6)
+and for the candidate-generation families (VERDICT r5 #2): a text
+duplicated hundreds of times (mega LSH cluster), an embedding bucket
+holding a large slab of vectors, and a single user-day journey with
+thousands of hops. Each fixture is written to a tmp sf dir and the
+REGISTERED query runs against its own DuckDB oracle on the same
+skewed data — correctness under skew, certified by the same
+rows+schema+values comparison the driver runs, not just survival.
 
 The per-entity window (classification.py, scd2) is the one residual
 skew exposure at 100×: a single mega-entity concentrates its whole
@@ -64,3 +71,186 @@ def test_entity_window_under_hot_key(spark, sf_dir):
         .select(*cols).collect())
     assert got == solo
     assert len(got) > 0
+
+
+# ---- candidate-generation families under a mega cluster (r5 #2) ----
+
+def _skewed_table(tmp_path, base_sf, table: str, extra_sql: str) -> str:
+    """Tmp sf dir holding ONE table = base ∪ adversarial rows; both
+    engines then read the identical skewed parquet."""
+    import duckdb
+
+    out = tmp_path / "skew_sf"
+    out.mkdir(exist_ok=True)
+    src = f"{base_sf}/{table}.parquet"
+    duckdb.sql(f"""
+        COPY (SELECT * FROM '{src}' UNION ALL {extra_sql})
+        TO '{out}/{table}.parquet' (FORMAT PARQUET)
+    """)
+    return str(out)
+
+
+def _oracle_of(name: str) -> str:
+    from ecommerce_analytics_spark.plans.registry import all_queries
+    return all_queries()[name].oracle
+
+
+def _mega_dup_docs(tmp_path, sf_dir, k: int):
+    """Tmp sf dir where one (cap-residue-safe) text gains k verbatim
+    copies; returns (skew_sf, group_ids)."""
+    import duckdb
+
+    # ids off the corpus-augmentation residues (%25, %50) so the
+    # fixture adds exactly K verbatim copies and nothing else
+    ids = [x for x in range(900001, 900001 + 3 * k) if x % 25 != 0][:k]
+    src = f"{sf_dir}/documents.parquet"
+    mega_src = duckdb.sql(
+        f"SELECT doc_id FROM '{src}' WHERE doc_id % 25 != 0 "
+        f"ORDER BY doc_id LIMIT 1").fetchone()[0]
+    extra = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, text, lang, source, "
+        f"n_chars FROM '{src}' WHERE doc_id = {mega_src}" for i in ids)
+    return (_skewed_table(tmp_path, sf_dir, "documents", extra),
+            set(ids) | {int(mega_src)})
+
+
+def test_minhash_lsh_mega_duplicate_cluster(spark, sf_dir, tmp_path):
+    """One text duplicated 150× (verbatim mega cluster below DF_CAP).
+    The collapse path must keep the pipeline linear in DISTINCT texts
+    while emitting the full C(151,2) intra-cluster pair set — and the
+    whole skewed output must hash-match the DuckDB oracle running the
+    UNCOLLAPSED all-docs formulation on the same corpus."""
+    from ecommerce_analytics_spark.operators.dedup import DF_CAP, N_BANDS
+    from ecommerce_analytics_spark.plans.registry import query_map
+    from ecommerce_analytics_spark.testing import (
+        compare_frames, duckdb_oracle)
+
+    K = 150
+    assert K + 1 <= DF_CAP  # the cluster must SURVIVE the df cap here
+    skew_sf, group = _mega_dup_docs(tmp_path, sf_dir, K)
+
+    out = query_map()["dedup_minhash_lsh"](spark, skew_sf).toPandas()
+    oracle = duckdb_oracle(_oracle_of("dedup_minhash_lsh"), skew_sf)
+    assert not compare_frames(out, oracle, "minhash_skew")
+
+    # the mega cluster really is in there: all C(K+1, 2) intra pairs,
+    # every one sharing every band at estimated Jaccard 1.0
+    intra = out[out.doc_a.isin(group) & out.doc_b.isin(group)]
+    assert len(intra) == (K + 1) * K // 2
+    assert (intra.n_shared_bands == N_BANDS).all()
+    assert (intra.est_jaccard == 1.0).all()
+
+
+def test_minhash_lsh_cluster_above_df_cap_self_destructs(
+        spark, sf_dir, tmp_path):
+    """A verbatim cluster LARGER than DF_CAP pushes every one of its
+    own shingles over the document-frequency cap: its docs lose their
+    entire signature and emit NO pairs (stop-shingle semantics — the
+    oracle formulation does exactly this). The expansion path must
+    reproduce that, not invent intra-cluster pairs for signature-less
+    groups."""
+    from ecommerce_analytics_spark.operators.dedup import DF_CAP
+    from ecommerce_analytics_spark.plans.registry import query_map
+    from ecommerce_analytics_spark.testing import (
+        compare_frames, duckdb_oracle)
+
+    K = 2 * DF_CAP
+    skew_sf, group = _mega_dup_docs(tmp_path, sf_dir, K)
+
+    out = query_map()["dedup_minhash_lsh"](spark, skew_sf).toPandas()
+    oracle = duckdb_oracle(_oracle_of("dedup_minhash_lsh"), skew_sf)
+    assert not compare_frames(out, oracle, "minhash_skew_capped")
+    assert not (out.doc_a.isin(group) | out.doc_b.isin(group)).any()
+    assert len(out) > 0  # the rest of the corpus is unaffected
+
+
+def test_minhash_pair_join_is_skew_splittable(spark, sf_dir):
+    """The pair generator must be a (band, sig) self-JOIN whose build
+    side reuses the probe side's exchange — rows stay splittable by
+    AQE's skew handling, unlike a collect_list bucket (one row, one
+    task, O(b²) fan-out). Force the join off the broadcast path and
+    assert the executed plan shape."""
+    from ecommerce_analytics_spark.plans.registry import query_map
+
+    thresholds = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+    ]
+    saved = {k: spark.conf.get(k, None) for k, _ in thresholds}
+    try:
+        for k, v in thresholds:
+            spark.conf.set(k, v)
+        df = query_map()["dedup_minhash_lsh"](spark, sf_dir)
+        df.collect()  # the df's OWN QueryExecution must finalize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan
+        assert "ReusedExchange" in plan, plan[:4000]
+        assert "collect_list" not in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_embedding_lsh_mega_bucket(spark, sf_dir, tmp_path):
+    """300 identical copies of one embedding land in ONE band bucket
+    (same signature in every band). Candidate generation is an
+    equi-join on (band_idx, band_val) — AQE-splittable rows, no
+    bucket materialization — and the full skewed output must
+    hash-match the oracle, including the C(301,2) intra-bucket pairs
+    at cosine 1.0."""
+    from ecommerce_analytics_spark.plans.registry import query_map
+    from ecommerce_analytics_spark.testing import (
+        compare_frames, duckdb_oracle)
+
+    K = 300
+    src = f"{sf_dir}/embeddings.parquet"
+    import duckdb
+    mega_src = duckdb.sql(
+        f"SELECT vec_id FROM '{src}' WHERE vec_id % 40 != 0 "
+        f"ORDER BY vec_id LIMIT 1").fetchone()[0]
+    # new ids below the query's +1000000 copy range, off the %40 residue
+    ids = [x for x in range(500001, 500001 + 2 * K) if x % 40 != 0][:K]
+    extra = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS vec_id, embedding, label "
+        f"FROM '{src}' WHERE vec_id = {mega_src}" for i in ids)
+    skew_sf = _skewed_table(tmp_path, sf_dir, "embeddings", extra)
+
+    out = query_map()["embedding_neardup_lsh"](spark, skew_sf).toPandas()
+    oracle = duckdb_oracle(_oracle_of("embedding_neardup_lsh"), skew_sf)
+    assert not compare_frames(out, oracle, "neardup_lsh_skew")
+
+    group = set(ids) | {int(mega_src)}
+    intra = out[out.vec_a.isin(group) & out.vec_b.isin(group)]
+    assert len(intra) == (K + 1) * K // 2
+    assert (intra.cos_sim == 1.0).all()
+
+
+def test_markov_attribution_mega_journey(spark, sf_dir, tmp_path):
+    """One user with a 5000-hop single-day journey. The journey
+    windowing is one sort partition of linear size (like the §2.8
+    mega customer); transition counting and the K-step fixed point
+    run on the channels² matrix regardless. Output must hash-match
+    the oracle recomputed over the same skewed events."""
+    from ecommerce_analytics_spark.plans.registry import query_map
+    from ecommerce_analytics_spark.testing import (
+        compare_frames, duckdb_oracle)
+
+    HOPS = 5000
+    channels = ["view", "click", "signup", "error"]
+    rows = ", ".join(
+        f"({9000000 + i}, TIMESTAMP '2024-01-15 06:00:00' + "
+        f"INTERVAL ({i}) SECOND, 987654321, "
+        f"'{channels[i % 4] if i < HOPS - 1 else 'purchase'}', "
+        f"1.0, '{{}}')" for i in range(HOPS))
+    extra = (f"SELECT * FROM (VALUES {rows}) "
+             f"t(event_id, ts, user_id, event_type, value, props)")
+    skew_sf = _skewed_table(tmp_path, sf_dir, "events", extra)
+
+    out = query_map()["markov_attribution"](spark, skew_sf).toPandas()
+    oracle = duckdb_oracle(_oracle_of("markov_attribution"), skew_sf)
+    assert not compare_frames(out, oracle, "attribution_skew")
+    assert len(out) > 0
