@@ -61,8 +61,15 @@ def classify_events(txn: DataFrame) -> DataFrame:
 
     not_return = ~F.col("is_return")
     prior_purchases = F.count(F.when(not_return, F.lit(1))).over(w_cust)
+    # quantity IS NOT NULL keeps the null discipline identical to the
+    # oracle's last_value(CASE WHEN NOT is_return THEN quantity END
+    # IGNORE NULLS): a purchase row with NULL quantity must be SKIPPED
+    # (the oracle's CASE yields NULL → skipped), not captured as a
+    # non-null struct carrying a null qty. Unreachable on clean data
+    # (quantity is never null); load-bearing for the hostile variant.
     last_purchase = F.last(
-        F.when(not_return, F.struct("stock_code", "quantity")),
+        F.when(not_return & F.col("quantity").isNotNull(),
+               F.struct("stock_code", "quantity")),
         ignorenulls=True).over(w_prod)
     last_purchase_qty = F.when(
         last_purchase["stock_code"] == F.col("stock_code"),
