@@ -114,3 +114,58 @@ def test_risk_score_boundaries(spark):
     assert out[3] == pytest.approx(0.5)   # == high → still mid tier
     assert out[4] == pytest.approx(0.8)   # 0.3 + 0.5
     assert out[5] == pytest.approx(0.2)   # signup
+
+
+def test_classification_hostile_golden(spark):
+    """Hand-computed referee for the null semantics the hostile
+    certification query (operators/hostile.py) exercises — independent
+    of both engines' shared mutation SQL, so a bug in the hostile CTE
+    cannot certify itself:
+
+    * NULL customer_id rows form ONE window partition;
+    * a purchase with NULL quantity is SKIPPED by the last-purchase
+      lookup (a later full return matches the earlier non-null qty);
+    * a NULL is_return row falls through every return branch AND does
+      not count as a prior purchase;
+    * NULL total_amount fails the high-value test (3VL).
+    """
+    import datetime as dt
+
+    from ecommerce_analytics_spark.operators.classification import (
+        classify_events)
+
+    d = [dt.datetime(2024, 1, i) for i in range(1, 6)]
+    rows = [
+        # NULL-customer partition
+        (None, 300, 1, 7, 1, d[0], 5.0, 10.0, 50.0, False, False),
+        (None, 301, 1, 7, 1, d[1], 5.0, 10.0, 50.0, True, False),
+        (None, 302, 1, 7, 1, d[2], 2.0, 10.0, 20.0, False, False),
+        # NULL-quantity purchase must be skipped by the lookup
+        (3, 310, 1, 7, 1, d[0], 5.0, 10.0, 50.0, False, False),
+        (3, 311, 1, 7, 1, d[1], None, 10.0, 30.0, False, False),
+        (3, 312, 1, 7, 1, d[2], 5.0, 10.0, 50.0, True, False),
+        # NULL is_return: no return branch, no purchase count
+        (4, 320, 1, 7, 1, d[0], 5.0, 10.0, 50.0, None, False),
+        (4, 321, 1, 7, 1, d[1], 5.0, 10.0, 50.0, False, False),
+        (4, 322, 1, 7, 1, d[2], 5.0, 10.0, None, False, False),
+        (4, 323, 1, 7, 1, d[3], 5.0, 10.0, 50.0, True, False),
+    ]
+    txn = spark.createDataFrame(
+        rows, "customer_id long, invoice_no long, line_no int, "
+              "stock_code long, supp_id long, invoice_date timestamp, "
+              "quantity double, unit_price double, total_amount double, "
+              "is_return boolean, is_credit_note boolean")
+    got = {r["invoice_no"]: r["event_type"]
+           for r in classify_events(txn).collect()}
+    assert got == {
+        300: "first_purchase",
+        301: "full_return",        # NULL-customer history is coherent
+        302: "repeat_purchase",
+        310: "first_purchase",
+        311: "repeat_purchase",    # NULL qty: not bulk, prior = 1
+        312: "full_return",        # matched vs 310's qty, 311 SKIPPED
+        320: "first_purchase",     # NULL is_return falls through
+        321: "first_purchase",     # 320 never counted as a purchase
+        322: "repeat_purchase",    # NULL amount fails high-value (3VL)
+        323: "full_return",        # 320 excluded from lookup too
+    }
