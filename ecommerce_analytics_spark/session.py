@@ -67,6 +67,12 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
+    # Per-process warehouse isolation for the parallel test runner
+    # (tools/run_tests_parallel.py): concurrent pytest workers each get
+    # their own saveAsTable root so bucketed-table tests can't collide.
+    if os.environ.get("SPARK_GRAFT_WAREHOUSE"):
+        builder = builder.config("spark.sql.warehouse.dir",
+                                 os.environ["SPARK_GRAFT_WAREHOUSE"])
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
