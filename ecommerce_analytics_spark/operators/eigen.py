@@ -146,10 +146,11 @@ def _fixed_point_expand(emb: DataFrame) -> DataFrame:
 
 def _iterated_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stats pass + EIG_ITERS power-iteration rounds; returns
-    the eagerly-checkpointed ONE-ROW frame (nv, cmat, v) — nv the
-    vector count, cmat the 64x64 integer covariance numerator, v the
-    final L-inf=1e6 fixed-point iterate. Shared by the eigenvector
-    query and the PCA-projection query."""
+    a ONE-ROW frame (nv, cmat, v) — nv the vector count, cmat the
+    64x64 integer covariance numerator (eagerly checkpointed; the only
+    thing that ever touched the corpus), v the final L-inf=1e6
+    fixed-point iterate, computed as a single runtime fold. Shared by
+    the eigenvector query and the PCA-projection query."""
     ex = _fixed_point_expand(load_table(spark, sf_dir, "embeddings"))
     a, b = ex.alias("a"), ex.alias("b")
     dec = "decimal(38,0)"
@@ -203,37 +204,42 @@ def _iterated_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = F.transform(F.sequence(F.lit(1), F.size(F.col("cmat"))),
                      lambda j: F.when(j == 1, F.lit(EIG_FIX))
                      .otherwise(F.lit(0)).cast("long"))
-    df = one.select("nv", "cmat", v0.alias("v"))
-    # Each round is two chained projections over the ONE-ROW frame,
-    # separated by repartition(1) barriers: the barrier stops
-    # CollapseProject from inlining the twice-referenced `w` (and the
-    # previous `v`) back into one expression — without it the column
-    # tree doubles per round (w appears in both the rescale transform
-    # and the max) and 80 rounds is 2^80 expression nodes. With the
-    # barrier the plan is linear: 2 projections + a single-row
-    # exchange per round, all array math in codegen.
-    for _ in range(EIG_ITERS):
-        df = (df.select("nv", "cmat", _matvec(F.col("v")).alias("w"))
-              .repartition(1))
-        mx = F.array_max(F.transform(F.col("w"),
-                                     lambda y: F.abs(y.cast("double"))))
-        df = (df.select(
-            "nv", "cmat",
-            F.transform(F.col("w"),
-                        lambda y: F.round(y.cast("double") * EIG_FIX / mx)
-                        .cast("long")).alias("v"))
-            .repartition(1))
-    # Cut lineage at the end too: consumers posexplode/join this row,
-    # and posexplode makes the optimizer infer `size(v) > 0`
-    # (InferFiltersFromGenerate); that predicate pushes down through
-    # every repartition barrier, and the substitution inlines the
-    # whole iteration chain into ONE filter expression — doubling per
-    # round because each rescale references its `w` twice: 2^80
-    # interpreted decimal ops, i.e. a hang (verified by thread dump: a
-    # pushed-down GeneratedClass$SpecificPredicate evaluating nested
-    # ArrayAggregate/ZipWith forever). The checkpointed frame is one
-    # row of 65 numbers; downstream filters have nothing to inline.
-    return df.localCheckpoint(eager=True)
+    # All EIG_ITERS rounds run as ONE runtime fold inside a single
+    # projection: aggregate(sequence(1, K), v0, step). An earlier
+    # formulation chained 2 projections + a repartition(1) barrier per
+    # round (160 single-row stages ≈ 20s of pure scheduling at any
+    # data size) because naming `w` as a COLUMN makes CollapseProject
+    # substitute its tree into every reference — doubling per round,
+    # 2^80 expression nodes without the barriers. Higher-order
+    # functions don't have that problem: the rescale binds the mat-vec
+    # result to a LAMBDA VARIABLE (via transform over a 1-element
+    # array), so referencing it twice (max + rescale) is a variable
+    # read, not a tree substitution, and the loop itself is runtime
+    # iteration — the expression tree is one step deep regardless of
+    # K. Arithmetic is unchanged and bitwise-identical: same
+    # decimal(38,0) mat-vec, same single IEEE divide-and-round per
+    # round (oracle parity re-certified after the rewrite).
+    def _step(acc, _k):
+        w = _matvec(acc)
+        return F.element_at(
+            F.transform(
+                F.array(w),
+                lambda wv: F.transform(
+                    wv,
+                    lambda y: F.round(
+                        y.cast("double") * EIG_FIX
+                        / F.array_max(F.transform(
+                            wv, lambda z: F.abs(z.cast("double"))))
+                    ).cast("long"))),
+            1)
+
+    v_final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(EIG_ITERS)), v0, _step)
+    # One projection over the checkpointed one-row matrix: nothing for
+    # downstream InferFiltersFromGenerate pushdown to blow up (the
+    # fold is a single linear expression), so no trailing checkpoint
+    # is needed either.
+    return one.select("nv", "cmat", v_final.alias("v"))
 
 
 def _matvec(vec):
