@@ -209,29 +209,72 @@ def attribution_from_hops(spark: SparkSession, hops: DataFrame,
              .groupBy("variant", "src", "dst")
              .agg(F.count(F.lit(1)).cast("bigint").alias("c_ij"))
              .localCheckpoint(eager=True))
-    outdeg = (trans.groupBy("variant", F.col("src"))
-              .agg(F.sum("c_ij").cast("bigint").alias("c_i")))
 
-    v = outdeg.select("variant", F.col("src").alias("node"),
-                      F.lit(0).cast("bigint").alias("v_fix"))
-    for _ in range(ATTR_ITERS):
-        pv = v.select(F.col("variant").alias("pvar"),
-                      F.col("node").alias("pnode"), "v_fix")
-        v = (outdeg
-             .join(trans, ["variant", "src"])
-             .join(pv, (F.col("variant") == F.col("pvar"))
-                   & (F.col("dst") == F.col("pnode")), "left")
-             .select("variant", F.col("src").alias("node"),
-                     F.expr(f"(c_ij * (CASE WHEN dst = 'CONV' "
-                            f"THEN CAST({ATTR_FIX} AS BIGINT) "
-                            f"WHEN dst = 'NULL' THEN CAST(0 AS BIGINT) "
-                            f"ELSE coalesce(v_fix, CAST(0 AS BIGINT)) "
-                            f"END)) div c_i").alias("contrib"))
-             .groupBy("variant", "node")
-             .agg(F.sum("contrib").cast("bigint").alias("v_fix")))
+    # All ATTR_ITERS rounds run as ONE runtime fold per variant row
+    # (the eigen.py recipe): the variants × channels² matrix is
+    # collected into one nested-array row per variant — bounded by the
+    # channel vocabulary at ANY corpus size — and the recursion
+    # iterates inside a single projection via aggregate(sequence(..)).
+    # The join-per-round formulation this replaces planned 3 stages ×
+    # 16 rounds of single-digit-row shuffles (~5s of scheduling at any
+    # SF). Arithmetic is IDENTICAL: per-edge integer division then
+    # BIGINT sum. `x div y` has no Column-API equivalent inside a
+    # lambda, so it is spelled ((a - pmod(a, b)) / b): a - a%b is an
+    # exact multiple in BIGINT arithmetic, and the final divide is
+    # exact in double because the quotient is bounded by ATTR_FIX
+    # (1e9 << 2^53). Nonnegative numerators (module docstring) make
+    # truncation == floor == this form.
+    nodes_row = (trans.select("src").distinct().groupBy()
+                 .agg(F.array_sort(F.collect_list("src")).alias("nodes")))
+    j_idx = F.expr("CAST(CASE WHEN dst = 'CONV' THEN size(nodes) + 1 "
+                   "WHEN dst = 'NULL' THEN size(nodes) + 2 "
+                   "ELSE array_position(nodes, dst) END AS INT)")
+    trans_idx = (trans.crossJoin(F.broadcast(nodes_row))
+                 .select("variant",
+                         F.expr("CAST(array_position(nodes, src) AS INT)")
+                         .alias("i"),
+                         j_idx.alias("j"), "c_ij"))
+    per_src = (trans_idx.groupBy("variant", "i")
+               .agg(F.sum("c_ij").cast("bigint").alias("c_i"),
+                    F.collect_list(F.struct("j", "c_ij")).alias("edges")))
+    per_variant = (per_src.groupBy("variant")
+                   .agg(F.map_from_entries(F.collect_list(
+                       F.struct("i", F.struct("c_i", "edges"))))
+                       .alias("rows"))
+                   .crossJoin(F.broadcast(nodes_row)))
 
-    p = (v.filter(F.col("node") == "START")
-         .select("variant", "v_fix"))
+    def _idiv(a, b):  # exact BIGINT a div b for a >= 0, b > 0
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    def _val(j, acc):  # dst value: CONV -> FIX, NULL/unknown -> 0
+        return (F.when(j == F.size("nodes") + 1,
+                       F.lit(ATTR_FIX).cast("bigint"))
+                .when((j == F.size("nodes") + 2) | (j == 0),
+                      F.lit(0).cast("bigint"))
+                .otherwise(F.coalesce(F.element_at(acc, j),
+                                      F.lit(0).cast("bigint"))))
+
+    def _step(acc, _k):
+        def node_val(i):
+            row = F.element_at(F.col("rows"), i)
+            return (F.when(row.isNull(), F.lit(0).cast("bigint"))
+                    .otherwise(F.aggregate(
+                        row["edges"], F.lit(0).cast("bigint"),
+                        lambda s, e: s + _idiv(e["c_ij"] * _val(e["j"], acc),
+                                               row["c_i"]))))
+        return F.transform(F.sequence(F.lit(1), F.size("nodes")),
+                           node_val)
+
+    v0 = F.transform(F.sequence(F.lit(1), F.size("nodes")),
+                     lambda _i: F.lit(0).cast("bigint"))
+    v_final = F.aggregate(F.sequence(F.lit(1), F.lit(ATTR_ITERS)),
+                          v0, _step)
+    p = per_variant.select(
+        "variant",
+        F.element_at(
+            v_final,
+            F.expr("CAST(array_position(nodes, 'START') AS INT)"))
+        .alias("v_fix"))
     p_full = p.filter(F.col("variant") == "full") \
         .select(F.col("v_fix").alias("p_full_fix"))
     eff = (chan
