@@ -103,12 +103,15 @@ def train_codebooks(spark: SparkSession, nemb: DataFrame) -> DataFrame:
     everything). The result is PQ_M × PQ_K rows — broadcast wherever
     it is used.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = nemb.filter(F.col("vec_id") < PQ_TRAIN_CAP).cache()
-    rows = []
-    for m in range(PQ_M):
+    train.count()  # materialize the cache once before the fan-out
+
+    def _fit(m: int):
         sl = train.select(array_to_vector(
             F.slice(F.col("nemb"), m * PQ_SUBDIM + 1, PQ_SUBDIM))
             .alias("fv"))
@@ -117,8 +120,18 @@ def train_codebooks(spark: SparkSession, nemb: DataFrame) -> DataFrame:
         # training wall time with measured recall unchanged
         model = KMeans(k=PQ_K, seed=PQ_SEED + m, maxIter=10,
                        featuresCol="fv").fit(sl)
-        for code, c in enumerate(model.clusterCenters()):
-            rows.append((m, code, [float(x) for x in c]))
+        return [(m, code, [float(x) for x in c])
+                for code, c in enumerate(model.clusterCenters())]
+
+    # The M subspace fits are independent (own seed, own column
+    # slice) and each is a short driver-coordinated iterative job —
+    # run them as CONCURRENT Spark jobs from a thread pool. Same
+    # seeds + same cached input ⇒ bitwise-identical models to the
+    # serial loop; wall time drops from Σ fits to ~max(fit) (the
+    # scheduler interleaves the tiny per-iteration stages).
+    with ThreadPoolExecutor(max_workers=PQ_M) as pool:
+        rows = [r for chunk in pool.map(_fit, range(PQ_M))
+                for r in chunk]
     train.unpersist()
     return spark.createDataFrame(
         rows, "m int, code int, c_emb array<double>")
