@@ -41,6 +41,21 @@ def test_fingerprint_tracks_module_and_oracle():
     assert sw.fingerprint(fn, None) != a
 
 
+def test_fingerprint_closure_covers_helper_modules():
+    """A query's fingerprint must track every package module it
+    transitively imports — knn_ivfpq lives in ivfpq.py but trains its
+    codebooks in pq.py; an edit there must flag it as changed (missed
+    in practice before the closure existed)."""
+    sw = _sweep_mod()
+    closure = sw._module_closure("ecommerce_analytics_spark.operators.ivfpq")
+    assert "ecommerce_analytics_spark.operators.pq" in closure
+    assert "ecommerce_analytics_spark.operators.ivfpq" in closure
+    assert "ecommerce_analytics_spark.io" in closure
+    # closure is cached + deterministic
+    assert closure == sw._module_closure(
+        "ecommerce_analytics_spark.operators.ivfpq")
+
+
 def test_registry_fingerprints_cover_entry_and_use_true_modules():
     """The entry module wraps every callable (its __module__ is the
     entry itself), which would collapse the module component of every

@@ -73,13 +73,52 @@ def _module_src(modname: str) -> bytes:
     return _SRC_CACHE[modname]
 
 
+_PKG = "ecommerce_analytics_spark"
+_IMPORT_RE = None
+_CLOSURE_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _intra_imports(modname: str) -> list[str]:
+    """Package modules imported by ``modname``'s source (textual scan
+    of import statements — enough for this package's flat style)."""
+    global _IMPORT_RE
+    if _IMPORT_RE is None:
+        import re
+        _IMPORT_RE = re.compile(
+            rf"^\s*(?:from\s+({_PKG}(?:\.\w+)*)\s+import"
+            rf"|import\s+({_PKG}(?:\.\w+)*))", re.M)
+    src = _module_src(modname).decode(errors="replace")
+    return [a or b for a, b in _IMPORT_RE.findall(src)]
+
+
+def _module_closure(modname: str) -> tuple[str, ...]:
+    """Transitive intra-package import closure of ``modname``."""
+    if modname not in _CLOSURE_CACHE:
+        seen: set[str] = set()
+        stack = [modname]
+        while stack:
+            m = stack.pop()
+            if m in seen:
+                continue
+            seen.add(m)
+            stack.extend(_intra_imports(m))
+        _CLOSURE_CACHE[modname] = tuple(sorted(seen))
+    return _CLOSURE_CACHE[modname]
+
+
 def fingerprint(fn, sql: str | None) -> str:
-    """md5 of (implementing module source, oracle SQL) — the change
-    signal for --changed. Registry/testing-infra edits don't bump it;
+    """md5 of (oracle SQL, every package module the implementing
+    module transitively imports) — the change signal for --changed.
+    The closure matters: knn_ivfpq lives in ivfpq.py but its codebook
+    trainer lives in pq.py; hashing only the defining module would
+    leave a pq.py edit invisible to --changed (hit in practice round
+    6). Testing-infra / registry-plumbing edits still don't bump it;
     the round-end full fresh sweep covers those."""
-    h = hashlib.md5(_module_src(getattr(fn, "__module__", "") or ""))
-    h.update(b"\x00")
+    h = hashlib.md5()
     h.update((sql or "").encode())
+    for m in _module_closure(getattr(fn, "__module__", "") or ""):
+        h.update(b"\x00" + m.encode() + b"\x00")
+        h.update(_module_src(m))
     return h.hexdigest()
 
 
