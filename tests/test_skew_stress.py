@@ -169,7 +169,20 @@ def test_minhash_pair_join_is_skew_splittable(spark, sf_dir):
     side reuses the probe side's exchange — rows stay splittable by
     AQE's skew handling, unlike a collect_list bucket (one row, one
     task, O(b²) fan-out). Force the join off the broadcast path and
-    assert the executed plan shape."""
+    assert the executed plan shape.
+
+    What is (and is not) assertable at test scale: AQE's
+    OptimizeSkewedJoin fires on BYTE thresholds
+    (skewedPartitionThresholdSizeInBytes, 256 MB default) — the
+    production regime. A test-SF mega bucket is a few (highly
+    compressible, identical-vector) KB, so the final plan shows
+    `AQEShuffleRead coalesced`, never `skewed` (verified empirically
+    even with the thresholds forced to 8 KB). The structural property
+    this test pins is the PRECONDITION for the skew split: bucket
+    members arrive at the join as ROWS in shuffle partitions (SMJ, no
+    per-bucket materialization), which is exactly what
+    OptimizeSkewedJoin knows how to subdivide once partitions reach
+    real sizes; a collect_list bucket is opaque to it at any size."""
     from ecommerce_analytics_spark.plans.registry import query_map
 
     thresholds = [
