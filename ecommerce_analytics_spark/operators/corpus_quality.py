@@ -89,7 +89,7 @@ SELECT doc_id, lang, n_tokens,
        round(mean_token_len, 6) AS mean_token_len,
        round(top_token_frac, 6) AS top_token_frac,
        round(dup_bigram_frac, 6) AS dup_bigram_frac,
-       {GOPHER_PASS_COND} AS passes_gopher
+       COALESCE({GOPHER_PASS_COND}, FALSE) AS passes_gopher
 FROM feat
 """
 
@@ -158,7 +158,10 @@ def gopher_features(docs: DataFrame) -> DataFrame:
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(top_frac, 6).alias("top_token_frac"),
         F.round(dup_bigram, 6).alias("dup_bigram_frac"),
-        passes.alias("passes_gopher"),
+        # coalesce: a NULL-text doc does NOT pass the gate (a nullable
+        # boolean would also hit the None-vs-NaN pandas
+        # canonicalization asymmetry between the engines)
+        F.coalesce(passes, F.lit(False)).alias("passes_gopher"),
     )
 
 

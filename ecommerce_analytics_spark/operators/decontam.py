@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.plans.registry import query
+from ecommerce_analytics_spark.sqlkit import ngram_positions
 
 DECONTAM_N = 5     # n-gram order (docs are 10-99 tokens)
 EVAL_MOD = 97      # doc_id % EVAL_MOD == 0 → held-out benchmark set
@@ -64,7 +65,7 @@ def _ngram_hashes(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= n)
         .select("doc_id", F.expr(
-            f"explode(transform(sequence(1, size(toks) - {n - 1}), "
+            f"explode(transform({ngram_positions('toks', n)}, "
             f"i -> md5(concat_ws(' ', slice(toks, i, {n})))))").alias("g"))
     )
     return grams.distinct()

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.plans.registry import query
+from ecommerce_analytics_spark.sqlkit import ngram_positions
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
@@ -110,10 +111,11 @@ def _shingles(corpus: DataFrame) -> DataFrame:
     hottest key, which is precisely the skew the stop-shingle cap is
     meant to eliminate.)
     """
+    pos = ngram_positions("split(text, ' ')", SHINGLE_K)
     sh = (
         corpus
         .select("doc_id", F.expr(
-            f"explode(transform(sequence(1, size(split(text, ' ')) - {SHINGLE_K - 1}), "
+            f"explode(transform({pos}, "
             f"i -> concat_ws(' ', element_at(split(text, ' '), i), "
             f"element_at(split(text, ' '), i + 1), "
             f"element_at(split(text, ' '), i + 2))))").alias("sh"))
@@ -381,7 +383,7 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
         corpus
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", F.expr(
-            f"explode(transform(sequence(1, size(toks) - {SHINGLE_K - 1}), "
+            f"explode(transform({ngram_positions('toks', SHINGLE_K)}, "
             f"i -> md5(concat_ws(' ', element_at(toks, i), "
             f"element_at(toks, i + 1), element_at(toks, i + 2)))))").alias("h"))
         .select("doc_id",
@@ -693,7 +695,7 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
         docs
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", F.expr(
-            f"explode(transform(sequence(1, size(toks) - {SHINGLE_K - 1}), "
+            f"explode(transform({ngram_positions('toks', SHINGLE_K)}, "
             f"i -> md5(concat_ws(' ', element_at(toks, i), "
             f"element_at(toks, i + 1), element_at(toks, i + 2)))))").alias("h"))
         .select("doc_id",

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.operators.dedup import _hex_chunk_sql
 from ecommerce_analytics_spark.plans.registry import query
+from ecommerce_analytics_spark.sqlkit import ngram_positions
 
 K_GRAM = 4        # tokens per k-gram
 WINNOW_W = 5      # winnow window (hashes per selection window)
@@ -91,12 +92,12 @@ def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"))
     )
     kh = coded.select("doc_id", F.expr(
-        f"transform(sequence(1, size(codes) - {K_GRAM - 1}), "
+        f"transform({ngram_positions('codes', K_GRAM)}, "
         f"i -> aggregate(slice(codes, i, {K_GRAM}), 0L, "
         f"(acc, c) -> (acc * {HASH_B} + c) % {HASH_P}))").alias("kh"))
     winnowed = (
         kh.select("doc_id", F.explode(F.expr(
-            f"transform(sequence(1, size(kh) - {WINNOW_W - 1}), "
+            f"transform({ngram_positions('kh', WINNOW_W)}, "
             f"s -> CAST(s - 1 + array_position("
             f"         slice(kh, s, {WINNOW_W}), "
             f"         array_min(slice(kh, s, {WINNOW_W}))) AS BIGINT) "
@@ -177,12 +178,12 @@ def q_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"))
     )
     kh = coded.select("doc_id", F.expr(
-        f"transform(sequence(1, size(codes) - {K_GRAM - 1}), "
+        f"transform({ngram_positions('codes', K_GRAM)}, "
         f"i -> aggregate(slice(codes, i, {K_GRAM}), 0L, "
         f"(acc, c) -> (acc * {HASH_B} + c) % {HASH_P}))").alias("kh"))
     fp = (
         kh.select("doc_id", F.explode(F.expr(
-            f"transform(sequence(1, size(kh) - {WINNOW_W - 1}), "
+            f"transform({ngram_positions('kh', WINNOW_W)}, "
             f"s -> CAST(s - 1 + array_position("
             f"         slice(kh, s, {WINNOW_W}), "
             f"         array_min(slice(kh, s, {WINNOW_W}))) AS BIGINT) "

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.plans.registry import query
+from ecommerce_analytics_spark.sqlkit import ngram_positions
 
 NGRAM_N = 8
 
@@ -52,7 +53,7 @@ NGRAM_N = 8
 # tokens must hit the empty-array branch, not a descending sequence.
 _GRAMS_EXPR = (
     f"CASE WHEN size(toks) >= {NGRAM_N} THEN "
-    f"  transform(sequence(1, size(toks) - {NGRAM_N - 1}), "
+    f"  transform({ngram_positions('toks', NGRAM_N)}, "
     f"            i -> concat_ws(' ', slice(toks, i, {NGRAM_N}))) "
     f"ELSE array() END"
 )
@@ -175,7 +176,10 @@ def q_repeated_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("toks").cast("long").alias("n_tokens_before"),
-            F.size(pruned_toks).cast("long").alias("n_tokens_after"),
+            # coalesce mirrors the oracle's coalesce(n_tokens_after, 0)
+            # LEFT-JOIN form: a NULL-text doc keeps 0 tokens, not NULL
+            F.coalesce(F.size(pruned_toks).cast("long"), F.lit(0))
+            .alias("n_tokens_after"),
             F.md5(F.concat_ws(" ", pruned_toks)).alias("pruned_md5"),
         )
     )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.plans.registry import query
+from ecommerce_analytics_spark.sqlkit import ngram_positions
 
 QUERY_TERMS = ("vector", "hash", "stream")  # the fixed test query
 BM25_K1 = 1.2
@@ -368,7 +369,7 @@ def shingle_bm25_ranked(docs: DataFrame, qdoc_pred,
     terms = qterms.select("term").distinct()
     tf = (docs.select(
               "doc_id",
-              F.expr(_shingle_expr("sequence(1, size(split(text, ' ')) - 2)"))
+              F.expr(_shingle_expr(ngram_positions("split(text, ' ')", 3)))
               .alias("term"))
           .join(F.broadcast(terms), "term", "left_semi")
           .groupBy("doc_id", "term")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.plans.registry import query
+from ecommerce_analytics_spark.sqlkit import ngram_positions
 
 STOPWORDS = ("the", "a")
 
@@ -112,7 +113,8 @@ SELECT doc_id, lang, n_tokens,
        round(least(1.0, 0.5 * least(1.0, n_tokens / 100.0)
                         + 0.3 * (1 - stopword_ratio)
                         + 0.2 * distinct_ratio), 6) AS quality_score,
-       (n_tokens >= 20 AND stopword_ratio < 0.5) AS passes_filter
+       COALESCE(n_tokens >= 20 AND stopword_ratio < 0.5, FALSE)
+         AS passes_filter
 FROM feat
 """
 
@@ -143,7 +145,11 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", n_tokens.alias("n_tokens"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality_score"),
-        ((n_tokens >= 20) & (stopword_ratio < 0.5)).alias("passes_filter"),
+        # coalesce: a NULL-text doc does NOT pass the gate (and a
+        # nullable boolean would hit the None-vs-NaN pandas
+        # canonicalization asymmetry between the engines)
+        F.coalesce((n_tokens >= 20) & (stopword_ratio < 0.5),
+                   F.lit(False)).alias("passes_filter"),
     )
 
 
@@ -327,7 +333,7 @@ def q_bigram_pmi_collocations(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ").alias("t"))
     bi = toks.select(F.explode(F.expr(
-        "transform(sequence(1, size(t) - 1), "
+        f"transform({ngram_positions('t', 2)}, "
         "i -> named_struct('w1', element_at(t, i), "
         "'w2', element_at(t, i + 1)))")).alias("b"))
     bc = (bi.select("b.w1", "b.w2")

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.plans.registry import query
+from ecommerce_analytics_spark.sqlkit import ngram_positions
 
 TR_ITERS = 5
 TR_FIX = 1_000_000_000  # 1e-9 fixed point
@@ -109,7 +110,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     adj = (docs.select(F.split("text", " ").alias("t"))
            .select(F.expr(
-               "explode(transform(sequence(1, size(t) - 1), "
+               f"explode(transform({ngram_positions('t', 2)}, "
                "i -> struct(least(element_at(t, i), element_at(t, i + 1)) "
                "AS lo, greatest(element_at(t, i), element_at(t, i + 1)) "
                "AS hi)))").alias("p"))
