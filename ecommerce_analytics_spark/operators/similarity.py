@@ -83,11 +83,16 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 _KNN_ORACLE = f"""
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+WITH emb_v AS (
+  SELECT * FROM embeddings
+  WHERE len(embedding) = {EMB_DIM}
+    AND {_dot_sql('embedding', 'embedding')} > 0
+),
+q AS (SELECT vec_id, embedding FROM emb_v WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
          {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim
-  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+  FROM q JOIN emb_v c ON q.vec_id <> c.vec_id
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (
@@ -110,7 +115,17 @@ FROM ranked WHERE rank <= {TOP_K}
     tags=("similarity", "north-star"),
 )
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # INPUT CONTRACT (shared with the oracle's emb_v CTE): vectors must
+    # be exactly EMB_DIM wide with a nonzero norm. A zero-norm vector
+    # makes the cosine 0/0 — a loud ANSI DIVIDE_BY_ZERO here vs NaN in
+    # DuckDB; a ragged vector null-pads one engine's zip and
+    # null-SKIPS the other's sum (divergent dots). NULL and empty
+    # embeddings fail both predicates. The filter is free on validated
+    # corpora (see embedding_validation, the documented ingest gate)
+    # and makes the operator total on hostile ones.
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter((F.size("embedding") == EMB_DIM)
+                   & (dot(F.col("embedding"), F.col("embedding")) > 0)))
     # norms precomputed per side: the broadcast-nested-loop join would
     # otherwise re-evaluate norm(c) once per query (O(Q·N) extra folds)
     q = (emb.filter(F.col("vec_id") < N_QUERIES)
@@ -134,6 +149,56 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label",
                 F.round("cos_sim", 9).alias("cos_sim"), "rank")
+    )
+
+
+@query(
+    "embedding_validation",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN len(embedding) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(sum(CASE WHEN len(embedding) > 0
+                          AND len(embedding) <> {EMB_DIM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+           CAST(sum(CASE WHEN len(embedding) = {EMB_DIM}
+                          AND {_dot_sql('embedding', 'embedding')} <= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           CAST(sum(CASE WHEN len(embedding) = {EMB_DIM}
+                          AND {_dot_sql('embedding', 'embedding')} > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM embeddings
+    """,
+    doc=f"The embedding ingest gate — the documented INPUT CONTRACT "
+        f"for the whole ANN/eigen family: vectors must be exactly "
+        f"{EMB_DIM}-wide with nonzero norm. One map-side pass counts "
+        f"the violation classes (NULL, empty, wrong-dimension, "
+        f"zero-norm) and the valid remainder. Production corpora run "
+        f"this (or filter on its predicate) before index builds: a "
+        f"zero-norm vector makes cosine 0/0 (loud ANSI error vs NaN "
+        f"across engines), a ragged vector silently corrupts "
+        f"covariance/dot semantics differently per engine, and KMeans "
+        f"training rejects NULLs outright — certified against a "
+        f"hostile embeddings fixture in tests/test_hostile_embeddings.",
+    tags=("similarity", "validation", "north-star"),
+)
+def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sz = F.size("embedding")
+    nsq = dot(F.col("embedding"), F.col("embedding"))
+
+    def count_when(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        count_when(F.col("embedding").isNull()).alias("n_null"),
+        count_when(sz == 0).alias("n_empty"),
+        count_when((sz > 0) & (sz != EMB_DIM)).alias("n_wrong_dim"),
+        count_when((sz == EMB_DIM) & (nsq <= 0)).alias("n_zero_norm"),
+        count_when((sz == EMB_DIM) & (nsq > 0)).alias("n_valid"),
     )
 
 
