@@ -101,30 +101,106 @@ def q_surrogate_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROPS_ORACLE = """
+WITH safe AS (
+  -- json_valid guard: share Spark get_json_object's null-on-corrupt
+  -- semantics (DuckDB's json_extract_string is strict and would
+  -- ERROR on a malformed props payload the operator must tolerate)
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events
+       avg(k) AS avg_k, min(k) AS min_k, max(k) AS max_k
+FROM safe
 GROUP BY event_type
 """
 
 
 _POLY_ORACLE = """
-WITH mixed AS (
+WITH safe AS (
+  -- json_valid guard: DuckDB's json_extract_string ERRORS on
+  -- malformed JSON where Spark's get_json_object returns NULL (the
+  -- defensive behavior the operator certifies); the guard makes the
+  -- oracle share Spark's null-on-corrupt semantics
+  SELECT event_id, event_type,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k_raw
+  FROM events
+), mixed AS (
   SELECT event_id, event_type,
          CASE WHEN event_id % 3 = 0
-              THEN '{"k": "' || json_extract_string(props, '$.k') || '", "flag": "true"}'
-              ELSE '{"k": ' || json_extract_string(props, '$.k') || ', "flag": true}'
+              THEN '{"k": "' || k_raw || '", "flag": "true"}'
+              ELSE '{"k": ' || k_raw || ', "flag": true}'
          END AS props
-  FROM events
+  FROM safe
 )
 SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-       (json_extract_string(props, '$.flag') = 'true') AS flag_value
+       COALESCE(json_extract_string(props, '$.flag') = 'true', FALSE)
+         AS flag_value
 FROM mixed
 """
+
+
+@query(
+    "events_validation",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_ts,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_user,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_type,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_value,
+           CAST(sum(CASE WHEN props IS NOT NULL
+                          AND NOT json_valid(props)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
+           CAST(sum(CASE WHEN ts IS NOT NULL AND user_id IS NOT NULL
+                          AND event_type IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_time_valid
+    FROM events
+    """,
+    doc="The event-stream ingest gate — the documented INPUT CONTRACT "
+        "for the time/journey operators: sessionization, window "
+        "revenue, and Markov attribution require non-NULL ts, "
+        "user_id, and event_type (a NULL-timestamp event has no "
+        "well-defined session or journey position, and the engines "
+        "legitimately order/group it differently), while the "
+        "aggregation/LTV/props families are certified null-tolerant "
+        "(tests/test_hostile_events.py). One map-side pass counts the "
+        "violation classes — NULL ts/user/type/value, non-JSON props "
+        "— plus the time-contract-valid remainder. Production "
+        "pipelines run this (or filter on its predicate) at ingest.",
+    tags=("validation", "agg", "tier-a"),
+)
+def q_events_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_analytics_spark.io import load_table
+    events = load_table(spark, sf_dir, "events")
+
+    def count_when(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    # Spark's json_valid twin: get_json_object(x, '$') is NULL exactly
+    # when x is not parseable JSON (and passes NULL through)
+    bad_props = (F.col("props").isNotNull()
+                 & F.get_json_object("props", "$").isNull())
+    return events.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        count_when(F.col("ts").isNull()).alias("n_null_ts"),
+        count_when(F.col("user_id").isNull()).alias("n_null_user"),
+        count_when(F.col("event_type").isNull()).alias("n_null_type"),
+        count_when(F.col("value").isNull()).alias("n_null_value"),
+        count_when(bad_props).alias("n_bad_props"),
+        count_when(F.col("ts").isNotNull()
+                   & F.col("user_id").isNotNull()
+                   & F.col("event_type").isNotNull())
+        .alias("n_time_valid"),
+    )
 
 
 @query(
@@ -151,7 +227,11 @@ def q_polymorphic_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select(
         "event_id", "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
-        (F.get_json_object("props", "$.flag") == "true").alias("flag_value"),
+        # coalesce: corrupt-props rows get FALSE, not a NULL boolean
+        # (nullable booleans hit the None-vs-NaN pandas
+        # canonicalization asymmetry between the engines)
+        F.coalesce(F.get_json_object("props", "$.flag") == "true",
+                   F.lit(False)).alias("flag_value"),
     )
 
 
