@@ -219,11 +219,16 @@ def attribution_from_hops(spark: SparkSession, hops: DataFrame,
     # 16 rounds of single-digit-row shuffles (~5s of scheduling at any
     # SF). Arithmetic is IDENTICAL: per-edge integer division then
     # BIGINT sum. `x div y` has no Column-API equivalent inside a
-    # lambda, so it is spelled ((a - pmod(a, b)) / b): a - a%b is an
-    # exact multiple in BIGINT arithmetic, and the final divide is
-    # exact in double because the quotient is bounded by ATTR_FIX
-    # (1e9 << 2^53). Nonnegative numerators (module docstring) make
-    # truncation == floor == this form.
+    # lambda, so _idiv works in DECIMAL(38,0): the numerator
+    # c_ij * val can reach edge_count × ATTR_FIX, which passes 2^53
+    # (double-exact limit) at c_ij ≈ 9e6 and 2^63 (BIGINT) at
+    # c_ij ≈ 9.2e9 — both reachable on a 100 TB event log. In
+    # decimal(38,0) the product is exact to 10^38 (c_ij up to ~1e29),
+    # pmod subtracts the exact remainder, and the decimal divide of an
+    # exact multiple yields the integer quotient (≤ ATTR_FIX, 10
+    # digits) exactly at any result scale. Nonnegative numerators
+    # (module docstring) make truncation == floor == this form, so the
+    # value matches DuckDB's exact integer `//` bit for bit.
     nodes_row = (trans.select("src").distinct().groupBy()
                  .agg(F.array_sort(F.collect_list("src")).alias("nodes")))
     j_idx = F.expr("CAST(CASE WHEN dst = 'CONV' THEN size(nodes) + 1 "
@@ -244,7 +249,9 @@ def attribution_from_hops(spark: SparkSession, hops: DataFrame,
                    .crossJoin(F.broadcast(nodes_row)))
 
     def _idiv(a, b):  # exact BIGINT a div b for a >= 0, b > 0
-        return ((a - F.pmod(a, b)) / b).cast("bigint")
+        ad = a.cast("decimal(38,0)")
+        bd = b.cast("decimal(38,0)")
+        return ((ad - F.pmod(ad, bd)) / bd).cast("bigint")
 
     def _val(j, acc):  # dst value: CONV -> FIX, NULL/unknown -> 0
         return (F.when(j == F.size("nodes") + 1,
@@ -260,8 +267,10 @@ def attribution_from_hops(spark: SparkSession, hops: DataFrame,
             return (F.when(row.isNull(), F.lit(0).cast("bigint"))
                     .otherwise(F.aggregate(
                         row["edges"], F.lit(0).cast("bigint"),
-                        lambda s, e: s + _idiv(e["c_ij"] * _val(e["j"], acc),
-                                               row["c_i"]))))
+                        lambda s, e: s + _idiv(
+                            e["c_ij"].cast("decimal(38,0)")
+                            * _val(e["j"], acc),
+                            row["c_i"]))))
         return F.transform(F.sequence(F.lit(1), F.size("nodes")),
                            node_val)
 

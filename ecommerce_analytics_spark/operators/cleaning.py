@@ -186,7 +186,20 @@ def q_events_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
     # Spark's json_valid twin: get_json_object(x, '$') is NULL exactly
-    # when x is not parseable JSON (and passes NULL through)
+    # when x is not parseable JSON (and passes NULL through). The twin
+    # is NOT bit-identical to DuckDB's json_valid — two DOCUMENTED
+    # divergence classes exist (verified on Spark 4.1.2 / DuckDB,
+    # round 7): (1) trailing garbage after a complete value
+    # ('{"a":1} x') — Spark's Jackson stops at the first complete
+    # value → counted VALID here, json_valid says false; (2) trailing
+    # comma ('{"a":1,}') — DuckDB's yyjson is lenient → json_valid
+    # true, Spark strict → counted BAD here. Neither is expressible
+    # identically in both engines with built-ins (try_parse_json also
+    # accepts trailing garbage), so the ingest contract accepts these
+    # two classes as engine-defined; every AGREEING class — including
+    # the bare literal 'null', which get_json_object keeps (returns
+    # the string 'null', not SQL NULL) and json_valid accepts — is
+    # pinned by tests/test_hostile_events.py.
     bad_props = (F.col("props").isNotNull()
                  & F.get_json_object("props", "$").isNull())
     return events.agg(

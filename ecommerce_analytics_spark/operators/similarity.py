@@ -55,6 +55,24 @@ def _hyperplane(bit: int) -> list[float]:
 _HYPERPLANES = [_hyperplane(b) for b in range(LSH_BITS)]
 
 
+def no_null_elems(col: Column | str) -> Column:
+    """True iff the array contains no NULL element. A correct-width
+    vector with an internal NULL is the nastiest ingest defect: Spark's
+    zip_with+aggregate dot NULL-POISONS (row silently vanishes from
+    filters), while DuckDB's SUM-based dot SKIPS the null products
+    (row kept, with a different value) — the one input class where the
+    two engines disagree without erroring. Every embedding operator
+    excludes it explicitly on BOTH sides, and embedding_validation
+    counts it as its own violation class (n_null_elem)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ~F.exists(c, lambda x: x.isNull())
+
+
+def _no_null_sql(col: str) -> str:
+    """DuckDB twin of no_null_elems."""
+    return f"len(list_filter({col}, x -> x IS NULL)) = 0"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-accumulation dot product — bitwise-reproducible
     across Spark and DuckDB (both fold left in doubles)."""
@@ -86,6 +104,7 @@ _KNN_ORACLE = f"""
 WITH emb_v AS (
   SELECT * FROM embeddings
   WHERE len(embedding) = {EMB_DIM}
+    AND {_no_null_sql('embedding')}
     AND {_dot_sql('embedding', 'embedding')} > 0
 ),
 q AS (SELECT vec_id, embedding FROM emb_v WHERE vec_id < {N_QUERIES}),
@@ -116,15 +135,18 @@ FROM ranked WHERE rank <= {TOP_K}
 )
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # INPUT CONTRACT (shared with the oracle's emb_v CTE): vectors must
-    # be exactly EMB_DIM wide with a nonzero norm. A zero-norm vector
-    # makes the cosine 0/0 — a loud ANSI DIVIDE_BY_ZERO here vs NaN in
-    # DuckDB; a ragged vector null-pads one engine's zip and
-    # null-SKIPS the other's sum (divergent dots). NULL and empty
-    # embeddings fail both predicates. The filter is free on validated
-    # corpora (see embedding_validation, the documented ingest gate)
-    # and makes the operator total on hostile ones.
+    # be exactly EMB_DIM wide, free of NULL elements, with a nonzero
+    # norm. A zero-norm vector makes the cosine 0/0 — a loud ANSI
+    # DIVIDE_BY_ZERO here vs NaN in DuckDB; a ragged vector null-pads
+    # one engine's zip and null-SKIPS the other's sum (divergent
+    # dots); an internal NULL element null-poisons this engine's fold
+    # but is skipped by DuckDB's SUM (see no_null_elems). NULL and
+    # empty embeddings fail both predicates. The filter is free on
+    # validated corpora (see embedding_validation, the documented
+    # ingest gate) and makes the operator total on hostile ones.
     emb = (load_table(spark, sf_dir, "embeddings")
            .filter((F.size("embedding") == EMB_DIM)
+                   & no_null_elems("embedding")
                    & (dot(F.col("embedding"), F.col("embedding")) > 0)))
     # norms precomputed per side: the broadcast-nested-loop join would
     # otherwise re-evaluate norm(c) once per query (O(Q·N) extra folds)
@@ -164,24 +186,33 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND len(embedding) <> {EMB_DIM}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
            CAST(sum(CASE WHEN len(embedding) = {EMB_DIM}
+                          AND NOT ({_no_null_sql('embedding')})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elem,
+           CAST(sum(CASE WHEN len(embedding) = {EMB_DIM}
+                          AND {_no_null_sql('embedding')}
                           AND {_dot_sql('embedding', 'embedding')} <= 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
            CAST(sum(CASE WHEN len(embedding) = {EMB_DIM}
+                          AND {_no_null_sql('embedding')}
                           AND {_dot_sql('embedding', 'embedding')} > 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
     FROM embeddings
     """,
     doc=f"The embedding ingest gate — the documented INPUT CONTRACT "
         f"for the whole ANN/eigen family: vectors must be exactly "
-        f"{EMB_DIM}-wide with nonzero norm. One map-side pass counts "
-        f"the violation classes (NULL, empty, wrong-dimension, "
-        f"zero-norm) and the valid remainder. Production corpora run "
-        f"this (or filter on its predicate) before index builds: a "
-        f"zero-norm vector makes cosine 0/0 (loud ANSI error vs NaN "
-        f"across engines), a ragged vector silently corrupts "
-        f"covariance/dot semantics differently per engine, and KMeans "
-        f"training rejects NULLs outright — certified against a "
-        f"hostile embeddings fixture in tests/test_hostile_embeddings.",
+        f"{EMB_DIM}-wide, free of NULL elements, with nonzero norm. "
+        f"One map-side pass counts the violation classes (NULL, "
+        f"empty, wrong-dimension, internal-NULL-element, zero-norm) "
+        f"and the valid remainder. Production corpora run this (or "
+        f"filter on its predicate) before index builds: a zero-norm "
+        f"vector makes cosine 0/0 (loud ANSI error vs NaN across "
+        f"engines), a ragged vector silently corrupts covariance/dot "
+        f"semantics differently per engine, an internal NULL element "
+        f"null-poisons Spark's dot fold but is SKIPPED by SUM-based "
+        f"engines (the one silent cross-engine value divergence — "
+        f"see no_null_elems), and KMeans training rejects NULLs "
+        f"outright — certified against a hostile embeddings fixture "
+        f"in tests/test_hostile_embeddings.",
     tags=("similarity", "validation", "north-star"),
 )
 def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,13 +223,17 @@ def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     def count_when(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
+    nonull = no_null_elems("embedding")
     return emb.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         count_when(F.col("embedding").isNull()).alias("n_null"),
         count_when(sz == 0).alias("n_empty"),
         count_when((sz > 0) & (sz != EMB_DIM)).alias("n_wrong_dim"),
-        count_when((sz == EMB_DIM) & (nsq <= 0)).alias("n_zero_norm"),
-        count_when((sz == EMB_DIM) & (nsq > 0)).alias("n_valid"),
+        count_when((sz == EMB_DIM) & ~nonull).alias("n_null_elem"),
+        count_when((sz == EMB_DIM) & nonull
+                   & (nsq <= 0)).alias("n_zero_norm"),
+        count_when((sz == EMB_DIM) & nonull
+                   & (nsq > 0)).alias("n_valid"),
     )
 
 
@@ -299,13 +334,18 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_VALID = (f"len(embedding) = {EMB_DIM} "
+                  f"AND {_no_null_sql('embedding')} "
+                  f"AND {_dot_sql('embedding', 'embedding')} > 0")
+
 _NEARDUP_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, label, embedding FROM embeddings
+  WHERE {_NEARDUP_VALID}
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, label,
          list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
-  FROM embeddings WHERE vec_id % 40 = 0
+  FROM embeddings WHERE vec_id % 40 = 0 AND {_NEARDUP_VALID}
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
        round({_cos_sql('a.embedding', 'b.embedding')}, 9) AS cos_sim
@@ -326,7 +366,14 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COS}
     tags=("dedup", "similarity", "north-star"),
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # full ingest-contract predicate (knn_bruteforce's emb_v twin): a
+    # zero-norm vector inside a label block is cosine 0/0 (loud ANSI
+    # error), a ragged or NULL-element one diverges silently per
+    # engine — hostile-certified in tests/test_hostile_embeddings.py
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter((F.size("embedding") == EMB_DIM)
+                   & no_null_elems("embedding")
+                   & (dot(F.col("embedding"), F.col("embedding")) > 0)))
     copies = (
         emb.filter(F.col("vec_id") % 40 == 0)
         .select((F.col("vec_id") + 1000000).alias("vec_id"), "label",
@@ -632,10 +679,11 @@ _LSH_BAND_MATCH = " OR ".join(
 _NEARDUP_LSH_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
+  WHERE {_no_null_sql('embedding')}
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id,
          list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
-  FROM embeddings WHERE vec_id % 40 = 0
+  FROM embeddings WHERE vec_id % 40 = 0 AND {_no_null_sql('embedding')}
 ),
 sig AS (
   SELECT vec_id, embedding,
@@ -668,7 +716,11 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COS}
     tags=("dedup", "similarity", "north-star"),
 )
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # no_null_elems: a NULL element would give this engine NULL band
+    # values (never joins) but give a SUM-based engine real bands — see
+    # the helper's docstring; excluded explicitly on BOTH sides.
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(no_null_elems("embedding")))
     copies = (
         emb.filter(F.col("vec_id") % 40 == 0)
         .select((F.col("vec_id") + 1000000).alias("vec_id"),
@@ -718,6 +770,7 @@ Q_SCALE = 127  # int8 symmetric quantization
       SELECT vec_id, embedding,
              sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
       FROM embeddings
+      WHERE {_no_null_sql('embedding')}
     )
     SELECT vec_id,
            round(nrm, 6) AS l2_norm,
@@ -744,7 +797,12 @@ Q_SCALE = 127  # int8 symmetric quantization
 )
 def q_embedding_normalize_quantize(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # no_null_elems: without it a [1.0, NULL, ...] row null-poisons
+    # this engine's norm fold (row silently dropped by nrm > 0) while
+    # a SUM-based engine keeps it with a 63-element norm — the exact
+    # silent divergence the ingest contract exists to close.
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(no_null_elems("embedding")))
     nrm = F.col("nrm")
     unit = lambda x: x.cast("double") / nrm  # noqa: E731
     qz = lambda x: F.round(unit(x) * Q_SCALE)  # noqa: E731

@@ -1,8 +1,10 @@
 """Hostile-embedding certification (round-6 probe, companion of
-test_short_docs).
+test_short_docs; internal-NULL-element class added round 7 per
+ADVICE r6).
 
 An embeddings table salted with NULL / empty / zero-norm /
-wrong-dimension vectors. Findings the fixture pins:
+wrong-dimension / internal-NULL-element vectors. Findings the
+fixture pins:
 
 * knn_bruteforce CRASHED on a zero-norm vector (cosine 0/0 is a loud
   ANSI DIVIDE_BY_ZERO in Spark but NaN in DuckDB) and a ragged vector
@@ -32,6 +34,11 @@ HOSTILE = [
     (700003, [0.0] * 64),            # zero norm, right dim
     (700004, [1.0, 2.0, 3.0]),       # wrong dimension
     (700005, [0.5] * 64),            # valid extra vector (control)
+    # right dim, internal NULL element: Spark's zip_with/aggregate dot
+    # null-poisons (row vanishes); DuckDB's SUM skips the null product
+    # (row kept, different value) — the one silent cross-engine value
+    # divergence; must be its own violation class (ADVICE r6)
+    (700006, [1.0, None] + [0.5] * 62),
 ]
 
 
@@ -43,9 +50,14 @@ def hostile_sf(sf_dir, tmp_path_factory):
     for name in os.listdir(sf_dir):
         if name.endswith(".parquet") and name != "embeddings.parquet":
             os.symlink(os.path.join(sf_dir, name), out / name)
+    def _lit(v):
+        if v is None:
+            return "NULL"
+        elems = ("NULL" if x is None else str(x) for x in v)
+        return "[" + ", ".join(elems) + "]"
+
     rows = ", ".join(
-        "(CAST({} AS BIGINT), CAST({} AS FLOAT[]), 1)".format(
-            i, "NULL" if v is None else str(v))
+        f"(CAST({i} AS BIGINT), CAST({_lit(v)} AS FLOAT[]), 1)"
         for i, v in HOSTILE)
     duckdb.sql(f"""
         COPY (SELECT * FROM '{sf_dir}/embeddings.parquet'
@@ -58,6 +70,7 @@ def hostile_sf(sf_dir, tmp_path_factory):
 
 @pytest.mark.parametrize("name", [
     "knn_bruteforce",
+    "embedding_neardup",
     "embedding_neardup_lsh",
     "embedding_normalize_quantize",
     "embedding_validation",
@@ -91,7 +104,8 @@ def test_validation_classifies_every_hostile_row(spark, hostile_sf,
     assert row.n_null == 1
     assert row.n_empty == 1
     assert row.n_wrong_dim == 1
+    assert row.n_null_elem == 1
     assert row.n_zero_norm == 1
     assert row.n_valid == base_n + 1        # the control vector
-    assert (row.n_null + row.n_empty + row.n_wrong_dim
+    assert (row.n_null + row.n_empty + row.n_wrong_dim + row.n_null_elem
             + row.n_zero_norm + row.n_valid) == row.n_vectors

@@ -35,9 +35,25 @@ HOSTILE_ROWS_SQL = """
   (CAST(910004 AS BIGINT), TIMESTAMP '2024-01-10 10:00:03', 77,
    'purchase', CAST(NULL AS DOUBLE), 'not json at all'),
   (CAST(910005 AS BIGINT), TIMESTAMP '2024-01-10 10:00:04', 77,
-   'click', -5.0, '{"k": [1,2')
+   'click', -5.0, '{"k": [1,2'),
+  -- bare JSON literal 'null': VALID in both engines (DuckDB
+  -- json_valid('null')=true; Spark get_json_object('null','$')
+  -- returns the non-NULL string 'null' on 4.1.2 — verified r7)
+  (CAST(910006 AS BIGINT), TIMESTAMP '2024-01-10 10:00:05', 78,
+   'view', 1.0, 'null'),
+  -- truncated keyword: INVALID in both engines
+  (CAST(910007 AS BIGINT), TIMESTAMP '2024-01-10 10:00:06', 78,
+   'click', 1.0, 'tru')
 """
-N_HOSTILE = 5
+# NOT in the fixture — the two DOCUMENTED divergence classes between
+# Spark's get_json_object twin and DuckDB's json_valid (see the
+# n_bad_props comment in cleaning.py): '{"a":1} trailing-garbage'
+# (Spark's Jackson stops at the first complete value → valid; DuckDB
+# strict → invalid) and '{"a":1,}' trailing comma (DuckDB's yyjson
+# lenient → valid; Spark strict → invalid). Neither is expressible
+# identically in both engines with built-ins; the ingest contract
+# accepts the divergence and the fixture pins every AGREEING class.
+N_HOSTILE = 7
 
 
 @pytest.fixture(scope="module")
@@ -97,6 +113,7 @@ def test_validation_classifies_every_hostile_row(spark, hostile_sf,
     assert row.n_null_user == 1
     assert row.n_null_type == 1
     assert row.n_null_value == 1
-    assert row.n_bad_props == 2
+    # 'not json at all', '{"k": [1,2', 'tru' — bare 'null' is VALID
+    assert row.n_bad_props == 3
     # 3 hostile rows violate the time contract (null ts/user/type)
-    assert row.n_time_valid == base_n + 2
+    assert row.n_time_valid == base_n + 4

@@ -116,10 +116,13 @@ def _mega_dup_docs(tmp_path, sf_dir, k: int):
 
 def test_minhash_lsh_mega_duplicate_cluster(spark, sf_dir, tmp_path):
     """One text duplicated 150× (verbatim mega cluster below DF_CAP).
-    The collapse path must keep the pipeline linear in DISTINCT texts
-    while emitting the full C(151,2) intra-cluster pair set — and the
-    whole skewed output must hash-match the DuckDB oracle running the
-    UNCOLLAPSED all-docs formulation on the same corpus."""
+    Certifies the direct self-join pair formulation under mega-cluster
+    skew (the verbatim-duplicate pre-collapse was removed from
+    dedup.py — see minhash_lsh_pairs' docstring): the bucket self-join
+    must survive a 151-doc bucket, emit the full C(151,2)
+    intra-cluster pair set, and the whole skewed output must
+    hash-match the DuckDB oracle running the same all-docs formulation
+    on the same corpus."""
     from ecommerce_analytics_spark.operators.dedup import DF_CAP, N_BANDS
     from ecommerce_analytics_spark.plans.registry import query_map
     from ecommerce_analytics_spark.testing import (
