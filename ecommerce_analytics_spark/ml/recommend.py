@@ -35,8 +35,13 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.recommendation import ALS
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    # interaction contract (oracle twin): MLlib ALS hard-rejects NULL
+    # users and NULL/NaN ratings ("Ratings MUST NOT be Null or NaN"),
+    # so an interaction needs a customer and a quantity
+    lineitem = (load_table(spark, sf_dir, "lineitem")
+                .filter(F.col("l_quantity").isNotNull()))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey").isNotNull()))
     interactions = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").cast("int").alias("user"),
@@ -64,6 +69,7 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH u AS (
       SELECT count(DISTINCT o.o_custkey) AS n_users
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_quantity IS NOT NULL
     )
     SELECT CAST(n_users AS BIGINT) AS n_users,
            CAST({TOP_N} AS INTEGER) AS k,
@@ -83,7 +89,17 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_als_recommendations_shape(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    recs = q_als_recommendations(spark, sf_dir)
+    try:
+        recs = q_als_recommendations(spark, sf_dir)
+    except Exception as exc:
+        if "No ratings" not in str(exc):
+            raise
+        # empty interaction matrix (e.g. an empty orders partition):
+        # the contract holds vacuously — the oracle's aggregate over
+        # zero rows emits exactly this row
+        return spark.createDataFrame(
+            [(0, TOP_N, 0, True)],
+            "n_users bigint, k int, n_pairs bigint, scores_valid boolean")
     per_user = (recs.groupBy("customer_id")
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.min("score").alias("lo"),

@@ -21,8 +21,15 @@ SEED = 42
 
 def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency (days since last order), Frequency (order count),
-    Monetary (total spend) per customer."""
-    orders = load_table(spark, sf_dir, "orders")
+    Monetary (total spend) per customer.
+
+    Feature contract (oracle twin): an RFM row needs a customer and a
+    dated order — a NULL custkey isn't a segmentable entity, and an
+    undated order would make recency NULL, which the VectorAssembler →
+    KMeans chain downstream rejects outright. No-op on clean data."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey").isNotNull()
+                      & F.col("o_orderdate").isNotNull()))
     max_date = orders.agg(F.max("o_orderdate").alias("d"))
     return (
         orders.crossJoin(F.broadcast(max_date))
@@ -39,13 +46,16 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rfm_features",
     f"""
-    WITH md AS (SELECT max(o_orderdate) AS d FROM orders)
+    WITH rfm_orders AS (
+      SELECT * FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), md AS (SELECT max(o_orderdate) AS d FROM rfm_orders)
     SELECT o_custkey AS customer_id,
            CAST(date_diff('day', max(o_orderdate), any_value(md.d)) AS DOUBLE)
              AS recency_days,
            CAST(count(*) AS DOUBLE) AS frequency,
            {money_sum_sql('o_totalprice')} AS monetary
-    FROM orders CROSS JOIN md
+    FROM rfm_orders CROSS JOIN md
     GROUP BY o_custkey
     """,
     doc="C3 feature build: RFM per customer — the input to KMeans "
@@ -76,9 +86,13 @@ def q_rfm_kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled = VectorAssembler(
         inputCols=["recency_days", "frequency", "monetary"],
         outputCol="rfm_raw").transform(feats)
+    # cache + compact before the iterative fit: KMeans re-evaluates
+    # its input (here: the whole orders shuffle + scaler transform)
+    # once per iteration — see ivfpq._coarse_quantizer
     scaled = (StandardScaler(inputCol="rfm_raw", outputCol="rfm",
                              withMean=True, withStd=True)
-              .fit(assembled).transform(assembled))
+              .fit(assembled).transform(assembled)
+              .coalesce(8).cache())
     model = KMeans(k=K_SEGMENTS, seed=SEED, featuresCol="rfm",
                    predictionCol="segment").fit(scaled)
     return (
@@ -101,9 +115,11 @@ INERTIA_RATIO_MAX = 0.9
     f"""
     SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
            CAST({K_SEGMENTS} AS INTEGER) AS k,
-           TRUE AS all_segments_populated,
+           count(DISTINCT o_custkey) >= {K_SEGMENTS}
+             AS all_segments_populated,
            TRUE AS inertia_ratio_ok
     FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
     """,
     doc=f"Driver-certifiable companion for rfm_kmeans_segments "
         f"(docs/SCALE.md pattern 3): the clustering itself can't "
@@ -117,6 +133,15 @@ INERTIA_RATIO_MAX = 0.9
     tags=("ml", "tier-c"),
 )
 def q_rfm_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if rfm_features(spark, sf_dir).isEmpty():
+        # empty feature table (e.g. an empty orders partition): no fit
+        # is possible, no segment can be populated, and the inertia
+        # contract holds vacuously — mirrors the oracle's aggregate
+        # over zero rows exactly
+        return spark.createDataFrame(
+            [(0, K_SEGMENTS, False, True)],
+            "n_customers bigint, k int, all_segments_populated boolean, "
+            "inertia_ratio_ok boolean")
     segs = q_rfm_kmeans_segments(spark, sf_dir)
     stats = segs.agg(
         *[x for c in ("recency_days", "frequency", "monetary")

@@ -23,7 +23,8 @@ SELECT CAST(invoice_no AS VARCHAR) || '_' || CAST(stock_code AS VARCHAR) AS even
             WHEN month(invoice_date) IN (3, 4, 5) THEN 'spring'
             WHEN month(invoice_date) IN (6, 7, 8) THEN 'summer'
             ELSE 'fall' END AS season,
-       CASE WHEN customer_id % 10 = 0 THEN 'anonymous'
+       CASE WHEN customer_id IS NULL OR customer_id % 10 = 0
+            THEN 'anonymous'
             ELSE 'identified' END AS customer_type,
        quantity, unit_price, total_amount, is_return, invoice_date
 FROM txn
@@ -59,9 +60,12 @@ def q_clean_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(month.isin(3, 4, 5), "spring")
             .when(month.isin(6, 7, 8), "summer")
             .otherwise("fall").alias("season"),
-            # P10 customer_type CASE (anonymous analog: custkey % 10 == 0;
-            # the synthetic dims have no null CustomerID)
-            F.when(F.col("customer_id") % 10 == 0, "anonymous")
+            # P10 customer_type CASE (anonymous analog: custkey % 10 == 0
+            # or MISSING — the reference's whole point for this rule is
+            # null CustomerIDs, data_loader.py:50-62; a NULL % 10 would
+            # otherwise three-valued-logic its way to 'identified')
+            F.when(F.col("customer_id").isNull()
+                   | (F.col("customer_id") % 10 == 0), "anonymous")
             .otherwise("identified").alias("customer_type"),
             "quantity", "unit_price", "total_amount", "is_return",
             "invoice_date",
@@ -71,10 +75,12 @@ def q_clean_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SURROGATE_ORACLE = TXN_CTE + f"""
 SELECT invoice_no, line_no, stock_code,
-       CASE WHEN customer_id % 10 = 0
-            THEN -CAST(row_number() OVER (ORDER BY {ORDER_KEYS_SQL}) AS BIGINT)
+       CASE WHEN customer_id IS NULL OR customer_id % 10 = 0
+            THEN -CAST(row_number() OVER (
+                   ORDER BY {ORDER_KEYS_SQL}, customer_id NULLS FIRST)
+                 AS BIGINT)
             ELSE customer_id END AS customer_id_filled,
-       (customer_id % 10 = 0) AS is_anonymous
+       (customer_id IS NULL OR customer_id % 10 = 0) AS is_anonymous
 FROM txn
 """
 
@@ -90,8 +96,15 @@ FROM txn
 )
 def q_surrogate_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn = transactions(spark, sf_dir)
-    w = Window.orderBy(*[F.col(c) for c in ORDER_KEYS])
-    is_anon = F.col("customer_id") % 10 == 0
+    # customer_id tie-breaks the surrogate numbering: a duplicated
+    # orderkey whose two order rows differ only in custkey produces
+    # txn rows tied on every ORDER_KEYS column — without the extra key
+    # the two engines hand out adjacent -n values in opposite orders
+    w = Window.orderBy(*[F.col(c) for c in ORDER_KEYS],
+                       F.col("customer_id"))
+    # NULL customer_id is the operator's raison d'être (P3: missing
+    # customers get unique negative surrogates, data_loader.py:50-62)
+    is_anon = F.col("customer_id").isNull() | (F.col("customer_id") % 10 == 0)
     return txn.select(
         "invoice_no", "line_no", "stock_code",
         F.when(is_anon, -F.row_number().over(w).cast("long"))
@@ -214,6 +227,113 @@ def q_events_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & F.col("event_type").isNotNull())
         .alias("n_time_valid"),
     )
+
+
+@query(
+    "retail_validation",
+    """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+      (SELECT CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM orders) AS n_null_orderdate,
+      (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM orders) AS n_null_custkey,
+      (SELECT CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM orders) AS n_null_totalprice,
+      (SELECT CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM orders) AS n_neg_totalprice,
+      (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+       FROM orders) AS n_dup_orderkey,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_custkey,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitems,
+      (SELECT CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM lineitem) AS n_null_qty,
+      (SELECT CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0
+              END) AS BIGINT) FROM lineitem) AS n_null_price,
+      (SELECT CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM lineitem) AS n_neg_price,
+      (SELECT CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM lineitem) AS n_null_shipdate,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS n_orphan_lines,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_customers,
+      (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+       FROM customer) AS n_dup_custkey,
+      (SELECT CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM customer) AS n_null_nationkey
+    """,
+    doc="The relational ingest gate (VERDICT r6 #1) — the documented "
+        "INPUT CONTRACT for the retail/star/window families over "
+        "lineitem ⋈ orders ⋈ customer: one map-side pass per table "
+        "counts the violation classes the hostile retail fixture "
+        "salts (NULL order dates / custkeys / prices, negative "
+        "prices, duplicate o_orderkey / c_custkey ingest rows) plus "
+        "two referential-orphan counts via broadcast anti-joins "
+        "(orders→customer, lineitem→orders). Operators that need a "
+        "clean subset declare it in-plan (dated orders for time "
+        "curves, positive prices for ln(), canonical-row picks for "
+        "keyed CDC snapshots — each certified on the salted fixture "
+        "in tests/test_hostile_retail.py); production pipelines run "
+        "this gate at ingest and alert on nonzero classes.",
+    tags=("validation", "tier-a", "north-star"),
+)
+def q_retail_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_analytics_spark.io import load_table
+
+    def count_when(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    o_agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        count_when(F.col("o_orderdate").isNull()).alias("n_null_orderdate"),
+        count_when(F.col("o_custkey").isNull()).alias("n_null_custkey"),
+        count_when(F.col("o_totalprice").isNull()).alias("n_null_totalprice"),
+        count_when(F.col("o_totalprice") < 0).alias("n_neg_totalprice"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long")
+        .alias("n_dup_orderkey"))
+    orphan_cust = (orders.filter(F.col("o_custkey").isNotNull())
+                   .join(customer.select("c_custkey"),
+                         F.col("o_custkey") == F.col("c_custkey"),
+                         "left_anti")
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_orphan_custkey")))
+    l_agg = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        count_when(F.col("l_quantity").isNull()).alias("n_null_qty"),
+        count_when(F.col("l_extendedprice").isNull()).alias("n_null_price"),
+        count_when(F.col("l_extendedprice") < 0).alias("n_neg_price"),
+        count_when(F.col("l_shipdate").isNull()).alias("n_null_shipdate"))
+    orphan_lines = (lineitem
+                    .join(orders.select("o_orderkey"),
+                          F.col("l_orderkey") == F.col("o_orderkey"),
+                          "left_anti")
+                    .agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_orphan_lines")))
+    c_agg = customer.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long")
+        .alias("n_dup_custkey"),
+        count_when(F.col("c_nationkey").isNull()).alias("n_null_nationkey"))
+    return (o_agg
+            .crossJoin(F.broadcast(orphan_cust))
+            .crossJoin(F.broadcast(l_agg))
+            .crossJoin(F.broadcast(orphan_lines))
+            .crossJoin(F.broadcast(c_agg))
+            .select("n_orders", "n_null_orderdate", "n_null_custkey",
+                    "n_null_totalprice", "n_neg_totalprice",
+                    "n_dup_orderkey", "n_orphan_custkey",
+                    "n_lineitems", "n_null_qty", "n_null_price",
+                    "n_neg_price", "n_null_shipdate", "n_orphan_lines",
+                    "n_customers", "n_dup_custkey", "n_null_nationkey"))
 
 
 @query(

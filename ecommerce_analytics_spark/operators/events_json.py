@@ -103,7 +103,11 @@ SELECT CAST(invoice_no AS VARCHAR) || '_' || CAST(stock_code AS VARCHAR)
        || CASE WHEN customer_id < 0 THEN 'anonymous' ELSE 'identified' END
        || '","season":"' || {_SEASON} || '"}}}}' AS event_json
 FROM (
-""" + _CLS_SQL + "\n) cls")
+""" + _CLS_SQL + """
+) cls
+WHERE customer_id IS NOT NULL AND invoice_date IS NOT NULL
+  AND quantity IS NOT NULL AND unit_price IS NOT NULL
+  AND total_amount IS NOT NULL""")
 
 
 @query(
@@ -120,7 +124,19 @@ FROM (
     tags=("tier-a", "json", "edge", "flagship"),
 )
 def q_retail_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cls = classify_events(transactions(spark, sf_dir))
+    # Required-fields contract (both sides): the reference's
+    # transform_to_events CRASHES on a missing value (int()/float()
+    # casts, data_loader.py:155-157) — a populated row is its
+    # documented precondition. Serializing a null field is also
+    # engine-ambiguous (to_json OMITS null struct fields; string
+    # concatenation NULL-poisons the whole document), so the JSON
+    # edge emits only fully-populated documents. No-op on clean data.
+    cls = (classify_events(transactions(spark, sf_dir))
+           .filter(F.col("customer_id").isNotNull()
+                   & F.col("invoice_date").isNotNull()
+                   & F.col("quantity").isNotNull()
+                   & F.col("unit_price").isNotNull()
+                   & F.col("total_amount").isNotNull()))
     meta = F.struct(
         F.col("invoice_no").cast("long").alias("invoice_no"),
         F.col("stock_code").cast("long").alias("stock_code"),

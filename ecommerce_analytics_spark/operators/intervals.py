@@ -146,6 +146,7 @@ WITH iv AS (
          date_diff('day', DATE '1970-01-01', l_shipdate)
            + 1 + ((l_orderkey + l_linenumber) % 28) AS r
   FROM lineitem
+  WHERE l_shipdate IS NOT NULL
 ), w AS (
   SELECT l_suppkey, s, r,
          max(r) OVER (PARTITION BY l_suppkey ORDER BY s, r
@@ -219,7 +220,10 @@ def q_supplier_transit_coverage(spark: SparkSession,
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     ship_day = F.datediff("l_shipdate", F.lit("1970-01-01"))
-    iv = lineitem.select(
+    # interval contract (both sides): an interval needs a start — a
+    # NULL ship date has no place on the day line, and NULL s/r rows
+    # would three-valued-logic the island flags differently per engine
+    iv = lineitem.filter(F.col("l_shipdate").isNotNull()).select(
         "l_suppkey",
         ship_day.alias("s"),
         (ship_day + 1

@@ -209,10 +209,13 @@ _YEAR_A, _YEAR_B = 1996, 1997
     "kmv_customer_yoy_algebra",
     f"""
     WITH uh AS (
+      -- sketch domain: entity IDs only — a NULL custkey hashes to a
+      -- NULL that the two engines retain/sort/count differently
       SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS s,
              {_kmv_hash_sql('o_custkey')} AS h
       FROM orders
       WHERE year(o_orderdate) IN ({_YEAR_A}, {_YEAR_B})
+        AND o_custkey IS NOT NULL
     ), rk AS (
       SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn
       FROM uh
@@ -234,10 +237,10 @@ _YEAR_A, _YEAR_B = 1996, 1997
         AND EXISTS (SELECT 1 FROM sk WHERE s = {_YEAR_B} AND h = u.h)
     ), pu AS (
       SELECT DISTINCT o_custkey FROM orders
-      WHERE year(o_orderdate) = {_YEAR_A}
+      WHERE year(o_orderdate) = {_YEAR_A} AND o_custkey IS NOT NULL
     ), cu AS (
       SELECT DISTINCT o_custkey FROM orders
-      WHERE year(o_orderdate) = {_YEAR_B}
+      WHERE year(o_orderdate) = {_YEAR_B} AND o_custkey IS NOT NULL
     ), exacts AS (
       SELECT (SELECT CAST(count(*) AS BIGINT) FROM pu) AS exact_a,
              (SELECT CAST(count(*) AS BIGINT) FROM cu) AS exact_b,
@@ -286,8 +289,10 @@ _YEAR_A, _YEAR_B = 1996, 1997
 def q_kmv_customer_yoy_algebra(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    oy = orders.select(
-        F.year("o_orderdate").cast("long").alias("s"), "o_custkey")
+    # sketch domain: entity IDs only (oracle twin's uh CTE)
+    oy = (orders.filter(F.col("o_custkey").isNotNull())
+          .select(F.year("o_orderdate").cast("long").alias("s"),
+                  "o_custkey"))
     uh = (oy.filter(F.col("s").isin(_YEAR_A, _YEAR_B))
           .select("s", kmv_hash("o_custkey").alias("h")))
     sk = kmv_minima(uh, ["s"])

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.operators.similarity import (
-    N_QUERIES, TOP_K, norm, q_knn_bruteforce,
+    N_QUERIES, TOP_K, knn_exact_baseline, norm,
 )
 from ecommerce_analytics_spark.plans.registry import query
 
@@ -253,7 +253,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ml", "north-star"),
 )
 def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q_knn_bruteforce(spark, sf_dir) \
+    exact = knn_exact_baseline(spark, sf_dir) \
         .select("query_id", "neighbor_id", "rank")
     approx = (q_knn_pq(spark, sf_dir)
               .select("query_id", "neighbor_id")

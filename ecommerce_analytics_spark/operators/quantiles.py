@@ -141,6 +141,7 @@ def q_daily_value_quantile_sketch(spark: SparkSession,
       SELECT p.p_brand, l.l_extendedprice AS val,
              CAST(l.l_quantity AS BIGINT) AS w
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_extendedprice IS NOT NULL AND l.l_quantity IS NOT NULL
     ), c AS (
       SELECT p_brand, val, w,
              sum(w) OVER (PARTITION BY p_brand ORDER BY val
@@ -173,9 +174,15 @@ def q_brand_weighted_median_price(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", F.col("l_extendedprice").alias("val"),
-        F.col("l_quantity").cast("long").alias("w"))
+    # a (price, weight) pair needs both halves — a NULL price would
+    # also sort differently per engine (NULLS FIRST vs LAST) and skew
+    # every cumulative weight after it; filtered identically on both
+    # sides (no-op on clean data, load-bearing on the hostile fixture)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_extendedprice").isNotNull()
+                  & F.col("l_quantity").isNotNull())
+          .select("l_partkey", F.col("l_extendedprice").alias("val"),
+                  F.col("l_quantity").cast("long").alias("w")))
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
 

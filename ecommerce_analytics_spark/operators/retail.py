@@ -51,7 +51,13 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-    is_return = F.col("l_returnflag") == "R"
+    # coalesce(..., FALSE): only an explicit 'R' flag is a return — a
+    # NULL l_returnflag / o_orderstatus row is NOT (two-valued flags
+    # keep every downstream CASE/filter deterministic; a NULL boolean
+    # also round-trips differently per client: None here, NaN from
+    # SUM-based engines). No-op on clean data; load-bearing on the
+    # hostile retail fixture.
+    is_return = F.coalesce(F.col("l_returnflag") == "R", F.lit(False))
     return joined.select(
         F.col("o_custkey").alias("customer_id"),
         F.col("l_orderkey").alias("invoice_no"),
@@ -63,7 +69,8 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("unit_price"),
         (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("total_amount"),
         is_return.alias("is_return"),
-        (is_return & (F.col("o_orderstatus") == "F")).alias("is_credit_note"),
+        F.coalesce(is_return & (F.col("o_orderstatus") == "F"),
+                   F.lit(False)).alias("is_credit_note"),
     )
 
 
@@ -79,10 +86,16 @@ WITH txn AS (
          l.l_quantity                           AS quantity,
          l.l_extendedprice                      AS unit_price,
          l.l_extendedprice * (1 - l.l_discount) AS total_amount,
-         (l.l_returnflag = 'R')                 AS is_return,
-         (l.l_returnflag = 'R' AND o.o_orderstatus = 'F') AS is_credit_note
+         coalesce(l.l_returnflag = 'R', FALSE)  AS is_return,
+         coalesce(l.l_returnflag = 'R' AND o.o_orderstatus = 'F', FALSE)
+                                                AS is_credit_note
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 )
 """
 
-ORDER_KEYS_SQL = ", ".join(ORDER_KEYS)
+# Oracle-side spelling: ASC NULLS FIRST matches Spark's ASC default
+# (DuckDB defaults to NULLS LAST) — a no-op on clean data where no
+# ORDER_KEYS column is nullable, load-bearing on the hostile retail
+# fixture (NULL l_shipdate / l_quantity / l_extendedprice reach every
+# windowed operator; tests/test_hostile_retail.py).
+ORDER_KEYS_SQL = ", ".join(f"{k} NULLS FIRST" for k in ORDER_KEYS)

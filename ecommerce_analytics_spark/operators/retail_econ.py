@@ -42,10 +42,15 @@ LOG_FIX = 1_000_000_000
 _DEC = "decimal(38,0)"
 
 _LTV_ORACLE = """
-WITH first_order AS (
+WITH dated AS (
+  -- an undated order has no place on a time curve: it can neither
+  -- define a cohort nor land at an age offset (and NULL ages would
+  -- order differently per engine inside the running sum)
+  SELECT * FROM orders WHERE o_orderdate IS NOT NULL
+), first_order AS (
   SELECT o_custkey,
          date_trunc('month', min(o_orderdate)) AS cohort
-  FROM orders GROUP BY o_custkey
+  FROM dated GROUP BY o_custkey
 ), sizes AS (
   SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
   FROM first_order GROUP BY cohort
@@ -55,7 +60,7 @@ WITH first_order AS (
                    date_trunc('month', o.o_orderdate)) AS age_months,
          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
               AS BIGINT) AS rev_cents
-  FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+  FROM dated o JOIN first_order f ON f.o_custkey = o.o_custkey
   GROUP BY 1, 2
 ), cum AS (
   SELECT cohort, age_months, rev_cents,
@@ -89,7 +94,9 @@ FROM cum c JOIN sizes s ON s.cohort = c.cohort
     tags=("retail", "window", "agg", "north-star"),
 )
 def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # undated orders are off the curve (see the oracle's dated CTE)
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate").isNotNull()))
     first = (orders.groupBy("o_custkey")
              .agg(F.date_trunc("month", F.min("o_orderdate"))
                   .alias("cohort")))
@@ -131,6 +138,10 @@ WITH obs AS (
          CAST(round(ln(CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE))
                     * {LOG_FIX}) AS BIGINT) AS y
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  -- elasticity observations need positive price and quantity: ln() of
+  -- a nonpositive value ERRORS in strict engines and NULLs in this
+  -- one — the filter is the operator's domain, not defensiveness
+  WHERE l.l_extendedprice > 0 AND l.l_quantity > 0
 ), m AS (
   SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
          CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
@@ -167,7 +178,9 @@ FROM m
 )
 def q_price_elasticity_by_brand(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # ln() domain: positive price and quantity only (oracle twin)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)))
     part = load_table(spark, sf_dir, "part")
     obs = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
                    li.l_partkey == F.col("p_partkey"))

@@ -38,12 +38,20 @@ from ecommerce_analytics_spark.plans.registry import query
 @query(
     "order_chain_recursive",
     """
-    WITH rn AS (
+    WITH chainable AS (
+      -- chain contract (both sides): per-customer chains need a
+      -- customer, a date to order by, and UNIQUE orderkeys — a
+      -- duplicated key is a self-edge that loops the recursion, and
+      -- a NULL custkey never matches the recursive join (NULL = NULL)
+      SELECT DISTINCT o_custkey, o_orderkey, o_orderdate
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), rn AS (
       SELECT o_custkey, o_orderkey,
              CAST(row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey)
                   AS INT) AS chain_pos
-      FROM orders
+      FROM chainable
     )
     SELECT o_custkey, o_orderkey, chain_pos FROM rn
     WHERE chain_pos <= 12
@@ -63,12 +71,17 @@ def q_order_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "_rec_orders")
     return spark.sql("""
-        WITH nxt AS (
+        WITH chainable AS (
+          SELECT DISTINCT o_custkey, o_orderkey, o_orderdate
+          FROM _rec_orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        ),
+        nxt AS (
           SELECT o_custkey, o_orderkey,
                  lag(o_orderkey) OVER (PARTITION BY o_custkey
                                        ORDER BY o_orderdate, o_orderkey)
                    AS prev_orderkey
-          FROM _rec_orders
+          FROM chainable
         ),
         chain AS (
           WITH RECURSIVE walk AS (

@@ -117,7 +117,19 @@ _REV_CENTS = ("CAST(round(l_extendedprice * 100) AS BIGINT)"
               " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
 _CENTS_TO_USD = "CAST(0.0001 AS DECIMAL(5,4))"
 
+# Key-uniqueness discipline (both sides): the rollup's business answer
+# counts each REAL order and customer once, so the join inputs are
+# DISTINCT projections of exactly the columns used — an accidentally
+# duplicated o_orderkey / c_custkey row (the hostile retail fixture's
+# fan-out class) would otherwise double revenue while count(DISTINCT)
+# half-dedups it. No-op on clean data; at scale the orders distinct is
+# one orders-sized shuffle, dwarfed by the fact exchange it protects.
 _STAR_SQL = f"""
+    WITH o_u AS (
+      SELECT DISTINCT o_orderkey, o_custkey, o_orderdate FROM orders
+    ), c_u AS (
+      SELECT DISTINCT c_custkey, c_nationkey FROM customer
+    )
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
            CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
@@ -127,8 +139,8 @@ _STAR_SQL = f"""
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN o_u o ON l.l_orderkey = o.o_orderkey
+    JOIN c_u c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name, n.n_name, year(o.o_orderdate)
@@ -163,6 +175,10 @@ _STAR_SQL_SPARK = f"""
              sum({_REV_CENTS}) AS rev,
              count(*) AS n_lines
       FROM lineitem GROUP BY l_orderkey
+    ), o_u AS (
+      SELECT DISTINCT o_orderkey, o_custkey, o_orderdate FROM orders
+    ), c_u AS (
+      SELECT DISTINCT c_custkey, c_nationkey FROM customer
     )
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
@@ -172,8 +188,8 @@ _STAR_SQL_SPARK = f"""
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(ol.n_lines) AS BIGINT) AS n_lineitems
     FROM order_lines ol
-    JOIN orders o ON ol.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN o_u o ON ol.l_orderkey = o.o_orderkey
+    JOIN c_u c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name, n.n_name, year(o.o_orderdate)

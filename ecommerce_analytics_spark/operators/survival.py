@@ -43,18 +43,25 @@ from ecommerce_analytics_spark.plans.registry import query
 LOG_FIX = 1_000_000_000  # 1e-9 fixed point for ln()
 
 _KM_ORACLE = f"""
-WITH ranked AS (
+WITH km_orders AS (
+  -- survival contract (both sides): an event needs a subject and a
+  -- time (undated orders can't rank; a NULL custkey isn't a
+  -- customer), and a duplicated ingest row must not fabricate a
+  -- second order at t=0 — DISTINCT on the columns used
+  SELECT DISTINCT o_custkey, o_orderkey, o_orderdate FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), ranked AS (
   SELECT o_custkey, o_orderdate,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rn
-  FROM orders
+  FROM km_orders
 ), cust AS (
   SELECT o_custkey,
          min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
          min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
   FROM ranked GROUP BY o_custkey
 ), horizon AS (
-  SELECT max(o_orderdate) AS mx FROM orders
+  SELECT max(o_orderdate) AS mx FROM km_orders
 ), dur AS (
   SELECT CASE WHEN c.d2 IS NOT NULL
               THEN date_diff('day', c.d1, c.d2)
@@ -108,7 +115,12 @@ FROM cum
 )
 def q_km_second_order_survival(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # survival contract — the oracle's km_orders CTE twin
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey").isNotNull()
+                      & F.col("o_orderdate").isNotNull())
+              .select("o_custkey", "o_orderkey", "o_orderdate")
+              .distinct())
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     ranked = orders.select("o_custkey", "o_orderdate",
                            F.row_number().over(w).alias("rn"))

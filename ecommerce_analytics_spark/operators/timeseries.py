@@ -71,17 +71,29 @@ def q_hourly_revenue_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DIFF_ORACLE = """
-WITH old_snap AS (
+WITH keyed AS (
+  -- snapshots are keyed table states: one canonical row per key via a
+  -- deterministic row_number pick (the _snapshots() twin is identical;
+  -- duplicate ingest rows can conflict, so DISTINCT isn't enough)
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+    SELECT o_orderkey, o_totalprice, o_orderstatus,
+           row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY o_totalprice NULLS FIRST,
+                                       o_orderstatus NULLS FIRST) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+old_snap AS (
   -- additive drift keeps values on cent boundaries: a multiplicative
   -- drift (×0.9) lands on exact third-decimal halves where Spark and
   -- DuckDB round() disagree
   SELECT o_orderkey, round(o_totalprice + 1.11, 2) AS o_totalprice,
          o_orderstatus
-  FROM orders WHERE o_orderkey % 3 != 0
+  FROM keyed WHERE o_orderkey % 3 != 0
 ),
 new_snap AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus
-  FROM orders WHERE o_orderkey % 5 != 0
+  FROM keyed WHERE o_orderkey % 5 != 0
 )
 SELECT coalesce(o.o_orderkey, n.o_orderkey) AS order_key,
        CASE WHEN o.o_orderkey IS NULL THEN 'insert'
@@ -128,7 +140,20 @@ def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The deterministic synthetic snapshot pair used by the CDC ops
     (same derivation as the oracle CTEs in _DIFF_ORACLE)."""
-    orders = load_table(spark, sf_dir, "orders")
+    # CDC snapshots are keyed table states: o_orderkey must be unique
+    # inside each snapshot or the full-outer diff fans out and the
+    # MERGE apply double-inserts (hostile-fixture duplicate-key class).
+    # Duplicate ingest rows can CONFLICT (one copy salted to a NULL
+    # price), so DISTINCT isn't enough — one canonical row per key via
+    # a deterministic row_number pick, identical in the oracle's
+    # keyed CTE.
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_orderkey").orderBy(
+        "o_totalprice", "o_orderstatus")
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_totalprice", "o_orderstatus",
+                      F.row_number().over(w).alias("_rn"))
+              .filter(F.col("_rn") == 1).drop("_rn"))
     old_snap = (orders.filter(F.col("o_orderkey") % 3 != 0)
                 .select("o_orderkey",
                         F.round(F.col("o_totalprice") + 1.11, 2)
@@ -159,8 +184,13 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
 @query(
     "merge_apply_cdc",
     """
-    SELECT o_orderkey AS order_key, o_totalprice, o_orderstatus
-    FROM orders WHERE o_orderkey % 5 != 0
+    SELECT o_orderkey AS order_key, o_totalprice, o_orderstatus FROM (
+      SELECT o_orderkey, o_totalprice, o_orderstatus,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY o_totalprice NULLS FIRST,
+                                         o_orderstatus NULLS FIRST) AS rn
+      FROM orders
+    ) WHERE rn = 1 AND o_orderkey % 5 != 0
     """,
     doc="MERGE INTO emulation, certified end-to-end: diff the two CDC "
         "snapshots (full-outer join → insert/update/delete), then APPLY "
@@ -197,17 +227,29 @@ def q_merge_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SCD2_ORACLE = """
-WITH ordered AS (
+WITH feed AS (
+  -- change-log contract (both sides): a dimension version needs an
+  -- entity and an effective date; duplicated orderkeys with
+  -- DIFFERENT priorities tie on (date, key), so the attribute itself
+  -- tie-breaks the sort (NULLS FIRST = Spark's ASC default)
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+ordered AS (
   SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
          CASE WHEN lag(o_orderpriority) OVER w IS NULL
                 OR lag(o_orderpriority) OVER w != o_orderpriority
               THEN 1 ELSE 0 END AS chg
-  FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  FROM feed
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey,
+                        o_orderpriority NULLS FIRST)
 ),
 versioned AS (
   SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey
+                                ORDER BY o_orderdate, o_orderkey,
+                                         o_orderpriority NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
   FROM ordered
 ),
@@ -247,8 +289,12 @@ FROM runs
 def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # change-log contract + attribute tie-break (oracle's feed CTE)
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey").isNotNull()
+                      & F.col("o_orderdate").isNotNull()))
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey", "o_orderpriority")
     chg = F.when(
         F.lag("o_orderpriority").over(w).isNull()
         | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
@@ -326,14 +372,22 @@ def q_rollup_restate_daily_revenue(spark: SparkSession,
         .otherwise(F.col("o_totalprice")))
     affected_days = updates.select(day).distinct()
     # recompute ONLY affected days (at scale: day-partition pruning
-    # via the broadcast semi-join), keep every other rollup row as-is
+    # via the broadcast semi-join), keep every other rollup row as-is.
+    # eqNullSafe (<=>) on BOTH legs: an update row with a NULL
+    # o_orderdate lands in the NULL-day rollup bucket, and a plain
+    # `=` semi/anti join never matches NULL — the stale NULL-day row
+    # would survive un-restated while its updates silently vanish
+    # (found by the hostile retail fixture: revenue off by exactly
+    # n_null_day_updates × RESTATE_BUMP). The textbook NULL-partition
+    # maintenance bug.
     recomputed = rollup(
         updated.join(F.broadcast(affected_days),
                      F.date_format("o_orderdate", "yyyy-MM-dd")
-                     == affected_days.day,
+                     .eqNullSafe(affected_days.day),
                      "left_semi"))
-    untouched = stale.join(F.broadcast(affected_days), "day",
-                           "left_anti")
+    untouched = stale.join(
+        F.broadcast(affected_days),
+        stale.day.eqNullSafe(affected_days.day), "left_anti")
     return untouched.unionByName(recomputed)
 
 

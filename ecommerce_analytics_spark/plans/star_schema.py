@@ -68,8 +68,13 @@ _SEGMENT_BRAND_SQL = """
     "sales_by_segment_brand",
     """
     WITH dim_customer AS (
+        -- mirrors the registered view EXACTLY, including the nation ⋈
+        -- region chain: a customer with a NULL/orphan nationkey is not
+        -- in the dimension (inner joins), so it must drop here too
         SELECT c.c_custkey AS customer_id, c.c_mktsegment AS market_segment
-        FROM customer c),
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey),
     dim_product AS (
         SELECT p_partkey AS product_id, p_brand AS brand FROM part),
     fact_sales AS (

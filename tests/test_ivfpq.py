@@ -34,6 +34,32 @@ def test_persisted_equals_in_memory(spark, sf_dir, tmp_path):
     assert len(stored) > 0
 
 
+def test_cached_index_serve_equals_fresh_in_memory(spark, sf_dir):
+    """The registered recall row serves from the content-keyed index
+    cache (io.cached_index_dir, VERDICT r6 #3) — this re-derives the
+    whole composition fresh in memory and asserts the cached serve is
+    EXACTLY equal, re-certifying the cached artifacts every run."""
+    from ecommerce_analytics_spark.operators.ivfpq import (
+        q_knn_ivfpq_persisted,
+    )
+    cached = q_knn_ivfpq_persisted(spark, sf_dir).collect()
+    fresh = q_knn_ivfpq(spark, sf_dir).collect()
+    assert _canon(cached) == _canon(fresh)
+    assert len(cached) > 0
+
+
+def test_persisted_baseline_equals_from_scratch(spark, sf_dir):
+    """knn_exact_baseline's stored copy must equal a from-scratch
+    brute-force derivation exactly (VERDICT r6 #3's 'done' clause)."""
+    from ecommerce_analytics_spark.operators.similarity import (
+        knn_exact_baseline, q_knn_bruteforce,
+    )
+    cached = knn_exact_baseline(spark, sf_dir).collect()
+    fresh = q_knn_bruteforce(spark, sf_dir).collect()
+    assert _canon(cached) == _canon(fresh)
+    assert len(cached) == len(fresh) > 0
+
+
 def test_code_scan_prunes_to_probed_cells(spark, sf_dir, tmp_path):
     """The IVFADC contract: the code table is hive-partitioned by
     cell_id and a probe filter reaches the scan as a partition filter,
