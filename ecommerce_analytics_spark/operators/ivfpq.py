@@ -25,7 +25,7 @@ Pipeline (build → store → serve):
   per (query, probed cell) against the query's OWN residual in that
   cell (q − c), PQ_M×PQ_K×N_PROBE partial distances per query —
   kilobytes, broadcast (IVFPQ_N_PROBE cells). One sum-aggregation scores candidates, a
-  top-PQ_SHORTLIST window shortlists, exact cosine refines.
+  top-IVFPQ_SHORTLIST window shortlists, exact cosine refines.
 
 Per-query work at scale: corpus/k × n_probe codes read (32×
 compressed) + shortlist full vectors — versus pq.py's full code scan
@@ -37,10 +37,10 @@ established pattern the registry exposes ``knn_ivfpq_persisted_recall``
 (recall@k vs the oracle-green brute-force baseline, reduced to a
 hash-matched boolean), and pytest certifies the raw neighbor lists:
 persisted == in-memory EXACTLY, dense rank chains, cell pruning in
-the executed plan. Measured recall@5 = 0.688/0.600/0.562 at
-sf0.001/0.01/0.1 (floor 0.5, the same floor as the other ANN
-families; a broken residual/LUT/pruning step collapses recall toward
-shortlist/corpus, far below it).
+the executed plan. Measured recall@5 = 0.912/0.838/0.775 at
+sf0.001/0.01/0.1 (floor 0.6, seed-perturbation worst case 0.700 —
+docs/ANN_SENSITIVITY.md; a broken residual/LUT/pruning step collapses
+recall toward shortlist/corpus, far below it).
 """
 
 from __future__ import annotations
@@ -54,23 +54,29 @@ from ecommerce_analytics_spark.io import (
     cached_index_dir, load_table, run_tmpdir,
 )
 from ecommerce_analytics_spark.operators.pq import (
-    PQ_SHORTLIST, _normalized, _sq_dist, encode_pq, refine_topk,
-    train_codebooks,
+    _normalized, _sq_dist, encode_pq, refine_topk, train_codebooks,
 )
 from ecommerce_analytics_spark.operators.similarity import (
     N_CENTROIDS, N_QUERIES, TOP_K, knn_exact_baseline,
 )
 from ecommerce_analytics_spark.plans.registry import query
 
-IVFPQ_RECALL_FLOOR = 0.5
-# Wider probe than the plain-IVF family (3 of 8 cells vs 2): the
-# 4-bit residual codes add quantization loss on top of cell pruning,
-# and one extra probed cell buys it back while still skipping >60% of
-# the corpus. Measured recall@5 with this setting: 0.688/0.600/0.562
-# at sf0.001/0.01/0.1 (vs 0.575/0.487/0.487 at n_probe=2, which sat
-# below the 0.5 floor at two SFs).
-IVFPQ_N_PROBE = 3
-_INDEX_VERSION = "v1"  # bump on any build-pipeline semantic change
+# Floor raised 0.5 → 0.6 in round 7 with measured evidence
+# (docs/ANN_SENSITIVITY.md, tools/ann_sensitivity.py): at the
+# committed setting recall@5 = 0.912/0.838/0.775 at sf0.001/0.01/0.1,
+# and the WORST coarse-seed perturbation over {41,42,43,137} is 0.700
+# — margin ≥ 0.1 at every SF under every probed perturbation (the r6
+# setting sat 0.062 above a 0.5 floor and seed 41 landed exactly ON
+# it). The r6 sweep showed probe width alone stalls at sf0.1 because
+# the ADC shortlist was the binding constraint: 50 → 200 lets the
+# exact re-rank see past residual-quantization noise (shortlist cost
+# is per-query × 200 cosines — noise at any scale), and n_probe 3 → 4
+# converts that headroom into recall.
+IVFPQ_RECALL_FLOOR = 0.6
+IVFPQ_N_PROBE = 4
+IVFPQ_SHORTLIST = 200
+COARSE_SEED = 42   # coarse-quantizer KMeans seed (tools/ann_sensitivity)
+_INDEX_VERSION = "v2"  # bump on any build-pipeline semantic change
 
 
 def _coarse_quantizer(spark: SparkSession,
@@ -93,7 +99,7 @@ def _coarse_quantizer(spark: SparkSession,
     fitted = (nemb.withColumn("fv", array_to_vector(F.col("nemb")))
               .coalesce(8).cache())
     fitted.count()
-    model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="fv",
+    model = KMeans(k=N_CENTROIDS, seed=COARSE_SEED, featuresCol="fv",
                    predictionCol="cell_id").fit(fitted)
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in
@@ -215,7 +221,7 @@ def _serve(nq: DataFrame, refine_nv: DataFrame, cents: DataFrame,
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc_d2"), F.asc("neighbor_id"))
     shortlist = (scored.withColumn("_r", F.row_number().over(w_adc))
-                 .filter(F.col("_r") <= PQ_SHORTLIST)
+                 .filter(F.col("_r") <= IVFPQ_SHORTLIST)
                  .select("query_id", "neighbor_id"))
     qv = nq.select(F.col("vec_id").alias("query_id"),
                    F.col("nemb").alias("_qv"))
@@ -255,7 +261,8 @@ def q_knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifacts every suite run."""
     path = cached_index_dir(
         sf_dir, "spark_graft_ivfpq_index",
-        f"{N_CENTROIDS}:{IVFPQ_N_PROBE}:{_INDEX_VERSION}",
+        f"{N_CENTROIDS}:{IVFPQ_N_PROBE}:{IVFPQ_SHORTLIST}:"
+        f"{COARSE_SEED}:{_INDEX_VERSION}",
         lambda p: build_ivfpq_index(spark, sf_dir, p))
     if path is None:  # unkeyable corpus — fall back to a fresh build
         run_dir = run_tmpdir(prefix="ivfpq_index_run_")

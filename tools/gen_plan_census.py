@@ -94,6 +94,15 @@ def main() -> int:
         f"centroid attaches), {totals['topk']} TakeOrdered top-k, "
         f"**{totals['cartesian']} cartesian products**.",
         "",
+        "**Cluster-shape invariance (round 7):** the census above is "
+        "captured at local shuffle.partitions = cpus; "
+        "tests/test_plan_cluster_shape.py re-plans every headline + "
+        "heavy query at shuffle.partitions = 200 (the ~2-3x-total-"
+        "cores setting a real cluster runs) and asserts the feature "
+        "census — join strategies, exchange kinds, top-k, cartesian "
+        "count — is IDENTICAL. The local tuning changes partition "
+        "counts only, never plan selection.",
+        "",
     ]
     (REPO / "PLANS.md").write_text("\n".join(out))
     print(f"PLANS.md: {sum(1 for _, f in rows if f)} queries planned, "
