@@ -265,21 +265,36 @@ def q_events_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
        FROM customer) AS n_dup_custkey,
       (SELECT CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) FROM customer) AS n_null_nationkey
+              AS BIGINT) FROM customer) AS n_null_nationkey,
+      (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_parts,
+      (SELECT CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT)
+       FROM part) AS n_dup_partkey,
+      (SELECT CAST(sum(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM part) AS n_null_pname,
+      (SELECT CAST(sum(CASE WHEN p_retailprice < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM part) AS n_neg_retailprice,
+      (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS n_suppliers,
+      (SELECT CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT)
+       FROM supplier) AS n_dup_suppkey,
+      (SELECT CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM supplier) AS n_null_s_nationkey
     """,
     doc="The relational ingest gate (VERDICT r6 #1) — the documented "
-        "INPUT CONTRACT for the retail/star/window families over "
-        "lineitem ⋈ orders ⋈ customer: one map-side pass per table "
-        "counts the violation classes the hostile retail fixture "
-        "salts (NULL order dates / custkeys / prices, negative "
-        "prices, duplicate o_orderkey / c_custkey ingest rows) plus "
-        "two referential-orphan counts via broadcast anti-joins "
+        "INPUT CONTRACT for the retail/star/window families over all "
+        "five relational tables (lineitem, orders, customer, part, "
+        "supplier): one map-side pass per table counts the violation "
+        "classes the hostile retail fixture salts (NULL order dates / "
+        "custkeys / prices / names, negative prices, duplicate "
+        "o_orderkey / c_custkey / p_partkey / s_suppkey ingest rows) "
+        "plus two referential-orphan counts via broadcast anti-joins "
         "(orders→customer, lineitem→orders). Operators that need a "
         "clean subset declare it in-plan (dated orders for time "
-        "curves, positive prices for ln(), canonical-row picks for "
-        "keyed CDC snapshots — each certified on the salted fixture "
-        "in tests/test_hostile_retail.py); production pipelines run "
-        "this gate at ingest and alert on nonzero classes.",
+        "curves, positive prices for ln(), both skyline coordinates, "
+        "non-NULL names for string similarity, canonical-row picks "
+        "for keyed CDC snapshots — each certified on the salted "
+        "fixture in tests/test_hostile_retail.py); production "
+        "pipelines run this gate at ingest and alert on nonzero "
+        "classes.",
     tags=("validation", "tier-a", "north-star"),
 )
 def q_retail_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,17 +338,36 @@ def q_retail_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long")
         .alias("n_dup_custkey"),
         count_when(F.col("c_nationkey").isNull()).alias("n_null_nationkey"))
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    p_agg = part.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.count(F.lit(1)) - F.countDistinct("p_partkey")).cast("long")
+        .alias("n_dup_partkey"),
+        count_when(F.col("p_name").isNull()).alias("n_null_pname"),
+        count_when(F.col("p_retailprice") < 0).alias("n_neg_retailprice"))
+    s_agg = supplier.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        (F.count(F.lit(1)) - F.countDistinct("s_suppkey")).cast("long")
+        .alias("n_dup_suppkey"),
+        count_when(F.col("s_nationkey").isNull())
+        .alias("n_null_s_nationkey"))
     return (o_agg
             .crossJoin(F.broadcast(orphan_cust))
             .crossJoin(F.broadcast(l_agg))
             .crossJoin(F.broadcast(orphan_lines))
             .crossJoin(F.broadcast(c_agg))
+            .crossJoin(F.broadcast(p_agg))
+            .crossJoin(F.broadcast(s_agg))
             .select("n_orders", "n_null_orderdate", "n_null_custkey",
                     "n_null_totalprice", "n_neg_totalprice",
                     "n_dup_orderkey", "n_orphan_custkey",
                     "n_lineitems", "n_null_qty", "n_null_price",
                     "n_neg_price", "n_null_shipdate", "n_orphan_lines",
-                    "n_customers", "n_dup_custkey", "n_null_nationkey"))
+                    "n_customers", "n_dup_custkey", "n_null_nationkey",
+                    "n_parts", "n_dup_partkey", "n_null_pname",
+                    "n_neg_retailprice", "n_suppliers", "n_dup_suppkey",
+                    "n_null_s_nationkey"))
 
 
 @query(

@@ -352,6 +352,10 @@ def q_recommendations_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = recommendations_nested_df(spark, sf_dir)
     return nested.select(
         "product_id",
+        # ignoreNullFields=false: a missing product_name (hostile part
+        # dim) must serialize as "product_name":null exactly like the
+        # oracle's struct_pack — Spark's default OMITS null fields,
+        # silently changing the document schema per row
         F.to_json(F.transform(
             "recommendations",
             lambda r: F.struct(
@@ -359,7 +363,7 @@ def q_recommendations_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.format_string("%.6f", r.similarity_score)
                 .alias("similarity_score"),
                 r.product_name.alias("product_name")),
-        )).alias("recommendations"),
+        ), {"ignoreNullFields": "false"}).alias("recommendations"),
     )
 
 

@@ -58,10 +58,19 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
 
 
 _SKYLINE_ORACLE = """
+WITH pts AS (
+  -- skyline contract (both sides): dominance is defined only for
+  -- points with BOTH coordinates — a NULL price/size row neither
+  -- dominates nor is dominated under three-valued logic (it would
+  -- vacuously "survive" the NOT EXISTS while poisoning the monotone
+  -- reformulation's running max), so it is not a point at all
+  SELECT p_partkey, p_name, p_retailprice, p_size FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
 SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
-FROM part a
+FROM pts a
 WHERE NOT EXISTS (
-  SELECT 1 FROM part b
+  SELECT 1 FROM pts b
   WHERE b.p_retailprice <= a.p_retailprice
     AND b.p_size >= a.p_size
     AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
@@ -79,6 +88,9 @@ WHERE NOT EXISTS (
 )
 def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    # dimension contract — the oracle's pts CTE twin
+    pts = part.filter(F.col("p_retailprice").isNotNull()
+                      & F.col("p_size").isNotNull())
     return skyline_2d(
-        part.select("p_partkey", "p_name", "p_retailprice", "p_size"),
+        pts.select("p_partkey", "p_name", "p_retailprice", "p_size"),
         minimize="p_retailprice", maximize="p_size")

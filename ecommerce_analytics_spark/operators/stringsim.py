@@ -116,8 +116,11 @@ def similarity_join_distinct(vals: DataFrame, text_col: str,
 
 _FUZZY_ORACLE = f"""
 WITH names AS (
+  -- string-similarity contract (both sides): a NULL name has no
+  -- grams and no edit distance — without the filter the in-plan
+  -- min-length guard fires on the NULL group
   SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
-  FROM part GROUP BY p_name
+  FROM part WHERE p_name IS NOT NULL GROUP BY p_name
 )
 SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
@@ -141,7 +144,9 @@ WHERE levenshtein(a.p_name, b.p_name) <= {MAX_DIST}
 )
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    names = (part.groupBy("p_name")
+    # NULL names excluded by contract (oracle's names CTE twin)
+    names = (part.filter(F.col("p_name").isNotNull())
+             .groupBy("p_name")
              .agg(F.count(F.lit(1)).cast("long").alias("n_parts")))
     pairs = similarity_join_distinct(names, "p_name")
     return pairs.select(

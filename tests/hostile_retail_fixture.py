@@ -119,10 +119,42 @@ SELECT 95000000 + i AS l_orderkey,
 FROM range({n_orphan}) t(i)
 """.format(n_orphan=N_ORPHAN_LINES)
 
+_SALT_PART = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 29 = 5 THEN NULL ELSE p_name END AS p_name,
+       CASE WHEN p_partkey % 13 = 1 THEN NULL ELSE p_brand END
+         AS p_brand,
+       p_type,
+       CASE WHEN p_partkey % 23 = 4 THEN NULL ELSE p_size END AS p_size,
+       CASE WHEN p_partkey % 17 = 2 THEN NULL
+            WHEN p_partkey % 19 = 3 THEN -p_retailprice
+            ELSE p_retailprice END AS p_retailprice
+FROM base
+UNION ALL
+SELECT p_partkey, p_name, 'Brand#DUP' AS p_brand, p_type, p_size,
+       p_retailprice
+FROM base WHERE p_partkey % 211 = 6
+"""
+
+_SALT_SUPPLIER = """
+SELECT s_suppkey,
+       CASE WHEN s_suppkey % 17 = 3 THEN NULL ELSE s_name END AS s_name,
+       CASE WHEN s_suppkey % 11 = 1 THEN NULL ELSE s_nationkey END
+         AS s_nationkey,
+       CASE WHEN s_suppkey % 13 = 2 THEN NULL ELSE s_acctbal END
+         AS s_acctbal
+FROM base
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 500000.0
+FROM base WHERE s_suppkey % 19 = 4
+"""
+
 _SALTS = {
     "orders": _SALT_ORDERS,
     "customer": _SALT_CUSTOMER,
     "lineitem": _SALT_LINEITEM,
+    "part": _SALT_PART,
+    "supplier": _SALT_SUPPLIER,
 }
 
 

@@ -41,6 +41,21 @@ Real defects this wave found and fixed (round 7):
   customer_id (dup order, one copy NULL-custkey) — customer_id now
   tie-breaks the numbering.
 
+Part/supplier extension (same round, second pass): salting the two
+remaining dims found three more —
+
+* part_skyline returned ZERO rows: a NULL-price group sorts first
+  under Spark's NULLS FIRST and its max size poisons the running-max
+  frontier for everything after it, while the oracle's NOT EXISTS
+  let NULL rows vacuously "survive" — dominance is now defined only
+  over points with both coordinates (both sides).
+* fuzzy_name_match CRASHED: the NULL name group hit the in-plan
+  Gravano min-length guard — string similarity now excludes NULL
+  names by contract on both sides.
+* recommendations_nested silently changed its document schema per
+  row: Spark's to_json OMITS null struct fields while the oracle
+  emits "product_name":null — ignoreNullFields=false aligns them.
+
 Exclusions (EMPTY-ORDERS only, all four documented engine-defined
 degeneracies, still certified on the salted fixture):
 
@@ -64,7 +79,7 @@ from hostile_retail_fixture import (
     MEGA_CUSTKEY, N_MEGA_ORDERS, N_ORPHAN_LINES, build_hostile_retail,
 )
 
-_TABLE_PAT = re.compile(r"\b(lineitem|orders|customer)\b")
+_TABLE_PAT = re.compile(r"\b(lineitem|orders|customer|part|supplier)\b")
 
 EMPTY_ORDERS_EXCLUDED = {
     "spend_rollup_region_nation",      # Spark omits the SQL-standard
@@ -146,6 +161,11 @@ def test_gate_classifies_every_salt_class(spark, salted_sf):
     assert row.n_orphan_lines == N_ORPHAN_LINES
     assert row.n_dup_custkey > 0
     assert row.n_null_nationkey > 0
+    assert row.n_dup_partkey > 0
+    assert row.n_null_pname > 0
+    assert row.n_neg_retailprice > 0
+    assert row.n_dup_suppkey > 0
+    assert row.n_null_s_nationkey > 0
     # the mega-customer really is in there
     from ecommerce_analytics_spark.io import load_table
     from pyspark.sql import functions as F
