@@ -179,7 +179,7 @@ WITH tok AS (
 )
 SELECT doc_id, lang AS actual_lang,
        {_lang_case_sql()} AS predicted_lang,
-       ({_lang_case_sql()} = lang) AS is_match
+       coalesce({_lang_case_sql()} = lang, FALSE) AS is_match
 FROM counts
 """
 
@@ -215,7 +215,11 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = pred.otherwise(langs[-1])
     return counted.select(
         "doc_id", "actual_lang", pred.alias("predicted_lang"),
-        (pred == F.col("actual_lang")).alias("is_match"),
+        # coalesce FALSE: an unlabeled (NULL-lang) doc is not a match —
+        # and a NULL boolean round-trips as None here vs NaN from
+        # SUM-based engines (hostile doc-metadata probe, round 7)
+        F.coalesce(pred == F.col("actual_lang"), F.lit(False))
+        .alias("is_match"),
     )
 
 
