@@ -64,15 +64,47 @@ def cached_index_dir(sf_dir: str, family: str, token: str,
     key = hashlib.md5(
         f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:{token}"
         .encode()).hexdigest()
-    dest = os.path.join(tempfile.gettempdir(), family, key)
+    fam_dir = os.path.join(tempfile.gettempdir(), family)
+    dest = os.path.join(fam_dir, key)
     if not os.path.isdir(dest):
+        _prune_stale_cache_entries(fam_dir)
         tmp = dest + f".tmp{os.getpid()}"
         builder(tmp)
         try:
             os.rename(tmp, dest)
-        except OSError:  # concurrent builder won the rename
+        except OSError:
+            # only a CONCURRENT builder's completed rename excuses the
+            # failure — anything else (permissions, cross-device) must
+            # surface here, not as a confusing read failure later
+            if not os.path.isdir(dest):
+                raise
             shutil.rmtree(tmp, ignore_errors=True)
     return dest
+
+
+_CACHE_MAX_AGE_S = 7 * 24 * 3600
+
+
+def _prune_stale_cache_entries(fam_dir: str) -> None:
+    """Evict cache entries (and orphaned .tmp trees) older than a week
+    — run_tmpdir's atexit cleanup doesn't apply to cross-run caches,
+    so without this every regenerated corpus / bumped token would
+    accumulate an index tree under the tempdir forever."""
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(fam_dir)
+    except OSError:
+        return
+    cutoff = time.time() - _CACHE_MAX_AGE_S
+    for name in entries:
+        p = os.path.join(fam_dir, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -19,6 +19,23 @@ RANK = 8
 TOP_N = 5
 
 
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, item, rating) interaction matrix. Contract (oracle
+    twin): MLlib ALS hard-rejects NULL users and NULL/NaN ratings
+    ("Ratings MUST NOT be Null or NaN"), so an interaction needs a
+    customer and a quantity."""
+    lineitem = (load_table(spark, sf_dir, "lineitem")
+                .filter(F.col("l_quantity").isNotNull()))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey").isNotNull()))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").cast("int").alias("user"),
+                 F.col("l_partkey").cast("int").alias("item"))
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 ALS (implicit, rank=RANK, seed=SEED) — pytest surface, not
     registered.
@@ -35,19 +52,7 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.recommendation import ALS
 
-    # interaction contract (oracle twin): MLlib ALS hard-rejects NULL
-    # users and NULL/NaN ratings ("Ratings MUST NOT be Null or NaN"),
-    # so an interaction needs a customer and a quantity
-    lineitem = (load_table(spark, sf_dir, "lineitem")
-                .filter(F.col("l_quantity").isNotNull()))
-    orders = (load_table(spark, sf_dir, "orders")
-              .filter(F.col("o_custkey").isNotNull()))
-    interactions = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .groupBy(F.col("o_custkey").cast("int").alias("user"),
-                 F.col("l_partkey").cast("int").alias("item"))
-        .agg(F.sum("l_quantity").cast("float").alias("rating"))
-    )
+    interactions = _interactions(spark, sf_dir)
     als = ALS(rank=RANK, seed=SEED, implicitPrefs=True, maxIter=8,
               userCol="user", itemCol="item", ratingCol="rating",
               coldStartStrategy="drop")
@@ -89,17 +94,16 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_als_recommendations_shape(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    try:
-        recs = q_als_recommendations(spark, sf_dir)
-    except Exception as exc:
-        if "No ratings" not in str(exc):
-            raise
+    if _interactions(spark, sf_dir).isEmpty():
         # empty interaction matrix (e.g. an empty orders partition):
-        # the contract holds vacuously — the oracle's aggregate over
-        # zero rows emits exactly this row
+        # ALS cannot fit and the contract holds vacuously — the
+        # oracle's aggregate over zero rows emits exactly this row.
+        # An explicit isEmpty probe, not exception-message matching
+        # (MLlib error text is not a stable API).
         return spark.createDataFrame(
             [(0, TOP_N, 0, True)],
             "n_users bigint, k int, n_pairs bigint, scores_valid boolean")
+    recs = q_als_recommendations(spark, sf_dir)
     per_user = (recs.groupBy("customer_id")
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.min("score").alias("lo"),

@@ -82,7 +82,15 @@ def q_rfm_kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
-    feats = rfm_features(spark, sf_dir)
+    # monetary coalesces to 0.0 for the FIT ONLY: a customer whose
+    # dated orders all carry NULL prices has NULL total spend in
+    # rfm_features (correct, oracle-matched), but VectorAssembler
+    # (handleInvalid='error') rejects NULL features outright — zero
+    # spend is the right clustering interpretation of "no priced
+    # orders". recency/frequency are non-null by construction (dated
+    # orders only; count never null).
+    feats = rfm_features(spark, sf_dir).withColumn(
+        "monetary", F.coalesce(F.col("monetary"), F.lit(0.0)))
     assembled = VectorAssembler(
         inputCols=["recency_days", "frequency", "monetary"],
         outputCol="rfm_raw").transform(feats)
@@ -95,11 +103,16 @@ def q_rfm_kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
               .coalesce(8).cache())
     model = KMeans(k=K_SEGMENTS, seed=SEED, featuresCol="rfm",
                    predictionCol="segment").fit(scaled)
-    return (
-        model.transform(scaled)
-        .select("customer_id", "recency_days", "frequency", "monetary",
-                F.col("segment").cast("int").alias("segment"))
-    )
+    # eager localCheckpoint: the per-customer result is bounded, and
+    # cutting the lineage lets the fit cache be released instead of
+    # leaking one cached feature table per invocation
+    out = (model.transform(scaled)
+           .select("customer_id", "recency_days", "frequency",
+                   "monetary", F.col("segment").cast("int")
+                   .alias("segment"))
+           .localCheckpoint(eager=True))
+    scaled.unpersist()
+    return out
 
 
 # Conservative inertia ceiling for the quality companion below: KMeans
@@ -133,13 +146,14 @@ INERTIA_RATIO_MAX = 0.9
     tags=("ml", "tier-c"),
 )
 def q_rfm_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if rfm_features(spark, sf_dir).isEmpty():
-        # empty feature table (e.g. an empty orders partition): no fit
-        # is possible, no segment can be populated, and the inertia
-        # contract holds vacuously — mirrors the oracle's aggregate
-        # over zero rows exactly
+    n_feats = rfm_features(spark, sf_dir).count()
+    if n_feats < K_SEGMENTS:
+        # fewer valid customers than clusters (the degenerate tail of
+        # the empty-orders class): K_SEGMENTS segments cannot all be
+        # populated and the inertia contract holds vacuously —
+        # mirrors the oracle's count >= K_SEGMENTS boolean exactly
         return spark.createDataFrame(
-            [(0, K_SEGMENTS, False, True)],
+            [(n_feats, K_SEGMENTS, False, True)],
             "n_customers bigint, k int, all_segments_populated boolean, "
             "inertia_ratio_ok boolean")
     segs = q_rfm_kmeans_segments(spark, sf_dir)
@@ -147,9 +161,19 @@ def q_rfm_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[x for c in ("recency_days", "frequency", "monetary")
           for x in (F.avg(c).alias(f"m_{c}"),
                     F.stddev_samp(c).alias(f"s_{c}"))])
+
+    def zscore(c):
+        # a CONSTANT feature (stddev 0) standardizes to 0 everywhere —
+        # the bare division would be an ANSI DIVIDE_BY_ZERO crash on a
+        # degenerate-but-nonempty corpus (e.g. every customer with
+        # exactly one order makes frequency constant)
+        return F.when(F.col(f"s_{c}") != 0,
+                      (F.col(c) - F.col(f"m_{c}")) / F.col(f"s_{c}")) \
+            .otherwise(F.lit(0.0))
+
     z = segs.crossJoin(F.broadcast(stats)).select(
         "segment",
-        *[((F.col(c) - F.col(f"m_{c}")) / F.col(f"s_{c}")).alias(f"z_{c}")
+        *[zscore(c).alias(f"z_{c}")
           for c in ("recency_days", "frequency", "monetary")])
     # within-SSE per segment: sum(z^2) - (sum z)^2 / n, summed over dims
     per_seg = z.groupBy("segment").agg(

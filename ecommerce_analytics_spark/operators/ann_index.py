@@ -84,9 +84,14 @@ def build_ann_index(spark: SparkSession, sf_dir: str,
         "cell_id int, c_emb array<double>")
     cents.coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(path, "centroids"))
+    # repartition by the hive key before the write: the fit input was
+    # coalesced to 8 for iteration cost, but the CELLS write must not
+    # inherit that width — clustering by cell_id restores full write
+    # parallelism at scale and lands one file per cell per task
     (model.transform(emb)
      .select("vec_id", "embedding", "v_norm",
              F.col("cell_id").cast("int").alias("cell_id"))
+     .repartition("cell_id")
      .write.mode("overwrite").partitionBy("cell_id")
      .parquet(os.path.join(path, "cells")))
     emb.unpersist()
@@ -146,7 +151,7 @@ def _build_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # io.cached_index_dir): build once per corpus, serve cold after
     from ecommerce_analytics_spark.io import cached_index_dir, run_tmpdir
     path = cached_index_dir(
-        sf_dir, "spark_graft_ann_index", f"{N_CENTROIDS}:{N_PROBE}:v1",
+        sf_dir, "spark_graft_ann_index", f"{N_CENTROIDS}:42:v2",
         lambda p: build_ann_index(spark, sf_dir, p))
     if path is None:
         run_dir = run_tmpdir(prefix="ann_index_run_")

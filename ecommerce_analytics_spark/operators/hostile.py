@@ -12,9 +12,10 @@ hashing between the two engines flips the hash.
 
 Null-ordering note: the hostile mutation nulls `quantity`, which is a
 member of retail.ORDER_KEYS. Spark's default ASC sort is NULLS FIRST;
-DuckDB's is NULLS LAST — the hostile oracle therefore spells
-NULLS FIRST on every window sort key. (The clean-data oracles don't
-need this: no ORDER_KEYS column is nullable there.)
+DuckDB's is NULLS LAST — since round 7 retail.ORDER_KEYS_SQL spells
+NULLS FIRST for EVERY oracle (the hostile retail fixture made the
+clean oracles face nullable keys too), and this module reuses that
+single definition.
 
 Null-partitioning note: rows with customer_id NULL form ONE window
 partition in both engines (SQL PARTITION BY groups nulls; Spark
@@ -31,7 +32,8 @@ from ecommerce_analytics_spark.operators.classification import (
     classify_events,
 )
 from ecommerce_analytics_spark.operators.retail import (
-    BULK_QTY, HIGH_VALUE_AMOUNT, ORDER_KEYS, TXN_CTE, transactions,
+    BULK_QTY, HIGH_VALUE_AMOUNT, ORDER_KEYS, ORDER_KEYS_SQL, TXN_CTE,
+    transactions,
 )
 from ecommerce_analytics_spark.plans.registry import query
 
@@ -65,7 +67,8 @@ _HOSTILE_CTE = TXN_CTE + f"""
 )
 """
 
-_ORDER_KEYS_NF = ", ".join(f"{k} NULLS FIRST" for k in ORDER_KEYS)
+# single source of truth since r7 — ORDER_KEYS_SQL itself is NULLS FIRST
+_ORDER_KEYS_NF = ORDER_KEYS_SQL
 
 
 def hostile_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:

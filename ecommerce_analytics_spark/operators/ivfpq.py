@@ -259,10 +259,18 @@ def q_knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to the index itself). tests/test_ivfpq.py's equality
     against the fresh in-memory build re-certifies the cached
     artifacts every suite run."""
+    # cache key = the BUILD parameters only (coarse geometry, PQ
+    # codebook shape/seed/sample cap, pipeline version) — serve-only
+    # knobs (n_probe, shortlist) don't change the stored artifacts and
+    # would only force pointless rebuilds; omitting a build param here
+    # would silently serve a stale index after a PQ change
+    from ecommerce_analytics_spark.operators.pq import (
+        PQ_K, PQ_M, PQ_SEED, PQ_TRAIN_CAP,
+    )
     path = cached_index_dir(
         sf_dir, "spark_graft_ivfpq_index",
-        f"{N_CENTROIDS}:{IVFPQ_N_PROBE}:{IVFPQ_SHORTLIST}:"
-        f"{COARSE_SEED}:{_INDEX_VERSION}",
+        f"{N_CENTROIDS}:{COARSE_SEED}:{PQ_M}:{PQ_K}:{PQ_SEED}:"
+        f"{PQ_TRAIN_CAP}:{_INDEX_VERSION}",
         lambda p: build_ivfpq_index(spark, sf_dir, p))
     if path is None:  # unkeyable corpus — fall back to a fresh build
         run_dir = run_tmpdir(prefix="ivfpq_index_run_")

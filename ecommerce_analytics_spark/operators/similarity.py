@@ -523,22 +523,26 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # cache + compact before the fit: MLlib KMeans re-evaluates its
-    # input once per iteration (see ivfpq._coarse_quantizer) —
-    # bitwise-identical model, ~8x faster training wall
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .withColumn("v_norm", norm(F.col("embedding")))
-           .withColumn("fv", array_to_vector(
-               F.col("embedding").cast("array<double>")))
-           .coalesce(8).cache())
-    emb.count()
+    # FIT input is a separate, cached, compacted derivation — MLlib
+    # KMeans re-evaluates its input once per iteration (see
+    # ivfpq._coarse_quantizer) — while the SERVE path below keeps the
+    # un-coalesced base so candidate scoring runs at full scan
+    # parallelism (a shared coalesce(8) lineage would pin every
+    # downstream stage to 8 tasks after the cache is dropped)
+    base = (load_table(spark, sf_dir, "embeddings")
+            .withColumn("v_norm", norm(F.col("embedding"))))
+    fit_in = (base.withColumn("fv", array_to_vector(
+        F.col("embedding").cast("array<double>")))
+        .coalesce(8).cache())
+    fit_in.count()
     model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="fv",
-                   predictionCol="cell_id").fit(emb)
-    assign = (model.transform(emb)
+                   predictionCol="cell_id").fit(fit_in)
+    assign = (model.transform(fit_in)
               .select("vec_id", F.col("cell_id").cast("int")
                       .alias("cell_id"))
               .localCheckpoint(eager=True))
-    emb = emb.unpersist()
+    fit_in.unpersist()
+    emb = base
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in
          enumerate(model.clusterCenters())],
@@ -606,35 +610,21 @@ def knn_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact brute-force top-k, persisted per corpus (VERDICT r6
     #3): the baseline is deterministic, so every recall-certification
     query (IVF / IVF-persisted / PQ / IVFADC) reads ONE stored copy
-    instead of re-deriving it per sweep row. Cache key = corpus file
-    identity (path, size, mtime) + the retrieval constants + a version
-    token bumped on any knn_bruteforce semantics change; writes go to
-    a unique temp dir then atomically rename into place, so concurrent
-    sweep/bench builds race benignly. tests/test_ivfpq.py re-derives
-    the baseline from scratch and asserts exact equality."""
-    import tempfile
+    instead of re-deriving it per sweep row — io.cached_index_dir
+    handles keying (corpus file identity + retrieval constants +
+    version token), atomic publication, and stale-entry eviction.
+    tests/test_ivfpq.py re-derives the baseline from scratch and
+    asserts exact equality."""
+    from ecommerce_analytics_spark.io import cached_index_dir
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        key = hashlib.md5(
-            f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:"
-            f"{N_QUERIES}:{TOP_K}:{EMB_DIM}:{_BASELINE_VERSION}"
-            .encode()).hexdigest()
-    except OSError:
+    path = cached_index_dir(
+        sf_dir, "spark_graft_knn_baseline",
+        f"{N_QUERIES}:{TOP_K}:{EMB_DIM}:{_BASELINE_VERSION}",
+        lambda p: q_knn_bruteforce(spark, sf_dir).coalesce(1)
+        .write.mode("overwrite").parquet(p))
+    if path is None:  # unkeyable corpus — derive fresh
         return q_knn_bruteforce(spark, sf_dir)
-    dest = os.path.join(tempfile.gettempdir(), "spark_graft_knn_baseline",
-                        key)
-    if not os.path.isdir(dest):
-        tmp = dest + f".tmp{os.getpid()}"
-        q_knn_bruteforce(spark, sf_dir).coalesce(1) \
-            .write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, dest)
-        except OSError:  # concurrent builder won the rename — use theirs
-            import shutil
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(dest)
+    return spark.read.parquet(path)
 
 
 @query(

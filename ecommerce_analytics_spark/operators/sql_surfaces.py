@@ -40,12 +40,15 @@ from ecommerce_analytics_spark.plans.registry import query
     """
     WITH chainable AS (
       -- chain contract (both sides): per-customer chains need a
-      -- customer, a date to order by, and UNIQUE orderkeys — a
-      -- duplicated key is a self-edge that loops the recursion, and
-      -- a NULL custkey never matches the recursive join (NULL = NULL)
-      SELECT DISTINCT o_custkey, o_orderkey, o_orderdate
+      -- customer, a date to order by, and UNIQUE (custkey, orderkey)
+      -- — a duplicated key is a self-edge that loops the recursion,
+      -- and a NULL custkey never matches the recursive join
+      -- (NULL = NULL). min(date) canonicalizes, because DISTINCT
+      -- alone would keep a dup pair whose copies disagree on the date
+      SELECT o_custkey, o_orderkey, min(o_orderdate) AS o_orderdate
       FROM orders
       WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      GROUP BY o_custkey, o_orderkey
     ), rn AS (
       SELECT o_custkey, o_orderkey,
              CAST(row_number() OVER (PARTITION BY o_custkey
@@ -72,9 +75,10 @@ def q_order_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_rec_orders")
     return spark.sql("""
         WITH chainable AS (
-          SELECT DISTINCT o_custkey, o_orderkey, o_orderdate
+          SELECT o_custkey, o_orderkey, min(o_orderdate) AS o_orderdate
           FROM _rec_orders
           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          GROUP BY o_custkey, o_orderkey
         ),
         nxt AS (
           SELECT o_custkey, o_orderkey,

@@ -118,17 +118,24 @@ _REV_CENTS = ("CAST(round(l_extendedprice * 100) AS BIGINT)"
 _CENTS_TO_USD = "CAST(0.0001 AS DECIMAL(5,4))"
 
 # Key-uniqueness discipline (both sides): the rollup's business answer
-# counts each REAL order and customer once, so the join inputs are
-# DISTINCT projections of exactly the columns used — an accidentally
-# duplicated o_orderkey / c_custkey row (the hostile retail fixture's
-# fan-out class) would otherwise double revenue while count(DISTINCT)
-# half-dedups it. No-op on clean data; at scale the orders distinct is
-# one orders-sized shuffle, dwarfed by the fact exchange it protects.
+# counts each REAL order and customer once, so the join inputs take
+# ONE CANONICAL ROW per key via a deterministic row_number pick — an
+# accidentally duplicated o_orderkey / c_custkey row (the hostile
+# fixture's fan-out class) would otherwise double revenue while
+# count(DISTINCT) half-dedups it, and a dup pair that DISAGREES on a
+# projected column (the redated-copy class) defeats plain DISTINCT.
+# Per-column min = the retail.transactions discipline: map-side
+# combinable, NULLs skipped (the most informative copy wins). No-op on
+# clean data; at scale it is one partially-aggregated orders-sized
+# shuffle, dwarfed by the fact exchange it protects.
 _STAR_SQL = f"""
     WITH o_u AS (
-      SELECT DISTINCT o_orderkey, o_custkey, o_orderdate FROM orders
+      SELECT o_orderkey, min(o_custkey) AS o_custkey,
+             min(o_orderdate) AS o_orderdate
+      FROM orders GROUP BY o_orderkey
     ), c_u AS (
-      SELECT DISTINCT c_custkey, c_nationkey FROM customer
+      SELECT c_custkey, min(c_nationkey) AS c_nationkey
+      FROM customer GROUP BY c_custkey
     )
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
@@ -176,9 +183,12 @@ _STAR_SQL_SPARK = f"""
              count(*) AS n_lines
       FROM lineitem GROUP BY l_orderkey
     ), o_u AS (
-      SELECT DISTINCT o_orderkey, o_custkey, o_orderdate FROM orders
+      SELECT o_orderkey, min(o_custkey) AS o_custkey,
+             min(o_orderdate) AS o_orderdate
+      FROM orders GROUP BY o_orderkey
     ), c_u AS (
-      SELECT DISTINCT c_custkey, c_nationkey FROM customer
+      SELECT c_custkey, min(c_nationkey) AS c_nationkey
+      FROM customer GROUP BY c_custkey
     )
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,

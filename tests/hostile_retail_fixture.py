@@ -61,6 +61,21 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        '9-DUPLICATE' AS o_orderpriority
 FROM base WHERE o_orderkey % 211 = 7
 UNION ALL
+-- duplicate orderkey whose copy DISAGREES on the date (a corrected
+-- ingest row): DISTINCT-based dedup keeps both and re-creates the
+-- recursive-chain self-loop; canonical-row picks must collapse it
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate + to_days(1) AS o_orderdate,
+       '9-REDATED' AS o_orderpriority
+FROM base WHERE o_orderkey % 223 = 8 AND o_orderdate IS NOT NULL
+UNION ALL
+-- a customer whose ONLY order has a NULL price: RFM monetary is NULL
+-- (oracle-matched) and the KMeans feature build must tolerate it
+SELECT 89000001 AS o_orderkey, 888888 AS o_custkey,
+       'O' AS o_orderstatus, NULL AS o_totalprice,
+       TIMESTAMP '2024-02-02 00:00:00' AS o_orderdate,
+       '5-LOW' AS o_orderpriority
+UNION ALL
 SELECT 90000000 + i AS o_orderkey,
        {mega} AS o_custkey,
        'O' AS o_orderstatus,
