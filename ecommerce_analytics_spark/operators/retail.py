@@ -62,6 +62,15 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate only passed on data luck). One partially-aggregated
     # orders-sized exchange, dwarfed by the fact join it protects;
     # retail_validation's n_dup_orderkey counts what it collapses.
+    #
+    # Cost adjudication (round 7, interleaved same-session A/B at
+    # sf0.1, min-of-7): flagship classification 1.47s canonical vs
+    # 1.20s raw (+0.26s = the orders agg exchange ahead of the
+    # broadcast build). Accepted: the alternative that also fixes the
+    # tie-pairing defect is partitioning the product window by
+    # (customer, stock), which re-shuffles the FACT table — strictly
+    # worse at any scale; and the orders agg is map-side combinable,
+    # so its relative cost shrinks as the fact side grows.
     orders = (load_table(spark, sf_dir, "orders")
               .groupBy("o_orderkey")
               .agg(F.min("o_custkey").alias("o_custkey"),
