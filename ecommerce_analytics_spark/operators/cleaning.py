@@ -173,6 +173,8 @@ FROM mixed
            CAST(sum(CASE WHEN props IS NOT NULL
                           AND NOT json_valid(props)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+             AS n_dup_event_id,
            CAST(sum(CASE WHEN ts IS NOT NULL AND user_id IS NOT NULL
                           AND event_type IS NOT NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_time_valid
@@ -222,6 +224,11 @@ def q_events_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_when(F.col("event_type").isNull()).alias("n_null_type"),
         count_when(F.col("value").isNull()).alias("n_null_value"),
         count_when(bad_props).alias("n_bad_props"),
+        # at-least-once duplicate deliveries (exactly-once violations
+        # upstream): per-event analytics gate these with a full-row
+        # DISTINCT; certified in tests/test_hostile_dup_events.py
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).cast("long")
+        .alias("n_dup_event_id"),
         count_when(F.col("ts").isNotNull()
                    & F.col("user_id").isNotNull()
                    & F.col("event_type").isNotNull())

@@ -119,6 +119,15 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "user_event_analytics",
     """
+    WITH uniq AS (
+      -- at-least-once delivery gate (both sides): an exact duplicate
+      -- delivery of one event would make BIT-IDENTICAL rows, and the
+      -- three differently-sorted windows below then pair the tied
+      -- rows' positions inconsistently across engines/runs (the
+      -- retail.transactions tie-pairing class, found by the
+      -- duplicate-delivery probe) — analyze each EVENT once
+      SELECT DISTINCT * FROM events
+    )
     SELECT user_id, event_id, ts, value,
            epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev,
            lead(event_type, 1) OVER w AS next_event_type,
@@ -128,16 +137,18 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS INTEGER) AS type_rank,
            CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
                 AS INTEGER) AS value_quartile
-    FROM events
+    FROM uniq
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     doc="lead/lag/rank/dense_rank/ntile in one pass — all five window "
         "functions share the user_id exchange; Catalyst collapses the "
-        "same-spec ones into one Window operator.",
+        "same-spec ones into one Window operator. A full-row DISTINCT "
+        "gates at-least-once duplicate deliveries on both sides "
+        "(tests/test_hostile_dup_events.py).",
     tags=("window",),
 )
 def q_user_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").distinct()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
         "user_id", "event_id", "ts", "value",
