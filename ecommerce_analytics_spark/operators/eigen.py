@@ -61,7 +61,7 @@ def _cov_cte() -> str:
   SELECT vec_id, CAST(g.i AS INTEGER) AS dim,
          CAST(round(CAST(embedding[g.i] AS DOUBLE) * {COV_FIX})
               AS BIGINT) AS xf
-  FROM embeddings,
+  FROM (SELECT DISTINCT * FROM embeddings) emb_u,
        unnest(generate_series(1, len(embedding))) AS g(i)
 ), st AS MATERIALIZED (
   SELECT a.dim AS dim_i, b.dim AS dim_j,
@@ -119,7 +119,8 @@ def _eig_oracle() -> str:
          CAST(sum(v.v * v.v) AS DOUBLE) AS den
   FROM {last} v JOIN wfin w ON w.dim = v.dim
 ), nn AS (
-  SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings
+  SELECT CAST(count(*) AS DOUBLE) AS nv
+  FROM (SELECT DISTINCT * FROM embeddings)
 ), l2 AS (
   SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM {last}
 )
@@ -151,7 +152,11 @@ def _iterated_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing that ever touched the corpus), v the final L-inf=1e6
     fixed-point iterate, computed as a single runtime fold. Shared by
     the eigenvector query and the PCA-projection query."""
-    ex = _fixed_point_expand(load_table(spark, sf_dir, "embeddings"))
+    ex = _fixed_point_expand(
+        # identity contract: the vec_id self-join fans quadratically on
+        # duplicate-delivery rows while the vector count grows linearly
+        # (dup probe, round 7) — one row per delivered vector
+        load_table(spark, sf_dir, "embeddings").distinct())
     a, b = ex.alias("a"), ex.alias("b")
     dec = "decimal(38,0)"
     st = (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
@@ -353,7 +358,11 @@ def q_embedding_pca_outliers(spark: SparkSession,
     vrow = _iterated_vector(spark, sf_dir)
     vexp = (vrow.select(F.posexplode("v").alias("dim0", "vv"))
             .select((F.col("dim0") + 1).cast("int").alias("dim"), "vv"))
-    ex = _fixed_point_expand(load_table(spark, sf_dir, "embeddings"))
+    ex = _fixed_point_expand(
+        # identity contract: the vec_id self-join fans quadratically on
+        # duplicate-delivery rows while the vector count grows linearly
+        # (dup probe, round 7) — one row per delivered vector
+        load_table(spark, sf_dir, "embeddings").distinct())
     proj = (ex.join(F.broadcast(vexp), "dim")
             .groupBy("vec_id")
             .agg(F.sum(F.col("xf").cast(dec) * F.col("vv"))

@@ -60,7 +60,11 @@ _GRAMS_EXPR = (
 
 _GRAMS_CTE = f"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  -- identity contract: one row per delivered document — duplicate
+  -- deliveries double every span count and token reassembly (dup
+  -- probe, round 7)
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM (SELECT DISTINCT * FROM documents)
 ), g AS (
   SELECT doc_id, i, array_to_string(toks[i:i + {NGRAM_N - 1}], ' ') AS gram
   FROM d, LATERAL unnest(generate_series(
@@ -81,7 +85,7 @@ HAVING count(DISTINCT doc_id) >= 2
 
 def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos 1-based, gram_hash) for every word 8-gram."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").distinct()
     return (
         docs.select("doc_id",
                     F.split("text", " ").alias("toks"))
@@ -152,7 +156,7 @@ FROM d LEFT JOIN pruned p ON d.doc_id = p.doc_id
     tags=("text", "dedup", "north-star"),
 )
 def q_repeated_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents") \
+    docs = load_table(spark, sf_dir, "documents").distinct() \
         .select("doc_id", F.split("text", " ").alias("toks"))
     grams = _doc_grams(spark, sf_dir)
     rep = (grams.groupBy("gram_hash")

@@ -196,7 +196,9 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN len(embedding) = {EMB_DIM}
                           AND {_no_null_sql('embedding')}
                           AND {_dot_sql('embedding', 'embedding')} > 0
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(count(*) - count(DISTINCT vec_id) AS BIGINT)
+             AS n_dup_vec_id
     FROM embeddings
     """,
     doc=f"The embedding ingest gate — the documented INPUT CONTRACT "
@@ -235,6 +237,11 @@ def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (nsq <= 0)).alias("n_zero_norm"),
         count_when((sz == EMB_DIM) & nonull
                    & (nsq > 0)).alias("n_valid"),
+        # duplicate deliveries: a vec_id self-join (eigen covariance)
+        # fans quadratically on them while counts grow linearly —
+        # identity consumers gate with DISTINCT (dup probe, round 7)
+        (F.count(F.lit(1)) - F.countDistinct("vec_id")).cast("long")
+        .alias("n_dup_vec_id"),
     )
 
 

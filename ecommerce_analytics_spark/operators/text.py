@@ -45,6 +45,58 @@ FROM tok
 
 
 @query(
+    "documents_validation",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_text,
+           CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty_text,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_lang,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_source,
+           CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_nchars,
+           CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+             AS n_dup_doc_id,
+           CAST(sum(CASE WHEN text IS NOT NULL AND text <> ''
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_text_valid
+    FROM documents
+    """,
+    doc="The documents ingest gate — completes the four-family gate "
+        "set (retail_validation / events_validation / "
+        "embedding_validation): one map-side pass counts NULL/empty "
+        "texts (the r6 short-doc crash class), NULL lang/source and "
+        "bad n_chars metadata (the r7 metadata wave), and duplicate "
+        "doc_id deliveries (at-least-once artifacts — a doc_id "
+        "self-join fans quadratically on them; identity consumers "
+        "gate with DISTINCT, certified in "
+        "tests/test_hostile_dup_events.py).",
+    tags=("validation", "text", "north-star"),
+)
+def q_documents_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count_when(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        count_when(F.col("text").isNull()).alias("n_null_text"),
+        count_when(F.col("text") == "").alias("n_empty_text"),
+        count_when(F.col("lang").isNull()).alias("n_null_lang"),
+        count_when(F.col("source").isNull()).alias("n_null_source"),
+        count_when(F.col("n_chars").isNull()
+                   | (F.col("n_chars") < 0)).alias("n_bad_nchars"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).cast("long")
+        .alias("n_dup_doc_id"),
+        count_when(F.col("text").isNotNull()
+                   & (F.col("text") != "")).alias("n_text_valid"),
+    )
+
+
+@query(
     "text_token_stats",
     _TOKEN_STATS_ORACLE,
     doc="N3 token statistics per document: counts, distinct ratio "

@@ -73,3 +73,65 @@ def test_gate_counts_duplicate_deliveries(spark, dup_sf):
 
     row = query_map()["events_validation"](spark, dup_sf).collect()[0]
     assert row.n_dup_event_id > 0
+
+
+# ---- documents / embeddings duplicate deliveries --------------------
+# Same wave, other two non-relational tables. Defects this pinned:
+# embedding_top_eigvec reused its vec_id self-join crossing count as
+# the vector count (quadratic vs linear under dups), and
+# repeated_ngram_prune's oracle doubled every token it reassembled
+# while the engine pruned per delivered row — both now gate on
+# DISTINCT (one row per delivered document/vector) on both sides.
+
+
+def _affected_docs_emb():
+    from ecommerce_analytics_spark.plans.registry import all_queries
+    return sorted(
+        n for n, q in all_queries().items()
+        if q.oracle and re.search(r"\b(documents|embeddings)\b", q.oracle))
+
+
+@pytest.fixture(scope="module")
+def dup_docs_sf(sf_dir, tmp_path_factory):
+    import duckdb
+
+    out = tmp_path_factory.mktemp("dup_docs")
+    for name in os.listdir(sf_dir):
+        if (name.endswith(".parquet")
+                and name not in ("documents.parquet",
+                                 "embeddings.parquet")):
+            os.symlink(os.path.join(sf_dir, name), out / name)
+    for t, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        src = f"{sf_dir}/{t}.parquet"
+        duckdb.sql(f"""
+            COPY (SELECT * FROM '{src}'
+                  UNION ALL SELECT * FROM '{src}' WHERE {key} % 97 = 1)
+            TO '{out}/{t}.parquet' (FORMAT PARQUET)
+        """)
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _affected_docs_emb())
+def test_docs_emb_queries_match_on_duplicate_deliveries(
+        spark, dup_docs_sf, name):
+    from ecommerce_analytics_spark.plans.registry import all_queries
+    from ecommerce_analytics_spark.testing import (
+        compare_frames, duckdb_oracle)
+
+    q = all_queries()[name]
+    spark_pdf = q.spark_fn(spark, dup_docs_sf).toPandas()
+    problems = compare_frames(
+        spark_pdf, duckdb_oracle(q.oracle, dup_docs_sf), name,
+        float_sig=q.float_sig)
+    assert not problems, "\n".join(problems)
+
+
+def test_docs_emb_gates_count_duplicates(spark, dup_docs_sf):
+    from ecommerce_analytics_spark.plans.registry import query_map
+
+    d = query_map()["documents_validation"](spark,
+                                            dup_docs_sf).collect()[0]
+    assert d.n_dup_doc_id > 0
+    e = query_map()["embedding_validation"](spark,
+                                            dup_docs_sf).collect()[0]
+    assert e.n_dup_vec_id > 0
