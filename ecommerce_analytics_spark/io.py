@@ -51,10 +51,19 @@ def cached_index_dir(sf_dir: str, family: str, token: str,
     sweep/bench builds race benignly (loser's tree is discarded).
     Returns None when the corpus can't be keyed (caller falls back to
     a fresh per-run build). Suite-level freshness: the pytest equality
-    tests compare the cached serve against a fresh in-memory build."""
+    tests compare the cached serve against a fresh in-memory build.
+
+    Multi-user / multi-session hardening (ADVICE r7): the cache root is
+    per-user and 0700 (``ea_cache_<uid>`` under the tempdir) so another
+    user can neither pre-create a predictable dest nor read ours; an
+    entry that somehow isn't owned by us is distrusted and rebuilt.
+    Every hit (and every fresh rename) refreshes the entry's mtime so
+    actively-served entries never age past the 7-day prune horizon, and
+    the prune never touches the key currently being resolved — a
+    concurrent build in the same family can no longer rmtree an entry
+    another session's lazy Spark job is mid-read on."""
     import hashlib
     import shutil
-    import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
@@ -64,10 +73,12 @@ def cached_index_dir(sf_dir: str, family: str, token: str,
     key = hashlib.md5(
         f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:{token}"
         .encode()).hexdigest()
-    fam_dir = os.path.join(tempfile.gettempdir(), family)
+    fam_dir = os.path.join(_user_cache_root(), family)
     dest = os.path.join(fam_dir, key)
+    if os.path.isdir(dest) and not _owned_by_me(dest):
+        shutil.rmtree(dest, ignore_errors=True)
     if not os.path.isdir(dest):
-        _prune_stale_cache_entries(fam_dir)
+        _prune_stale_cache_entries(fam_dir, keep=key)
         tmp = dest + f".tmp{os.getpid()}"
         builder(tmp)
         try:
@@ -79,17 +90,43 @@ def cached_index_dir(sf_dir: str, family: str, token: str,
             if not os.path.isdir(dest):
                 raise
             shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        os.utime(dest)
+    except OSError:
+        pass
     return dest
+
+
+def _user_cache_root() -> str:
+    """Per-user 0700 cache root under the tempdir (ADVICE r7 #2)."""
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"ea_cache_{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
+
+
+def _owned_by_me(path: str) -> bool:
+    if not hasattr(os, "getuid"):
+        return True
+    try:
+        return os.stat(path).st_uid == os.getuid()
+    except OSError:
+        return False
 
 
 _CACHE_MAX_AGE_S = 7 * 24 * 3600
 
 
-def _prune_stale_cache_entries(fam_dir: str) -> None:
+def _prune_stale_cache_entries(fam_dir: str, keep: str = "") -> None:
     """Evict cache entries (and orphaned .tmp trees) older than a week
     — run_tmpdir's atexit cleanup doesn't apply to cross-run caches,
     so without this every regenerated corpus / bumped token would
-    accumulate an index tree under the tempdir forever."""
+    accumulate an index tree under the tempdir forever. ``keep`` is the
+    key currently being resolved — never pruned, whatever its mtime
+    (ADVICE r7 #1; hits also refresh mtime, so only truly-abandoned
+    entries age out)."""
     import shutil
     import time
 
@@ -99,6 +136,8 @@ def _prune_stale_cache_entries(fam_dir: str) -> None:
         return
     cutoff = time.time() - _CACHE_MAX_AGE_S
     for name in entries:
+        if keep and (name == keep or name.startswith(keep + ".tmp")):
+            continue
         p = os.path.join(fam_dir, name)
         try:
             if os.path.getmtime(p) < cutoff:

@@ -82,13 +82,16 @@ def q_rfm_kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
-    # monetary coalesces to 0.0 for the FIT ONLY: a customer whose
-    # dated orders all carry NULL prices has NULL total spend in
+    # monetary coalesces to 0.0 — and the OUTPUT projection reports
+    # that coalesced value too (ADVICE r7 #4): a customer whose dated
+    # orders all carry NULL prices has NULL total spend in
     # rfm_features (correct, oracle-matched), but VectorAssembler
     # (handleInvalid='error') rejects NULL features outright — zero
     # spend is the right clustering interpretation of "no priced
-    # orders". recency/frequency are non-null by construction (dated
-    # orders only; count never null).
+    # orders", and the segment listing reports the feature vector the
+    # model actually clustered on (monetary=0.0, not NULL), pinned by
+    # tests/test_ml.py. recency/frequency are non-null by construction
+    # (dated orders only; count never null).
     feats = rfm_features(spark, sf_dir).withColumn(
         "monetary", F.coalesce(F.col("monetary"), F.lit(0.0)))
     assembled = VectorAssembler(

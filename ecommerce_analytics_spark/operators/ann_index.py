@@ -68,8 +68,11 @@ def build_ann_index(spark: SparkSession, sf_dir: str,
 
     path = path or ann_index_path(sf_dir)
     # cache + compact before the fit: MLlib KMeans re-evaluates its
-    # input once per iteration (see ivfpq._coarse_quantizer) —
-    # bitwise-identical model, ~8x faster training wall
+    # input once per iteration (see ivfpq._coarse_quantizer) — ~8x
+    # faster training wall. Deterministic for a FIXED input layout
+    # only (k-means|| init samples per-partition; see the layout
+    # caveat in ivfpq._coarse_quantizer — ADVICE r7 #3); floors were
+    # re-measured at this pipeline.
     emb = (load_table(spark, sf_dir, "embeddings")
            .withColumn("v_norm", norm(F.col("embedding")))
            .withColumn("fv", array_to_vector(

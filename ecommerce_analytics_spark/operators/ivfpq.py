@@ -94,8 +94,14 @@ def _coarse_quantizer(spark: SparkSession,
     # times (profiled 8.4s → ~0.9s at sf0.1). The feature table is a
     # per-vector projection (tiny at any SF relative to the corpus
     # scan it replaces); coalesce(8) keeps per-iteration task overhead
-    # off the critical path without changing results. Bitwise-
-    # identical model: same rows, same seed, same iteration count.
+    # off the critical path. Determinism caveat (ADVICE r7 #3):
+    # k-means|| init sampling is partition-layout-dependent, so the
+    # fitted centroids are deterministic only for a FIXED input layout
+    # (same splits, same coalesce) — not contract-invariant under
+    # repartitioning. The committed recall floors were re-measured at
+    # exactly this pipeline, and the cached-index determinism assumes
+    # a stable split configuration (io.cached_index_dir keys on corpus
+    # file identity, which pins the layout for a given parquet file).
     fitted = (nemb.withColumn("fv", array_to_vector(F.col("nemb")))
               .coalesce(8).cache())
     fitted.count()

@@ -52,7 +52,8 @@ from ecommerce_analytics_spark.plans.registry import query
     ), rn AS (
       SELECT o_custkey, o_orderkey,
              CAST(row_number() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey)
+                                     ORDER BY o_orderdate NULLS FIRST,
+                                              o_orderkey NULLS FIRST)
                   AS INT) AS chain_pos
       FROM chainable
     )
@@ -83,7 +84,8 @@ def q_order_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt AS (
           SELECT o_custkey, o_orderkey,
                  lag(o_orderkey) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey)
+                                       ORDER BY o_orderdate NULLS FIRST,
+                                                o_orderkey NULLS FIRST)
                    AS prev_orderkey
           FROM chainable
         ),

@@ -53,7 +53,8 @@ WITH km_orders AS (
 ), ranked AS (
   SELECT o_custkey, o_orderdate,
          row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey) AS rn
+                            ORDER BY o_orderdate NULLS FIRST,
+                                     o_orderkey NULLS FIRST) AS rn
   FROM km_orders
 ), cust AS (
   SELECT o_custkey,
@@ -85,9 +86,11 @@ WITH km_orders AS (
   FROM risk WHERE d_t >= 1
 ), cum AS (
   SELECT t, d_t, n_t,
-         sum(lf) OVER (ORDER BY t) AS cum_lf,
-         count(*) OVER (ORDER BY t)
-           - count(lf) OVER (ORDER BY t) AS n_dead_ends
+         -- ADVICE r7 #5: NULLS FIRST on every ASC oracle key, even
+         -- keys non-NULL by construction (trap rule #1)
+         sum(lf) OVER (ORDER BY t NULLS FIRST) AS cum_lf,
+         count(*) OVER (ORDER BY t NULLS FIRST)
+           - count(lf) OVER (ORDER BY t NULLS FIRST) AS n_dead_ends
   FROM terms
 )
 SELECT CAST(t AS BIGINT) AS t_days, n_t AS n_at_risk, d_t AS n_events,

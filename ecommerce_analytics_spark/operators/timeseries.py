@@ -242,13 +242,18 @@ ordered AS (
                 OR lag(o_orderpriority) OVER w != o_orderpriority
               THEN 1 ELSE 0 END AS chg
   FROM feed
+  -- ADVICE r7 #5: NULLS FIRST spelled on EVERY ASC key (trap rule
+  -- #1), even ones non-NULL by the feed filter / PK convention —
+  -- a future salted fixture with NULL o_orderkey must not silently
+  -- diverge on DuckDB's NULLS-LAST default.
   WINDOW w AS (PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey,
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST,
                         o_orderpriority NULLS FIRST)
 ),
 versioned AS (
   SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey,
+                                ORDER BY o_orderdate NULLS FIRST,
+                                         o_orderkey NULLS FIRST,
                                          o_orderpriority NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
   FROM ordered
@@ -261,9 +266,11 @@ runs AS (
   FROM versioned GROUP BY o_custkey, version
 )
 SELECT custkey, version, priority, effective_from,
-       lead(effective_from) OVER (PARTITION BY custkey ORDER BY version)
+       lead(effective_from) OVER (PARTITION BY custkey
+                                  ORDER BY version NULLS FIRST)
          AS effective_to,
-       (lead(effective_from) OVER (PARTITION BY custkey ORDER BY version)
+       (lead(effective_from) OVER (PARTITION BY custkey
+                                   ORDER BY version NULLS FIRST)
          IS NULL) AS is_current,
        n_orders
 FROM runs
@@ -466,7 +473,7 @@ EWMA_ALPHA = 0.5  # binary-exact smoothing weight
       SELECT event_type, CAST(ts AS DATE) AS day,
              {money_sum_sql("value")} AS rev,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY CAST(ts AS DATE)) AS rn
+                                ORDER BY CAST(ts AS DATE) NULLS FIRST) AS rn
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     ew AS (
@@ -534,7 +541,8 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(round(value * 100) AS BIGINT) AS cents,
              epoch_ms(lead(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id))
+                                     ORDER BY ts NULLS FIRST,
+                                              event_id NULLS FIRST))
                - epoch_ms(ts) AS w_ms
       FROM events
     )
@@ -588,7 +596,7 @@ def q_time_weighted_value_by_type(spark: SparkSession,
       SELECT event_type, CAST(ts AS DATE) AS day,
              {money_sum_sql("value")} AS rev,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY CAST(ts AS DATE)) AS rn
+                                ORDER BY CAST(ts AS DATE) NULLS FIRST) AS rn
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     holt AS (
@@ -666,13 +674,14 @@ WITH daily AS (
            / CAST(b.d - a.d AS DOUBLE) AS slope
   FROM daily a JOIN daily b ON b.d > a.d
 ), sl AS (
-  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+  SELECT slope, row_number() OVER (ORDER BY slope NULLS FIRST) AS rn,
          count(*) OVER () AS n
   FROM pairs
 ), sen AS (
   SELECT slope AS sen_slope FROM sl WHERE rn = (n + 1) // 2
 ), ic AS (
-  SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+  SELECT v, row_number() OVER (ORDER BY v NULLS FIRST) AS rn,
+         count(*) OVER () AS n
   FROM (SELECT CAST(rev_cents AS DOUBLE)
                  - (SELECT sen_slope FROM sen) * CAST(d AS DOUBLE) AS v
         FROM daily)
@@ -772,13 +781,13 @@ WITH RECURSIVE bounds AS (
 ), daily AS (
   SELECT s.event_type, s.day, coalesce(p.cents, 0) AS cents,
          row_number() OVER (PARTITION BY s.event_type
-                            ORDER BY s.day) AS rn
+                            ORDER BY s.day NULLS FIRST) AS rn
   FROM spine s LEFT JOIN sparse p
     ON p.event_type = s.event_type AND p.day = s.day
 ), seed0 AS (
   SELECT event_type,
          CAST(sum(cents) AS DOUBLE) / 100.0 / {HW_PERIOD}.0 AS lvl,
-         list(CAST(cents AS DOUBLE) / 100.0 ORDER BY rn) AS xs
+         list(CAST(cents AS DOUBLE) / 100.0 ORDER BY rn NULLS FIRST) AS xs
   FROM daily WHERE rn <= {HW_PERIOD} GROUP BY event_type
 ), hw AS (
   SELECT event_type, CAST({HW_PERIOD} AS BIGINT) AS rn, lvl,

@@ -253,3 +253,119 @@ def test_read_evolving_parquet_merges_added_columns(spark, sf_dir,
     # values intact across the evolution boundary
     assert (merged.agg(F.sum("o_orderkey")).first()[0]
             == orders.agg(F.sum("o_orderkey")).first()[0])
+
+
+# ---------------------------------------------------------------------------
+# Cross-run index cache hygiene (ADVICE r7 #1/#2): per-user 0700 root,
+# mtime refresh on every hit, prune keep-guard for the key being
+# resolved, ownership distrust. Pure-filesystem tests — no Spark.
+
+
+def _fake_corpus(tmp_path):
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "embeddings.parquet").write_bytes(b"not-really-parquet")
+    return str(sf)
+
+
+def test_cache_root_is_per_user_and_0700(tmp_path, monkeypatch):
+    import tempfile
+
+    from ecommerce_analytics_spark import io as eio
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = _fake_corpus(tmp_path)
+    dest = eio.cached_index_dir(sf, "t_fam", "tok",
+                                lambda p: os.makedirs(p))
+    uid = os.getuid()
+    assert f"ea_cache_{uid}" in dest
+    root = os.path.join(str(tmp_path), f"ea_cache_{uid}")
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+
+
+def test_cache_hit_refreshes_mtime_and_never_rebuilds(tmp_path, monkeypatch):
+    import tempfile
+
+    from ecommerce_analytics_spark import io as eio
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = _fake_corpus(tmp_path)
+    dest = eio.cached_index_dir(sf, "t_fam", "tok",
+                                lambda p: os.makedirs(p))
+    # age the entry past the prune horizon, then hit it again: the
+    # builder must NOT run, and the hit must refresh mtime so a
+    # concurrent prune can never see it as stale
+    old = 1_000_000_000
+    os.utime(dest, (old, old))
+
+    def boom(_):
+        raise AssertionError("builder ran on a cache hit")
+
+    dest2 = eio.cached_index_dir(sf, "t_fam", "tok", boom)
+    assert dest2 == dest
+    assert os.path.getmtime(dest) > old
+
+
+def test_prune_spares_the_key_being_resolved(tmp_path, monkeypatch):
+    import tempfile
+
+    from ecommerce_analytics_spark import io as eio
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = _fake_corpus(tmp_path)
+    fam = os.path.join(eio._user_cache_root(), "t_fam")
+    # a stale sibling entry AND a stale tmp tree for the key we are
+    # about to resolve
+    os.makedirs(os.path.join(fam, "stale_sibling"))
+    old = 1_000_000_000
+    os.utime(os.path.join(fam, "stale_sibling"), (old, old))
+
+    seen = {}
+
+    def build(p):
+        os.makedirs(p)
+        seen["built"] = True
+
+    dest = eio.cached_index_dir(sf, "t_fam", "tok2", build)
+    assert seen.get("built")
+    # the stale sibling was pruned; the freshly-built key survives
+    assert not os.path.isdir(os.path.join(fam, "stale_sibling"))
+    assert os.path.isdir(dest)
+
+
+def test_prune_keep_guard_unit(tmp_path):
+    from ecommerce_analytics_spark.io import _prune_stale_cache_entries
+
+    fam = tmp_path / "fam"
+    fam.mkdir()
+    old = 1_000_000_000
+    for name in ("keepme", "keepme.tmp123", "goner"):
+        d = fam / name
+        d.mkdir()
+        os.utime(d, (old, old))
+    _prune_stale_cache_entries(str(fam), keep="keepme")
+    assert (fam / "keepme").is_dir()
+    assert (fam / "keepme.tmp123").is_dir()
+    assert not (fam / "goner").exists()
+
+
+def test_unowned_cache_entry_is_distrusted(tmp_path, monkeypatch):
+    import tempfile
+
+    from ecommerce_analytics_spark import io as eio
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = _fake_corpus(tmp_path)
+    dest = eio.cached_index_dir(sf, "t_fam", "tok3",
+                                lambda p: os.makedirs(p))
+    # simulate a foreign-owned entry: patch the ownership check itself
+    # (cannot chown cross-uid in tests); the entry must be rebuilt
+    monkeypatch.setattr(eio, "_owned_by_me", lambda p: False)
+    rebuilt = {}
+
+    def build(p):
+        os.makedirs(p)
+        rebuilt["yes"] = True
+
+    dest2 = eio.cached_index_dir(sf, "t_fam", "tok3", build)
+    assert dest2 == dest and rebuilt.get("yes")
