@@ -276,6 +276,36 @@ def write_bucketed_table(df: DataFrame, table: str,
     writer.saveAsTable(table)
 
 
+def bucketed_lineitem(spark: SparkSession, sf_dir: str,
+                      n_buckets: int = 32) -> DataFrame:
+    """Session-cached bucketed lineitem lake table (VERDICT r7 #4):
+    lineitem written ``bucketBy(n_buckets, l_orderkey)`` +
+    ``sortBy(l_orderkey)`` once per (corpus, session), served from the
+    catalog afterwards. Any consumer that joins or groups on
+    l_orderkey then reads pre-clustered buckets and skips the fact
+    shuffle — the C7 lake answer for the warehouse's biggest exchange,
+    paid once at write time (the nightly-build / online-serve split at
+    100 TB; joins.py's A/B measured ~20% off product_recommendations).
+
+    The table name is keyed on the corpus path, so different SF dirs
+    coexist in one session; data lands in a per-write unique tmp path
+    (run_tmpdir) so concurrent sessions never contend on a shared
+    warehouse location, and the catalog entry is session-local
+    (in-memory catalog) exactly like a production session registering
+    an existing lake table."""
+    import hashlib
+
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}:{n_buckets}".encode()).hexdigest()[:10]
+    table = f"lineitem_bkt_{key}"
+    if not spark.catalog.tableExists(table):
+        write_bucketed_table(
+            load_table(spark, sf_dir, "lineitem"), table,
+            ("l_orderkey",), n_buckets, sort_cols=("l_orderkey",),
+            path=run_tmpdir(f"bkt_{table}_"))
+    return spark.table(table)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same pushdown/pruning surface as parquet (S1-S3
     analog for the second columnar format a lake commonly holds)."""

