@@ -79,7 +79,12 @@ def cached_index_dir(sf_dir: str, family: str, token: str,
         shutil.rmtree(dest, ignore_errors=True)
     if not os.path.isdir(dest):
         _prune_stale_cache_entries(fam_dir, keep=key)
-        tmp = dest + f".tmp{os.getpid()}"
+        # unique per pid AND thread: concurrent builders inside one
+        # process (a FAIR-pool session serving the same corpus twice)
+        # share the pid, and a pid-only suffix made both write the
+        # same tmp tree (found by test_concurrent_index_cache_build_race)
+        import threading
+        tmp = dest + f".tmp{os.getpid()}_{threading.get_ident()}"
         builder(tmp)
         try:
             os.rename(tmp, dest)
