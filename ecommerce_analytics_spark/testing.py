@@ -37,9 +37,14 @@ def duckdb_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     try:
         for name in DRIVER_TABLES:
             path = os.path.join(sf_dir, f"{name}.parquet")
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+            if os.path.isdir(path):
+                # Spark-written table (tools/gen_scale.py output): a
+                # DIRECTORY of part files — glob them for DuckDB
+                path = os.path.join(path, "*.parquet")
+            elif not os.path.exists(path):
+                continue
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
         return con.execute(sql).fetchdf()
     finally:
         con.close()

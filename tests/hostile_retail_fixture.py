@@ -212,24 +212,33 @@ _SALTS = {
 
 
 def build_hostile_retail(sf_dir: str, out_dir: str,
-                         empty_orders: bool = False) -> str:
+                         empty_orders: bool = False,
+                         empty_dims: bool = False) -> str:
     """Materialize the salted fixture under out_dir; other tables are
-    symlinked. Returns out_dir."""
+    symlinked. Returns out_dir. ``empty_orders`` replaces orders with a
+    zero-row table (empty fact partition); ``empty_dims`` empties
+    region AND nation instead (the empty-dim class: every inner dim
+    join annihilates, every left join goes all-NULL — a 100 TB
+    cluster sees this when a dim load fails or a filter matches
+    nothing). Both variants keep the other tables unsalted so the
+    divergence under test is isolated to the emptiness."""
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
-    salted = set(_SALTS) | ({"orders"} if empty_orders else set())
+    plain_variant = empty_orders or empty_dims
+    emptied = ({"orders"} if empty_orders else set()) | (
+        {"region", "nation"} if empty_dims else set())
     for name in os.listdir(sf_dir):
         if (name.endswith(".parquet")
-                and name.removesuffix(".parquet") not in salted):
+                and name.removesuffix(".parquet") not in set(_SALTS)):
             dst = os.path.join(out_dir, name)
             if not os.path.exists(dst):
                 os.symlink(os.path.join(sf_dir, name), dst)
     for table, salt in _SALTS.items():
         src = f"{sf_dir}/{table}.parquet"
-        if empty_orders and table == "orders":
+        if table in emptied:
             sql = f"SELECT * FROM '{src}' WHERE FALSE"
-        elif empty_orders:
+        elif plain_variant:
             sql = f"SELECT * FROM '{src}'"
         else:
             sql = salt.replace("FROM base", f"FROM '{src}'")

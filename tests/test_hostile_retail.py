@@ -178,3 +178,48 @@ def test_gate_classifies_every_salt_class(spark, salted_sf):
     n_mega = (load_table(spark, salted_sf, "orders")
               .filter(F.col("o_custkey") == MEGA_CUSTKEY).count())
     assert n_mega >= N_MEGA_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# EMPTY-DIMS variant (round 8): region AND nation as zero-row tables —
+# the empty-dim-partition class (failed dim load / filter matching
+# nothing). Inner dim joins annihilate, left joins go all-NULL; every
+# region/nation-consuming query must agree with its oracle on the
+# result. ROLLUP/CUBE queries keep the documented empty-grouping-set
+# exclusion (Spark omits the SQL-standard super-aggregate row that
+# DuckDB emits once the join empties their input).
+
+_DIM_PAT = re.compile(r"\b(region|nation)\b")
+
+EMPTY_DIMS_EXCLUDED = {
+    "spend_rollup_region_nation",  # empty grouping-set row again: the
+                                   # inner dim join empties the ROLLUP
+                                   # input even though orders is full
+}
+
+
+def _dim_affected():
+    from ecommerce_analytics_spark.plans.registry import all_queries
+    return sorted(n for n, q in all_queries().items()
+                  if q.oracle and _DIM_PAT.search(q.oracle)
+                  and n not in EMPTY_DIMS_EXCLUDED)
+
+
+@pytest.fixture(scope="module")
+def empty_dims_sf(sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_dims")
+    return build_hostile_retail(sf_dir, str(out), empty_dims=True)
+
+
+@pytest.mark.parametrize("name", _dim_affected())
+def test_query_matches_oracle_on_empty_dims(spark, empty_dims_sf, name):
+    from ecommerce_analytics_spark.plans.registry import all_queries
+    from ecommerce_analytics_spark.testing import (
+        compare_frames, duckdb_oracle)
+
+    q = all_queries()[name]
+    spark_pdf = q.spark_fn(spark, empty_dims_sf).toPandas()
+    problems = compare_frames(
+        spark_pdf, duckdb_oracle(q.oracle, empty_dims_sf),
+        name, float_sig=q.float_sig)
+    assert not problems, "\n".join(problems)
