@@ -96,6 +96,23 @@ def _normalize(df: pd.DataFrame,
     return cols, rows
 
 
+def value_hash(pdf: pd.DataFrame, float_sig: int | None = None) -> str:
+    """Order-insensitive content hash of a result frame: md5 over the
+    sorted (column names, normalized row multiset). Two runs of the
+    same query agree on ``value_hash`` iff they agree under
+    ``compare_frames`` — used by the input-layout invariance wave
+    (tools/roworder_wave.py) to diff results across physically
+    permuted copies of the same tables, where the oracle alone can't
+    see run-to-run nondeterminism (both engines reread the same dir)."""
+    import hashlib
+
+    cols, rows = _normalize(pdf, float_sig)
+    h = hashlib.md5(repr(cols).encode())
+    for item in sorted(rows.items(), key=repr):
+        h.update(repr(item).encode())
+    return h.hexdigest()
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
                    name: str = "", float_sig: int | None = None) -> list[str]:
     """Return a list of mismatch descriptions (empty = match).

@@ -186,6 +186,8 @@ def main() -> int:
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
             rec["spark_rows"] = len(spark_pdf)
+            from ecommerce_analytics_spark.testing import value_hash
+            rec["vh"] = value_hash(spark_pdf)
             sql = oracles.get(name)
             if sql is None:
                 rec["mode"] = "rows-only"
