@@ -41,6 +41,22 @@ SIM_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
 _COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
+def _num_rows(path: str) -> int:
+    """Row count from parquet footers only (no data read). The table
+    may be a single file OR a directory of parts (compacted lake,
+    mixed writers) — the same by-name/any-layout reader contract every
+    other scan in the package honors; found by the round-8
+    mixed-writer wave when ``pq.ParquetFile(dir)`` crashed here."""
+    import os
+
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _load_arrow(path: str):
     """events parquet → pyarrow table with ts truncated ns→µs."""
     import pyarrow.compute as pc
@@ -66,8 +82,7 @@ class _SimBatchReader(DataSourceReader):
                                              "100000"))
 
     def partitions(self):
-        import pyarrow.parquet as pq
-        n = pq.ParquetFile(self.path).metadata.num_rows
+        n = _num_rows(self.path)
         step = self.rows_per_part
         return [_RowRange(s, min(s + step, n))
                 for s in range(0, max(n, 1), step)]

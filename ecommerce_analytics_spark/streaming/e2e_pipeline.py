@@ -186,9 +186,11 @@ def drain_replay(q, total_offset: int, stateful: bool = True,
 
 
 def replay_total_offset(events_path: str) -> int:
-    """Terminal offset of a sentinel-punctuated replay of this file."""
-    import pyarrow.parquet as pq
-    return pq.ParquetFile(events_path).metadata.num_rows + 1
+    """Terminal offset of a sentinel-punctuated replay of this table
+    (single file or directory-of-parts — same layout contract as the
+    sim_events source it paces)."""
+    from ecommerce_analytics_spark.sources.simulator import _num_rows
+    return _num_rows(events_path) + 1
 
 
 def run_pipeline(spark: SparkSession, events_path: str, run_dir: str,

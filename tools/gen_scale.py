@@ -110,7 +110,16 @@ def scale_dir(src: str, out: str, k: int) -> None:
         rolled = F.concat(F.slice(e, r + 1, 64 - r), F.slice(e, 1, r))
         return df.withColumn("embedding", rolled)
 
-    copies("embeddings", offset("vec_id", mx["vec_id"]), roll_embedding)
+    # label is a BLOCKING key (embedding_neardup pairs within label
+    # blocks): leaving it unscaled makes blocks grow k× and pair counts
+    # k² — the synthetic quadratic artifact this generator exists to
+    # avoid (found when the sf1.0 sweep stalled ~100× on that query).
+    # Offset it like every other key so per-block density stays flat,
+    # matching how a real corpus grows (more cells, not denser ones).
+    n_labels = load_table(spark, src, "embeddings").agg(
+        F.max("label")).first()[0] + 1
+    copies("embeddings", offset("vec_id", mx["vec_id"]),
+           offset("label", n_labels), roll_embedding)
 
     for name in ALL_TABLES:
         dst = os.path.join(out, f"{name}.parquet")
