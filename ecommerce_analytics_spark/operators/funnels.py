@@ -185,14 +185,18 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AS MATERIALIZED: item_counts and pair_counts are each referenced
+# twice; DuckDB inlines plain CTEs per reference, recomputing the
+# basket pair join per use — measured 984s / 40 output rows at sf1.0
+# (round-8 scale sweep). Pure planner hint; semantics identical.
 _RULES_ORACLE = f"""
-WITH basket AS (
+WITH basket AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), n_orders AS (
   SELECT count(DISTINCT l_orderkey) AS n FROM basket
-), item_counts AS (
+), item_counts AS MATERIALIZED (
   SELECT l_partkey, count(*) AS n_item FROM basket GROUP BY l_partkey
-), pair_counts AS (
+), pair_counts AS MATERIALIZED (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_pair
   FROM basket a JOIN basket b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -41,19 +41,25 @@ PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
 def _oracle() -> str:
+    # AS MATERIALIZED on the CTEs every round re-reads: DuckDB inlines
+    # plain CTEs per reference, so without it the pairs self-join and
+    # edge dedup recompute once per unrolled round — measured 1050s
+    # and a disk-filling 55 GB temp spill at sf1.0 (round-8 scale
+    # sweep) for a query whose Spark side finishes in seconds. Pure
+    # planner hint; semantics identical.
     cte = """
-WITH basket AS (
+WITH basket AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM basket a JOIN basket b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
-), consts AS (
+), consts AS MATERIALIZED (
   SELECT count(*) AS n,
          (CAST({PR_FIX} AS BIGINT) * (100 - 85)) // (100 * count(*))
            AS base_fix,
@@ -156,19 +162,19 @@ def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting (degree-ordered — the MapReduce-era scale variant)
 
 _TRI_ORACLE = """
-WITH basket AS (
+WITH basket AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM basket a JOIN basket b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT node, CAST(count(*) AS BIGINT) AS deg
   FROM (SELECT src AS node FROM pairs
         UNION ALL SELECT dst AS node FROM pairs)
   GROUP BY node
-), oriented AS (
+), oriented AS MATERIALIZED (
   SELECT CASE WHEN (ds.deg < dd.deg)
                 OR (ds.deg = dd.deg AND p.src < p.dst)
               THEN p.src ELSE p.dst END AS lo,
@@ -181,7 +187,7 @@ WITH basket AS (
   FROM pairs p
   JOIN deg ds ON p.src = ds.node
   JOIN deg dd ON p.dst = dd.node
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
   FROM oriented w1
   JOIN oriented w2

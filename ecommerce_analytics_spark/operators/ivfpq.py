@@ -54,7 +54,8 @@ from ecommerce_analytics_spark.io import (
     cached_index_dir, load_table, run_tmpdir,
 )
 from ecommerce_analytics_spark.operators.pq import (
-    _normalized, _sq_dist, encode_pq, refine_topk, train_codebooks,
+    _normalized, _sq_dist, adaptive_shortlist, encode_pq, refine_topk,
+    train_codebooks,
 )
 from ecommerce_analytics_spark.operators.similarity import (
     N_CENTROIDS, N_QUERIES, TOP_K, knn_exact_baseline,
@@ -74,9 +75,9 @@ from ecommerce_analytics_spark.plans.registry import query
 # converts that headroom into recall.
 IVFPQ_RECALL_FLOOR = 0.6
 IVFPQ_N_PROBE = 4
-IVFPQ_SHORTLIST = 200
+IVFPQ_SHORTLIST = 200  # floor; scales with the corpus (pq.adaptive_shortlist)
 COARSE_SEED = 42   # coarse-quantizer KMeans seed (tools/ann_sensitivity)
-_INDEX_VERSION = "v2"  # bump on any build-pipeline semantic change
+_INDEX_VERSION = "v3"  # v3: uniform (stride) codebook training sample
 
 
 def _coarse_quantizer(spark: SparkSession,
@@ -204,11 +205,16 @@ def knn_ivfpq_stored(spark: SparkSession, queries: DataFrame,
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
     codes = spark.read.parquet(os.path.join(path, "codes"))
     nq = _normalized(queries)
-    return _serve(nq, _normalized(neighbors), cents, cb, codes)
+    # corpus size from the stored code table (footer-cheap count);
+    # equals the in-memory twin's nemb.count() — the equality test
+    # depends on both sides picking the same shortlist size
+    return _serve(nq, _normalized(neighbors), cents, cb, codes,
+                  n_corpus=codes.count())
 
 
 def _serve(nq: DataFrame, refine_nv: DataFrame, cents: DataFrame,
-           codebooks: DataFrame, codes: DataFrame) -> DataFrame:
+           codebooks: DataFrame, codes: DataFrame,
+           n_corpus: int) -> DataFrame:
     probes = _probes(nq, cents)
     lut = _residual_lut(nq, probes, codebooks)
     # the broadcast probe join on cell_id is what prunes the stored
@@ -227,7 +233,8 @@ def _serve(nq: DataFrame, refine_nv: DataFrame, cents: DataFrame,
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc_d2"), F.asc("neighbor_id"))
     shortlist = (scored.withColumn("_r", F.row_number().over(w_adc))
-                 .filter(F.col("_r") <= IVFPQ_SHORTLIST)
+                 .filter(F.col("_r") <= adaptive_shortlist(
+                     n_corpus, IVFPQ_SHORTLIST, frac=20))
                  .select("query_id", "neighbor_id"))
     qv = nq.select(F.col("vec_id").alias("query_id"),
                    F.col("nemb").alias("_qv"))
@@ -249,7 +256,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "vec_id")
     nq = nemb.filter(F.col("vec_id") < N_QUERIES) \
         .select("vec_id", "nemb")
-    return _serve(nq, nemb, cents, cb, codes)
+    return _serve(nq, nemb, cents, cb, codes, n_corpus=nemb.count())
 
 
 def q_knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,7 +55,24 @@ PQ_M = 8         # subspaces
 PQ_K = 16        # codes per subspace (4 bits)
 PQ_SUBDIM = 8    # = EMB_DIM / PQ_M
 PQ_SEED = 42
-PQ_SHORTLIST = 50  # ADC shortlist size refined by exact re-ranking
+PQ_SHORTLIST = 50  # ADC shortlist FLOOR; grows with the corpus, below
+
+
+def adaptive_shortlist(n_corpus: int, base: int = PQ_SHORTLIST,
+                       frac: int = 40) -> int:
+    """Shortlist that grows with the corpus: max(base, n/frac). A
+    FIXED shortlist is a silently decaying recall contract — 50 of 2k
+    vectors is 2.5% at sf0.1, but 50 of 20k is 0.25% at sf1.0, where
+    the round-8 scale sweep measured recall@5 below the floor. At a
+    fixed ratio the refine cost stays linear in corpus size per query
+    (and the ADC scan already is); at the driver SFs (n ≤ 2k) the
+    value equals the old constant, so every committed floor and
+    sensitivity number is unchanged. IVFADC passes frac=20: residual
+    quantization is coarser than plain PQ (measured sf1.0 recall@5
+    0.613 at frac=40 against a 0.6 floor — too thin a margin), and
+    its ADC scan is already cell-pruned, so the wider exact re-rank
+    is the cheap knob."""
+    return max(base, n_corpus // frac)
 
 # Certified by knn_pq_recall below. Raw 4-bit ADC ranking alone
 # measures recall@5 ≈ 0.25-0.29 on this corpus — too coarse; with the
@@ -94,21 +111,40 @@ def _subvectors(df: DataFrame) -> DataFrame:
 PQ_TRAIN_CAP = 4096  # deterministic training-sample bound per fit
 
 
+def train_sample(nemb: DataFrame) -> DataFrame:
+    """Deterministic ≈PQ_TRAIN_CAP-row UNIFORM training sample.
+
+    The earlier form (``vec_id < PQ_TRAIN_CAP``) was a PREFIX sample —
+    biased at scale: a real corpus is ingest-ordered and drifts, and
+    the round-8 sf1.0 sweep measured exactly that failure (codebooks
+    trained on the id-prefix never saw the distribution of the rest of
+    the corpus; recall@5 fell below the floor). A modular stride over
+    vec_id stays engine-deterministic and seed-free while covering the
+    whole id range. Corpora at or under the cap — every driver SF —
+    take the identity path, so the committed floors and sensitivity
+    tables are byte-for-byte unchanged there."""
+    n = nemb.count()
+    if n <= PQ_TRAIN_CAP:
+        return nemb
+    stride = -(-n // PQ_TRAIN_CAP)  # ceil
+    return nemb.filter(F.col("vec_id") % stride == 0)
+
+
 def train_codebooks(spark: SparkSession, nemb: DataFrame) -> DataFrame:
     """Per-subspace KMeans codebooks: (m, code, c_emb[PQ_SUBDIM]).
 
-    M independent small fits, each over a deterministic ≤ PQ_TRAIN_CAP
-    sample (vec_id < cap) — codebook training cost is CONSTANT in the
-    corpus size, the standard PQ recipe (train on a sample, encode
-    everything). The result is PQ_M × PQ_K rows — broadcast wherever
-    it is used.
+    M independent small fits, each over the deterministic
+    ≤ PQ_TRAIN_CAP uniform sample (train_sample) — codebook training
+    cost is CONSTANT in the corpus size, the standard PQ recipe
+    (train on a sample, encode everything). The result is
+    PQ_M × PQ_K rows — broadcast wherever it is used.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = nemb.filter(F.col("vec_id") < PQ_TRAIN_CAP).cache()
+    train = train_sample(nemb).cache()
     train.count()  # materialize the cache once before the fan-out
 
     def _fit(m: int):
@@ -223,10 +259,12 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     nemb = _normalized(emb)
+    n_corpus = nemb.count()
     cb = train_codebooks(spark, nemb)
     codes = encode_pq(nemb, cb)
     lut = adc_lut(nemb.filter(F.col("vec_id") < N_QUERIES), cb)
-    shortlist = adc_shortlist(codes, lut)
+    shortlist = adc_shortlist(codes, lut,
+                              shortlist=adaptive_shortlist(n_corpus))
     qv = (nemb.filter(F.col("vec_id") < N_QUERIES)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("nemb").alias("_qv")))
@@ -307,7 +345,12 @@ def knn_pq_stored(spark: SparkSession, queries: DataFrame,
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
     codes = spark.read.parquet(os.path.join(path, "codes"))
     nq = _normalized(queries)
-    shortlist = adc_shortlist(codes, adc_lut(nq, cb))
+    # corpus size from the stored code table (one row per encoded
+    # vector, footer-cheap count) — matches the in-memory twin's
+    # nemb.count() exactly, which the equality test depends on
+    shortlist = adc_shortlist(
+        codes, adc_lut(nq, cb),
+        shortlist=adaptive_shortlist(codes.count()))
     qv = nq.select(F.col("vec_id").alias("query_id"),
                    F.col("nemb").alias("_qv"))
     nv = _normalized(neighbors).select(
