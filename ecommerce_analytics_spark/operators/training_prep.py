@@ -47,13 +47,20 @@ from ecommerce_analytics_spark.operators.corpus_quality import (
 )
 from ecommerce_analytics_spark.operators.dedup_resolve import _U_SQL
 from ecommerce_analytics_spark.operators.similarity import (
-    N_CENTROIDS, _cos_sql, dot, norm,
+    N_CENTROIDS, _cos_sql, _dot_sql, dot, norm,
 )
 from ecommerce_analytics_spark.plans.registry import query
 
 SEQ_LEN = 2048        # training sequence length (tokens)
 SEM_THRESH = 0.999    # SemDeDup within-cluster cosine threshold
 SEM_COPY_MOD = 40     # vec_id % 40 == 0 gets an injected ×2 copy
+# Cell-size cap (the SemDeDup paper's own scale recipe): the cell
+# count grows with the corpus, max(N_CENTROIDS, n // SEM_CELL_CAP),
+# so within-cell pair work stays ~linear in n. With fixed cells the
+# round-8 sf1.0 sweep measured the within-cell join going quadratic
+# (8 cells × 2.5k members = 50M pair folds; ≥45× the sf0.1 time).
+# Identity at every driver SF (n ≤ 2k ⇒ 8 cells, unchanged results).
+SEM_CELL_CAP = 256
 
 _PACK_ORACLE = f"""
 WITH t AS (
@@ -113,23 +120,33 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEM_ORACLE = f"""
-WITH corpus AS (
-  SELECT vec_id, embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + 1000000 AS vec_id,
-         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
-           AS embedding
-  FROM embeddings WHERE vec_id % {SEM_COPY_MOD} = 0
-), cent AS (
-  SELECT vec_id AS cell_id, embedding AS c_emb
-  FROM embeddings WHERE vec_id < {N_CENTROIDS}
-), assigned AS (
-  SELECT vec_id, embedding, cell_id, cent_cos FROM (
-    SELECT c.vec_id, c.embedding, cent.cell_id,
-           {_cos_sql('c.embedding', 'cent.c_emb')} AS cent_cos,
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+             AS embedding
+    FROM embeddings WHERE vec_id % {SEM_COPY_MOD} = 0
+  )
+), cent AS MATERIALIZED (
+  SELECT vec_id AS cell_id, embedding AS c_emb,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS c_nrm
+  FROM embeddings
+  WHERE vec_id < (SELECT greatest({N_CENTROIDS},
+                                  count(*) // {SEM_CELL_CAP})
+                  FROM embeddings)
+), assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm, cell_id, cent_cos FROM (
+    SELECT c.vec_id, c.embedding, c.nrm, cent.cell_id,
+           ({_dot_sql('c.embedding', 'cent.c_emb')}
+            / (c.nrm * cent.c_nrm)) AS cent_cos,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY {_cos_sql('c.embedding', 'cent.c_emb')} DESC,
+             ORDER BY ({_dot_sql('c.embedding', 'cent.c_emb')}
+                       / (c.nrm * cent.c_nrm)) DESC,
                       cent.cell_id
            ) AS rn
     FROM corpus c CROSS JOIN cent
@@ -140,7 +157,8 @@ WITH corpus AS (
     ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
    AND (a.cent_cos > b.cent_cos
         OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
-  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {SEM_THRESH}
+  WHERE ({_dot_sql('a.embedding', 'b.embedding')}
+         / (a.nrm * b.nrm)) >= {SEM_THRESH}
 )
 SELECT s.vec_id, CAST(s.cell_id AS INTEGER) AS cell_id,
        round(s.cent_cos, 9) AS cent_cos,
@@ -176,7 +194,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("embedding"))
     )
     corpus = emb.select("vec_id", "embedding").unionAll(copies)
-    cents = (emb.filter(F.col("vec_id") < N_CENTROIDS)
+    n_cells = max(N_CENTROIDS, emb.count() // SEM_CELL_CAP)
+    cents = (emb.filter(F.col("vec_id") < n_cells)
              .select(F.col("vec_id").alias("cell_id"),
                      F.col("embedding").alias("c_emb"),
                      norm(F.col("embedding")).alias("c_nrm")))

@@ -64,6 +64,13 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                _default_driver_mem()))
+        # The stock 1g result-size cap is mismatched with a multi-GB
+        # driver heap: full-fact-table outputs collected by the sweep
+        # harness (6M-row JSON projections at sf1.0) abort with an
+        # opaque socket error long before the heap is at risk. Engine
+        # paths never collect data (sinks are distributed writes);
+        # this only governs deliberate harness collects.
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
