@@ -1,0 +1,46 @@
+"""Adaptive ANN sizing contracts (round 8).
+
+The sf1.0 scale sweep measured both PQ-family recall queries below
+floor with fixed parameters; the fixes are (a) shortlists at a fixed
+RATIO of the corpus and (b) codebook training on a uniform stride
+sample instead of an id-prefix. These tests pin the arithmetic and
+the two invariants the fix leans on: identity at driver SFs (so the
+committed floors/sensitivity numbers stay valid) and whole-range
+coverage above the cap.
+"""
+
+from __future__ import annotations
+
+from ecommerce_analytics_spark.operators.pq import (
+    PQ_SHORTLIST, PQ_TRAIN_CAP, adaptive_shortlist, train_sample,
+)
+
+
+def test_adaptive_shortlist_identity_at_driver_sfs():
+    # n <= base*frac keeps the committed constant — floors unchanged
+    for n in (0, 200, 2000):
+        assert adaptive_shortlist(n) == PQ_SHORTLIST
+        assert adaptive_shortlist(n, base=200, frac=20) == 200
+
+
+def test_adaptive_shortlist_scales_with_corpus():
+    assert adaptive_shortlist(20_000) == 500          # n/40
+    assert adaptive_shortlist(20_000, base=200, frac=20) == 1000
+    assert adaptive_shortlist(4_000_000) == 100_000   # stays ratio-bound
+
+
+def test_train_sample_identity_at_or_under_cap(spark):
+    df = spark.range(PQ_TRAIN_CAP).withColumnRenamed("id", "vec_id")
+    assert train_sample(df) is df  # identity object — zero plan change
+
+
+def test_train_sample_uniform_above_cap(spark):
+    n = 10 * PQ_TRAIN_CAP
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    sampled = train_sample(df).toPandas()["vec_id"]
+    # bounded near the cap, and covering the WHOLE id range (the
+    # prefix bias the round-8 sweep caught would fail the max check)
+    assert len(sampled) <= PQ_TRAIN_CAP
+    assert len(sampled) > PQ_TRAIN_CAP // 2
+    assert sampled.min() == 0
+    assert sampled.max() >= n - 10 * (n // PQ_TRAIN_CAP)
