@@ -64,6 +64,13 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                _default_driver_mem()))
+        # Recursive CTEs (order_chain_recursive) accumulate one row
+        # per chain member per level; the stock 1M-row guard tripped
+        # at sf1.0 (6M lineitems → >1M chain rows) — a data-volume
+        # ceiling, not a runaway-recursion signal (the level limit,
+        # which IS the cycle guard, stays at its default). Sized for
+        # the certified SF range; at 100 TB set proportionally.
+        .config("spark.sql.cteRecursionRowLimit", str(100_000_000))
         # The stock 1g result-size cap is mismatched with a multi-GB
         # driver heap: full-fact-table outputs collected by the sweep
         # harness (6M-row JSON projections at sf1.0) abort with an
@@ -126,4 +133,7 @@ def tune(spark: SparkSession) -> SparkSession:
         conf.set("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
     except Exception:
         pass  # static in some deployments; broadcast() hints still apply
+    # Data-volume ceiling, not a cycle guard (the level limit is) —
+    # the stock 1M rows trips on recursive chains at >= sf1.0.
+    conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     return spark
