@@ -118,16 +118,20 @@ def train_sample(nemb: DataFrame) -> DataFrame:
     biased at scale: a real corpus is ingest-ordered and drifts, and
     the round-8 sf1.0 sweep measured exactly that failure (codebooks
     trained on the id-prefix never saw the distribution of the rest of
-    the corpus; recall@5 fell below the floor). A modular stride over
+    the corpus; recall@5 fell below the floor). A stride over a HASH of
     vec_id stays engine-deterministic and seed-free while covering the
-    whole id range. Corpora at or under the cap — every driver SF —
-    take the identity path, so the committed floors and sensitivity
-    tables are byte-for-byte unchanged there."""
+    whole id range — and, unlike a raw ``vec_id % stride`` (the first
+    fix), assumes nothing about id density or pattern: a post-dedup or
+    filtered corpus with sparse/strided ids would alias a raw modulus
+    (systematically under- or over-sampling), while xxhash64 scatters
+    any id pattern uniformly. Corpora at or under the cap — every
+    driver SF — take the identity path, so the committed floors and
+    sensitivity tables are byte-for-byte unchanged there."""
     n = nemb.count()
     if n <= PQ_TRAIN_CAP:
         return nemb
     stride = -(-n // PQ_TRAIN_CAP)  # ceil
-    return nemb.filter(F.col("vec_id") % stride == 0)
+    return nemb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
 
 
 def train_codebooks(spark: SparkSession, nemb: DataFrame) -> DataFrame:

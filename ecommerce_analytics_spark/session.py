@@ -32,6 +32,24 @@ def _default_driver_mem() -> str:
     return f"{max(2, min(48, avail_gb // 2))}g"
 
 
+def _result_size_cap(driver_mem: str) -> str:
+    """Result-size cap derived from the driver heap: min(heap // 2, 8g),
+    floored at 1g (the Spark stock default). Keeps oversized harness
+    collects failing with the intended clean error on small hosts
+    instead of driving the JVM into OOM."""
+    try:
+        mem = driver_mem.strip().lower()
+        if mem.endswith("g"):
+            heap_gb = int(mem[:-1])
+        elif mem.endswith("m"):
+            heap_gb = int(mem[:-1]) // 1024
+        else:
+            heap_gb = int(mem) // (1024 ** 3)
+    except ValueError:
+        heap_gb = 2
+    return f"{max(1, min(8, heap_gb // 2))}g"
+
+
 def get_spark(app_name: str = "ecommerce_analytics_spark",
               cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the tuned local SparkSession.
@@ -45,6 +63,8 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                _default_driver_mem())
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -61,9 +81,7 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                               _default_driver_mem()))
+        .config("spark.driver.memory", driver_mem)
         # Recursive CTEs (order_chain_recursive) accumulate one row
         # per chain member per level; the stock 1M-row guard tripped
         # at sf1.0 (6M lineitems → >1M chain rows) — a data-volume
@@ -76,8 +94,10 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         # harness (6M-row JSON projections at sf1.0) abort with an
         # opaque socket error long before the heap is at risk. Engine
         # paths never collect data (sinks are distributed writes);
-        # this only governs deliberate harness collects.
-        .config("spark.driver.maxResultSize", "8g")
+        # this only governs deliberate harness collects. Cap at half
+        # the chosen heap so a small-host driver aborts with the clean
+        # maxResultSize error instead of OOM-killing the JVM.
+        .config("spark.driver.maxResultSize", _result_size_cap(driver_mem))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )

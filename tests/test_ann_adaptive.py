@@ -11,6 +11,8 @@ coverage above the cap.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ecommerce_analytics_spark.operators.pq import (
     PQ_SHORTLIST, PQ_TRAIN_CAP, adaptive_shortlist, train_sample,
 )
@@ -38,9 +40,20 @@ def test_train_sample_uniform_above_cap(spark):
     n = 10 * PQ_TRAIN_CAP
     df = spark.range(n).withColumnRenamed("id", "vec_id")
     sampled = train_sample(df).toPandas()["vec_id"]
-    # bounded near the cap, and covering the WHOLE id range (the
-    # prefix bias the round-8 sweep caught would fail the max check)
-    assert len(sampled) <= PQ_TRAIN_CAP
-    assert len(sampled) > PQ_TRAIN_CAP // 2
-    assert sampled.min() == 0
-    assert sampled.max() >= n - 10 * (n // PQ_TRAIN_CAP)
+    # bounded near the cap (hash stride ⇒ binomial around n/stride),
+    # and covering the WHOLE id range (the prefix bias the round-8
+    # sweep caught would fail the max check)
+    assert PQ_TRAIN_CAP // 2 < len(sampled) < PQ_TRAIN_CAP * 5 // 4
+    assert sampled.min() < n // 100
+    assert sampled.max() > n - n // 100
+
+
+def test_train_sample_immune_to_id_pattern(spark):
+    # ADVICE r8: a raw ``vec_id % stride`` aliases with patterned ids —
+    # e.g. a post-dedup corpus keeping only multiples of 10. The hash
+    # stride must sample such a corpus at the same ≈cap rate, not 0×.
+    n = 10 * PQ_TRAIN_CAP
+    df = (spark.range(n)
+          .select((F.col("id") * 10).alias("vec_id")))
+    sampled = train_sample(df).toPandas()["vec_id"]
+    assert PQ_TRAIN_CAP // 2 < len(sampled) < PQ_TRAIN_CAP * 5 // 4

@@ -81,7 +81,8 @@ def test_query_matches_oracle_on_mixed_writer_lake(
             hostile_pdf, duckdb_oracle(q.oracle, hostile_sf), name,
             float_sig=q.float_sig)
         assert not problems, "\n".join(problems)
-    canon_vh = value_hash(q.spark_fn(spark, sf_dir).toPandas())
-    assert value_hash(hostile_pdf) == canon_vh, (
+    canon_vh = value_hash(q.spark_fn(spark, sf_dir).toPandas(),
+                          float_sig=q.float_sig)
+    assert value_hash(hostile_pdf, float_sig=q.float_sig) == canon_vh, (
         f"{name}: result differs between the canonical and the "
         f"mixed-writer layout of identical content")

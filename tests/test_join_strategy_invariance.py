@@ -69,13 +69,15 @@ def test_result_invariant_to_join_strategy(spark, sf_dir, name):
     from ecommerce_analytics_spark.testing import value_hash
 
     q = all_queries()[name]
-    default_vh = value_hash(q.spark_fn(spark, sf_dir).toPandas())
+    default_vh = value_hash(q.spark_fn(spark, sf_dir).toPandas(),
+                            float_sig=q.float_sig)
 
     saved = {k: spark.conf.get(k, None) for k in FLIPPED}
     try:
         for k, v in FLIPPED.items():
             spark.conf.set(k, v)
-        flipped_vh = value_hash(q.spark_fn(spark, sf_dir).toPandas())
+        flipped_vh = value_hash(q.spark_fn(spark, sf_dir).toPandas(),
+                                float_sig=q.float_sig)
     finally:
         for k, v in saved.items():
             if v is None:

@@ -99,6 +99,12 @@ def main() -> int:
     proc = subprocess.run(
         [sys.executable, f"{REPO}/tools/sweep.py", perm_dir],
         env=env, cwd=REPO)
+    if not os.path.exists(perm_artifact):
+        # sweep.py writes the artifact only at sweep END — a crash mid-run
+        # leaves nothing; report the sweep failure, not a FileNotFoundError.
+        print(f"sweep.py exited {proc.returncode} without writing "
+              f"{perm_artifact}; see its output above", file=sys.stderr)
+        return 2
     with open(perm_artifact) as f:
         permuted = {r["q"]: r for r in json.load(f)["records"]}
 

@@ -174,6 +174,11 @@ def main() -> int:
             return 0
 
     spark = get_spark()
+    # Per-query certified float tolerance: vh must be recorded at the
+    # same significance the oracle compare uses, or layout/plan waves
+    # gate sig-digit queries bitwise (ADVICE r8).
+    from ecommerce_analytics_spark.plans.registry import all_queries
+    sig_by_name = {n: q.float_sig for n, q in all_queries().items()}
     failures = 0
     records: list[dict] = []
     t_all = time.time()
@@ -187,7 +192,8 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
             rec["spark_rows"] = len(spark_pdf)
             from ecommerce_analytics_spark.testing import value_hash
-            rec["vh"] = value_hash(spark_pdf)
+            rec["vh"] = value_hash(spark_pdf,
+                                   float_sig=sig_by_name.get(name))
             sql = oracles.get(name)
             if sql is None:
                 rec["mode"] = "rows-only"
