@@ -32,6 +32,21 @@ def _default_driver_mem() -> str:
     return f"{max(2, min(48, avail_gb // 2))}g"
 
 
+def _extra_conf_pairs() -> list[tuple[str, str]]:
+    """Harness hook: certification waves (AQE-skew, speculation/retry)
+    drive tools/sweep.py subprocesses under perturbed planner/runtime
+    confs via ``SPARK_GRAFT_EXTRA_CONF`` (semicolon-separated k=v).
+    Applied LAST in both get_spark() and tune() so the perturbation
+    wins over the defaults tune() re-pins per query. Engine code never
+    reads this — it only shapes the session a wave certifies under."""
+    pairs = []
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            pairs.append((k.strip(), v.strip()))
+    return pairs
+
+
 def _result_size_cap(driver_mem: str) -> str:
     """Result-size cap derived from the driver heap: min(heap // 2, 8g),
     floored at 1g (the Spark stock default). Keeps oversized harness
@@ -65,8 +80,14 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                 _default_driver_mem())
+    # local[N] hard-codes maxFailures=1 (any task failure kills the
+    # job); the retry-invariance wave (tools/retry_wave.py) needs the
+    # cluster behavior — failed tasks re-attempted — which local mode
+    # only offers through the local[N,F] master form.
+    retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES")
+    master = f"local[{cpus},{int(retries)}]" if retries else f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -107,6 +128,13 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
     if os.environ.get("SPARK_GRAFT_WAREHOUSE"):
         builder = builder.config("spark.sql.warehouse.dir",
                                  os.environ["SPARK_GRAFT_WAREHOUSE"])
+    # Harness hook: certification waves (AQE-skew, speculation/retry)
+    # drive tools/sweep.py subprocesses under perturbed planner/runtime
+    # confs. Semicolon-separated k=v pairs, applied LAST so they win.
+    # Engine code never reads this — it only shapes the session the
+    # wave wants to certify under.
+    for k, v in _extra_conf_pairs():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
@@ -156,4 +184,11 @@ def tune(spark: SparkSession) -> SparkSession:
     # Data-volume ceiling, not a cycle guard (the level limit is) —
     # the stock 1M rows trips on recursive chains at >= sf1.0.
     conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
+    # Wave perturbations win over the defaults re-pinned above (see
+    # _extra_conf_pairs); static confs on a running session just no-op.
+    for k, v in _extra_conf_pairs():
+        try:
+            conf.set(k, v)
+        except Exception:
+            pass
     return spark

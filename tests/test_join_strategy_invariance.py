@@ -53,7 +53,7 @@ QUERIES = [
     "post_purchase_attribution",
     "knn_ivf",
     "dedup_ngram_jaccard",
-    "customer_order_gaps",
+    "customer_order_distribution",
 ]
 
 

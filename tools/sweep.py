@@ -189,11 +189,26 @@ def main() -> int:
         t0 = time.time()
         rec: dict = {"q": name, "sf": sf_dir, "fp": fps[name]}
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
             rec["spark_rows"] = len(spark_pdf)
             from ecommerce_analytics_spark.testing import value_hash
             rec["vh"] = value_hash(spark_pdf,
                                    float_sig=sig_by_name.get(name))
+            # Wave hook: SWEEP_PLAN_GREP=pat1,pat2 records how often
+            # each pattern appears in the POST-EXECUTION formatted plan
+            # (so AQE-final markers like "skew=true" are visible) —
+            # lets tools/aqeskew_wave.py prove the path under test
+            # actually fired, not just that confs were set.
+            if os.environ.get("SWEEP_PLAN_GREP"):
+                try:
+                    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+                        sdf._jdf.queryExecution(), "formatted")
+                    rec["plan_hits"] = {
+                        p: plan.count(p)
+                        for p in os.environ["SWEEP_PLAN_GREP"].split(",")}
+                except Exception as exc:  # noqa: BLE001
+                    rec["plan_hits"] = {"err": str(exc)[:120]}
             sql = oracles.get(name)
             if sql is None:
                 rec["mode"] = "rows-only"
