@@ -50,8 +50,8 @@ SKEW_ON_CONF = (
     "spark.sql.adaptive.skewJoin.enabled=true;"
     "spark.sql.adaptive.forceOptimizeSkewedJoin=true;"
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor=2;"
-    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes=32k;"
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes=16k;"
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes=16k;"
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes=8k;"
     "spark.sql.adaptive.coalescePartitions.minPartitionSize=4k"
 )
 AQE_OFF_CONF = (

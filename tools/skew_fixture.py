@@ -44,18 +44,21 @@ N_HOT_EVENTS = 20_000
 _SKEW_ORDERS = """
 SELECT * FROM base
 UNION ALL
+-- dates inside the classic TPC-H filter windows (o_orderdate before
+-- 1995-03-15, l_shipdate after it) so date-filtered join queries
+-- (shipping_priority etc.) actually SEE the hot keys
 SELECT 90000000 + i AS o_orderkey,
        {mega} AS o_custkey,
        'O' AS o_orderstatus,
        100.0 + i AS o_totalprice,
-       TIMESTAMP '1998-01-01 00:00:00' + to_minutes(CAST(i AS BIGINT))
+       TIMESTAMP '1995-02-01 00:00:00' + to_minutes(CAST(i AS BIGINT))
          AS o_orderdate,
        '1-URGENT' AS o_orderpriority
 FROM range({n_mega}) t(i)
 UNION ALL
 SELECT {hot_ok} AS o_orderkey, 43 AS o_custkey, 'F' AS o_orderstatus,
        50000.0 AS o_totalprice,
-       TIMESTAMP '1998-06-01 00:00:00' AS o_orderdate,
+       TIMESTAMP '1995-02-10 00:00:00' AS o_orderdate,
        '2-HIGH' AS o_orderpriority
 """.format(mega=MEGA_CUSTKEY, n_mega=N_MEGA_CUST_ORDERS,
            hot_ok=HOT_ORDERKEY)
@@ -73,7 +76,7 @@ SELECT {hot_ok} AS l_orderkey,
        0.01 AS l_tax,
        'N' AS l_returnflag,
        'O' AS l_linestatus,
-       TIMESTAMP '1998-06-02 00:00:00' + to_minutes(CAST(i AS BIGINT))
+       TIMESTAMP '1995-04-01 00:00:00' + to_minutes(CAST(i AS BIGINT))
          AS l_shipdate
 FROM range({n_lines}) t(i)
 """.format(hot_ok=HOT_ORDERKEY, n_parts=N_HOT_PARTS,
