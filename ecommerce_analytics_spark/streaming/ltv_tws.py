@@ -17,7 +17,9 @@ from pyspark.sql import types as T
 
 def tws_available() -> bool:
     """transformWithState's Python protocol needs google.protobuf,
-    which the v1 image does not ship — gate, don't crash (the
+    which the v1 image does not ship (re-verified round 9: no
+    protobuf wheel/source anywhere on disk, no network installs) —
+    gate, don't crash (the
     applyInPandasWithState implementation in ltv_state.py has no such
     dependency and is the default)."""
     try:

@@ -35,6 +35,17 @@ from ecommerce_analytics_spark.schemas import DRIVER_TABLES
 def duckdb_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     try:
+        # Spill discipline for big-SF sweeps (VERDICT r8 #3): an oracle
+        # that spills defaults to the cwd; point it at a scratch dir
+        # with known headroom and optionally cap its memory so a
+        # runaway plan aborts cleanly instead of filling the disk.
+        tmp = os.environ.get("SPARK_GRAFT_DUCKDB_TMP")
+        if tmp:
+            os.makedirs(tmp, exist_ok=True)
+            con.execute(f"SET temp_directory='{tmp}'")
+        mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
         for name in DRIVER_TABLES:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if os.path.isdir(path):

@@ -44,10 +44,27 @@ ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
 
 
 def _rot_alphabet(i: int) -> tuple[str, str]:
+    # Copies < 26: plain rotation (bit-identical to the r8 generator, so
+    # the committed sf1.0 artifacts stay reproducible).  Copies >= 26: a
+    # SEEDED full permutation of each case — the driver texts are
+    # effectively lowercase-only, so any lowercase transform repeating
+    # every 26 copies makes copies 0/26/52/78 exact text duplicates at
+    # k=100 (measured: 370k/500k dup rows at sf10 — a synthetic dedup
+    # artifact, not corpus structure).  A per-copy random permutation is
+    # unique w.o.p. for any feasible k, preserves length/structure/token
+    # boundaries, and keeps within-copy duplicate structure intact.
+    import random
+
     low = string.ascii_lowercase
     up = string.ascii_uppercase
-    r = i % 26
-    return (low + up, low[r:] + low[:r] + up[r:] + up[:r])
+    if i < 26:
+        r = i % 26
+        return (low + up, low[r:] + low[:r] + up[r:] + up[:r])
+    rng = random.Random(0xC0FFEE + i)
+    pl, pu = list(low), list(up)
+    rng.shuffle(pl)
+    rng.shuffle(pu)
+    return (low + up, "".join(pl) + "".join(pu))
 
 
 def scale_dir(src: str, out: str, k: int) -> None:
@@ -65,7 +82,15 @@ def scale_dir(src: str, out: str, k: int) -> None:
             return df.withColumn(col, F.col(col) + F.lit(i * step))
         return f
 
+    # GEN_SCALE_TABLES=documents,embeddings restricts which tables are
+    # scaled (the rest are symlinked unscaled) — the sf10 probe only
+    # needs the ANN/dedup corpora, not 60M lineitems.
+    only = os.environ.get("GEN_SCALE_TABLES")
+    only_set = set(t.strip() for t in only.split(",")) if only else None
+
     def copies(name, *transforms):
+        if only_set is not None and name not in only_set:
+            return
         base = load_table(spark, src, name)
         parts = []
         for i in range(k):
@@ -103,12 +128,24 @@ def scale_dir(src: str, out: str, k: int) -> None:
     copies("documents", offset("doc_id", mx["doc_id"]), perturb_text)
 
     def roll_embedding(df, i):
+        # Per-copy ORTHOGONAL transform: coordinate roll (i % 64)
+        # composed with a sign flip of the first coordinate for copies
+        # >= 64. Both pieces are orthogonal, so within-copy cosine
+        # structure is preserved exactly, while the composite is unique
+        # for k up to 128 copies — a bare roll repeats every 64,
+        # duplicating entire vector sets across copies at sf10 and
+        # handing ANN/near-dup a synthetic distance-0 artifact.
         r = i % 64
-        if r == 0:
-            return df
         e = F.col("embedding")
-        rolled = F.concat(F.slice(e, r + 1, 64 - r), F.slice(e, 1, r))
-        return df.withColumn("embedding", rolled)
+        if r != 0:
+            e = F.concat(F.slice(e, r + 1, 64 - r), F.slice(e, 1, r))
+        if i >= 64:
+            neg_first = (F.element_at(e, 1) * F.lit(-1.0)).cast(
+                df.schema["embedding"].dataType.elementType.simpleString())
+            e = F.concat(F.array(neg_first), F.slice(e, 2, 63))
+        if r == 0 and i < 64:
+            return df
+        return df.withColumn("embedding", e)
 
     # label is a BLOCKING key (embedding_neardup pairs within label
     # blocks): leaving it unscaled makes blocks grow k× and pair counts
