@@ -41,8 +41,8 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.operators.similarity import (
-    KMEANS_RECALL_FLOOR, N_CENTROIDS, N_PROBE, N_QUERIES, TOP_K, dot, norm,
-    knn_exact_baseline,
+    KMEANS_RECALL_FLOOR, N_CENTROIDS, N_QUERIES, TOP_K, dot,
+    kmeans_probe_count, knn_exact_baseline, norm,
 )
 from ecommerce_analytics_spark.plans.registry import query
 
@@ -104,12 +104,17 @@ def build_ann_index(spark: SparkSession, sf_dir: str,
 def knn_against_stored(spark: SparkSession, queries: DataFrame,
                        path: str) -> DataFrame:
     """Phase 2: top-k cosine retrieval for a (vec_id, embedding) query
-    batch against the STORED index. Probes the ``N_PROBE`` nearest
-    cells per query (euclidean to the stored centroids — the KMeans
-    objective), joins only those cell partitions, scores with the
-    same fold arithmetic as every other similarity query."""
+    batch against the STORED index. Probes the
+    ``kmeans_probe_count(corpus)`` nearest cells per query (euclidean
+    to the stored centroids — the KMeans objective; the corpus count is
+    a parquet-metadata read, and using the same contract as the
+    in-memory build keeps the store→load equality test exact), joins
+    only those cell partitions, scores with the same fold arithmetic as
+    every other similarity query."""
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
     cells = spark.read.parquet(os.path.join(path, "cells"))
+    n_probe = kmeans_probe_count(
+        spark.read.parquet(os.path.join(path, "cells")).count())
 
     q = (queries.select("vec_id", "embedding")
          .withColumn("q_norm", norm(F.col("embedding"))))
@@ -123,7 +128,7 @@ def knn_against_stored(spark: SparkSession, queries: DataFrame,
     probes = (q.crossJoin(cents)
               .select("vec_id", "cell_id", sq_dist.alias("d2"))
               .withColumn("rn", F.row_number().over(w_probe))
-              .filter(F.col("rn") <= N_PROBE)
+              .filter(F.col("rn") <= n_probe)
               .select("vec_id", "cell_id"))
     probed = (q.join(probes, "vec_id")
               .select(F.col("vec_id").alias("query_id"),

@@ -541,7 +541,8 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit_in = (base.withColumn("fv", array_to_vector(
         F.col("embedding").cast("array<double>")))
         .coalesce(8).cache())
-    fit_in.count()
+    n_vectors = fit_in.count()
+    n_probe = kmeans_probe_count(n_vectors)
     model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="fv",
                    predictionCol="cell_id").fit(fit_in)
     assign = (model.transform(fit_in)
@@ -568,7 +569,7 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "cell_id", sq_dist.alias("d2"))
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= N_PROBE)
+        .filter(F.col("rn") <= n_probe)
         .select("vec_id", "cell_id")
     )
     q = (
@@ -609,6 +610,30 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it holds at any driver SF while still failing on a broken index
 # (a wrong cell join or probe ranking collapses recall toward 1/k).
 KMEANS_RECALL_FLOOR = 0.5
+
+
+def kmeans_probe_count(n_vectors: int) -> int:
+    """Probe budget for the TRAINED-IVF surfaces (q_knn_ivf_kmeans and
+    the persisted ann_index serve path; NOT the fixed-centroid
+    knn_ivf/knn_ivf_multiprobe, whose probe counts are inlined in their
+    exact SQL oracles).
+
+    IDENTITY at driver SFs (n <= 2000 -> N_PROBE, so every committed
+    small-SF hash is unchanged); above that the probe set widens to
+    half the cells. Root cause, measured at sf1.0 (20k vectors, round
+    9, after the fixed probe=2 fell to recall 0.4625 < the 0.5 floor
+    on a regenerated layout): these synthetic embeddings are
+    near-uniform, so IVF recall tracks the SCANNED FRACTION of the
+    corpus, not cell locality — recall@5 was 0.4625 / 0.5625 / 0.7000
+    at probes 2/3/4 of 8 cells, and growing the cell count at a fixed
+    ~1/8 probe fraction (k=78, p=9) did WORSE (0.425). On a clustered
+    real corpus the fraction can stay low (that swap is the documented
+    100 TB recipe); on this hostile structureless one the floor needs
+    fraction ~1/2. Contract pinned in tests/test_ann_adaptive.py.
+    """
+    if n_vectors <= 2000:
+        return N_PROBE
+    return max(N_PROBE, N_CENTROIDS // 2)
 
 _BASELINE_VERSION = "v2"  # bump when knn_bruteforce semantics change
 

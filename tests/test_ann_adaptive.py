@@ -18,6 +18,25 @@ from ecommerce_analytics_spark.operators.pq import (
 )
 
 
+def test_kmeans_probe_count_contract():
+    """Trained-IVF probe budget (round 9): identity at driver SFs,
+    half the cells above — measured at sf1.0 the fixed probe=2 fell to
+    recall 0.4625 < the 0.5 floor while 4/8 gives 0.70 (see
+    similarity.kmeans_probe_count for the scan-fraction root cause)."""
+    from ecommerce_analytics_spark.operators.similarity import (
+        N_CENTROIDS, N_PROBE, kmeans_probe_count)
+    for n in (0, 200, 2000):          # sf0.001 / sf0.01 / sf0.1
+        assert kmeans_probe_count(n) == N_PROBE
+    assert kmeans_probe_count(20_000) == N_CENTROIDS // 2   # sf1.0
+    assert kmeans_probe_count(200_000) == N_CENTROIDS // 2  # sf10
+    # monotone, never exceeds the cell count
+    prev = 0
+    for n in (1, 2000, 2001, 20_000, 10**7):
+        p = kmeans_probe_count(n)
+        assert prev <= p <= N_CENTROIDS
+        prev = p
+
+
 def test_adaptive_shortlist_identity_at_driver_sfs():
     # n <= base*frac keeps the committed constant — floors unchanged
     for n in (0, 200, 2000):
