@@ -61,6 +61,17 @@ SEM_COPY_MOD = 40     # vec_id % 40 == 0 gets an injected ×2 copy
 # (8 cells × 2.5k members = 50M pair folds; ≥45× the sf0.1 time).
 # Identity at every driver SF (n ≤ 2k ⇒ 8 cells, unchanged results).
 SEM_CELL_CAP = 256
+# Above this cell count the nearest-centroid ASSIGNMENT itself goes
+# hierarchical (vector → nearest super-centroid → nearest centroid
+# within that super-cell, supers = first ceil(sqrt(cells)) centroids).
+# Round-9 sf10 probe measured the flat assignment crossJoin going
+# quadratic (n × n/256 centroid dots: 15s → 286s for 10× vectors,
+# while the within-cell pair join stayed linear); two-level search
+# bounds it at ~2·n·sqrt(cells) dots. 96 > the 78 cells at sf1.0, so
+# every committed-SF result (sf0.001…sf1.0) is bit-identical; the
+# DuckDB oracle mirrors the same deterministic two-level rule, so the
+# certified parity holds in both regimes.
+SEM_FLAT_MAX_CELLS = 96
 
 _PACK_ORACLE = f"""
 WITH t AS (
@@ -138,6 +149,38 @@ WITH corpus AS MATERIALIZED (
   WHERE vec_id < (SELECT greatest({N_CENTROIDS},
                                   count(*) // {SEM_CELL_CAP})
                   FROM embeddings)
+), params AS MATERIALIZED (
+  SELECT greatest({N_CENTROIDS}, count(*) // {SEM_CELL_CAP}) AS n_cells,
+         CAST(ceil(sqrt(greatest({N_CENTROIDS},
+                                 count(*) // {SEM_CELL_CAP})))
+              AS BIGINT) AS n_super
+  FROM embeddings
+), sup AS MATERIALIZED (
+  SELECT cell_id AS super_id, c_emb AS s_emb, c_nrm AS s_nrm
+  FROM cent WHERE cell_id < (SELECT n_super FROM params)
+), cent2super AS MATERIALIZED (
+  SELECT cell_id, c_emb, c_nrm, super_id FROM (
+    SELECT cent.cell_id, cent.c_emb, cent.c_nrm, sup.super_id,
+           row_number() OVER (
+             PARTITION BY cent.cell_id
+             ORDER BY ({_dot_sql('cent.c_emb', 'sup.s_emb')}
+                       / (cent.c_nrm * sup.s_nrm)) DESC,
+                      sup.super_id
+           ) AS rn
+    FROM cent CROSS JOIN sup
+  ) WHERE rn = 1
+), vec2super AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm, super_id FROM (
+    SELECT c.vec_id, c.embedding, c.nrm, sup.super_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY ({_dot_sql('c.embedding', 'sup.s_emb')}
+                       / (c.nrm * sup.s_nrm)) DESC,
+                      sup.super_id
+           ) AS rn
+    FROM corpus c CROSS JOIN sup
+    WHERE (SELECT n_cells FROM params) > {SEM_FLAT_MAX_CELLS}
+  ) WHERE rn = 1
 ), assigned AS MATERIALIZED (
   SELECT vec_id, embedding, nrm, cell_id, cent_cos FROM (
     SELECT c.vec_id, c.embedding, c.nrm, cent.cell_id,
@@ -150,6 +193,20 @@ WITH corpus AS MATERIALIZED (
                       cent.cell_id
            ) AS rn
     FROM corpus c CROSS JOIN cent
+    WHERE (SELECT n_cells FROM params) <= {SEM_FLAT_MAX_CELLS}
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT vec_id, embedding, nrm, cell_id, cent_cos FROM (
+    SELECT v.vec_id, v.embedding, v.nrm, m.cell_id,
+           ({_dot_sql('v.embedding', 'm.c_emb')}
+            / (v.nrm * m.c_nrm)) AS cent_cos,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ({_dot_sql('v.embedding', 'm.c_emb')}
+                       / (v.nrm * m.c_nrm)) DESC,
+                      m.cell_id
+           ) AS rn
+    FROM vec2super v JOIN cent2super m USING (super_id)
   ) WHERE rn = 1
 ), dropped AS (
   SELECT DISTINCT b.vec_id
@@ -176,12 +233,18 @@ FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
         f"centroid (ties to the smaller vec_id) — one representative "
         f"per semantic cluster survives. Fixed corpus centroids keep "
         f"it deterministic/oracle-exact; candidate pairs are a cell "
-        f"equi-join (blocked, never all-pairs). Injected ×2-scaled "
-        f"copies land in the original's cell with cos≈1 and equal "
-        f"centroid distance, so the smaller-id original is kept and "
-        f"the copy dropped — certified positives. At 100 TB: swap the "
-        f"centroid CTE for the trained-KMeans table (knn_ivf_kmeans) "
-        f"and cap cell size, the paper's own recipe.",
+        f"equi-join (blocked, never all-pairs), and above "
+        f"{SEM_FLAT_MAX_CELLS} cells the centroid assignment itself "
+        f"goes two-level (nearest super-centroid, then nearest "
+        f"centroid within the super-cell — both engines run the same "
+        f"deterministic rule), bounding assignment at "
+        f"~2·n·sqrt(cells) dots instead of the measured-quadratic "
+        f"n·cells. Injected ×2-scaled copies land in the original's "
+        f"cell with cos≈1 and equal centroid distance, so the "
+        f"smaller-id original is kept and the copy dropped — "
+        f"certified positives. At 100 TB: swap the centroid CTE for "
+        f"the trained-KMeans table (knn_ivf_kmeans), the paper's own "
+        f"recipe.",
     tags=("dedup", "similarity", "north-star"),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,17 +266,66 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (norm(F.col("embedding")) * F.col("c_nrm")))
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cent_cos"), F.asc("cell_id"))
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cell_id",
-                cent_cos.alias("cent_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        # norms precomputed once per vector for the pair join (the
-        # embedding_neardup optimization — one fold instead of three)
-        .withColumn("nrm", norm(F.col("embedding")))
-    )
+    if n_cells <= SEM_FLAT_MAX_CELLS:
+        assigned = (
+            corpus.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cell_id",
+                    cent_cos.alias("cent_cos"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            # norms precomputed once per vector for the pair join (the
+            # embedding_neardup optimization — one fold instead of
+            # three)
+            .withColumn("nrm", norm(F.col("embedding")))
+        )
+    else:
+        # Two-level nearest-centroid search (see SEM_FLAT_MAX_CELLS):
+        # supers = first ceil(sqrt(cells)) centroids; each centroid
+        # and each vector routes to its max-cosine super, then the
+        # vector takes the max-cosine centroid WITHIN that super-cell.
+        # ~2·n·sqrt(cells) dots instead of n·cells; the oracle SQL
+        # runs the identical deterministic rule (same tie-breaks), so
+        # parity is exact in this regime too.
+        import math
+        n_super = int(math.ceil(math.sqrt(n_cells)))
+        supers = (cents.filter(F.col("cell_id") < n_super)
+                  .select(F.col("cell_id").alias("super_id"),
+                          F.col("c_emb").alias("s_emb"),
+                          F.col("c_nrm").alias("s_nrm")))
+        c2s_cos = (dot(F.col("c_emb"), F.col("s_emb"))
+                   / (F.col("c_nrm") * F.col("s_nrm")))
+        w_c2s = Window.partitionBy("cell_id").orderBy(
+            F.desc("c2s_cos"), F.asc("super_id"))
+        cent2super = (
+            cents.crossJoin(F.broadcast(supers))
+            .select("cell_id", "c_emb", "c_nrm", "super_id",
+                    c2s_cos.alias("c2s_cos"))
+            .withColumn("rn", F.row_number().over(w_c2s))
+            .filter(F.col("rn") == 1)
+            .select("cell_id", "c_emb", "c_nrm", "super_id"))
+        v2s_cos = (dot(F.col("embedding"), F.col("s_emb"))
+                   / (F.col("nrm") * F.col("s_nrm")))
+        w_v2s = Window.partitionBy("vec_id").orderBy(
+            F.desc("v2s_cos"), F.asc("super_id"))
+        vec2super = (
+            corpus.withColumn("nrm", norm(F.col("embedding")))
+            .crossJoin(F.broadcast(supers))
+            .select("vec_id", "embedding", "nrm", "super_id",
+                    v2s_cos.alias("v2s_cos"))
+            .withColumn("rn", F.row_number().over(w_v2s))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "nrm", "super_id"))
+        in_super_cos = (dot(F.col("embedding"), F.col("c_emb"))
+                        / (F.col("nrm") * F.col("c_nrm")))
+        assigned = (
+            vec2super.join(F.broadcast(cent2super), "super_id")
+            .select("vec_id", "embedding", "nrm", "cell_id",
+                    in_super_cos.alias("cent_cos"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_cos = (dot(F.col("a.embedding"), F.col("b.embedding"))

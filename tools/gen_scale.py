@@ -129,20 +129,24 @@ def scale_dir(src: str, out: str, k: int) -> None:
 
     def roll_embedding(df, i):
         # Per-copy ORTHOGONAL transform: coordinate roll (i % 64)
-        # composed with a sign flip of the first coordinate for copies
-        # >= 64. Both pieces are orthogonal, so within-copy cosine
-        # structure is preserved exactly, while the composite is unique
-        # for k up to 128 copies — a bare roll repeats every 64,
-        # duplicating entire vector sets across copies at sf10 and
-        # handing ANN/near-dup a synthetic distance-0 artifact.
+        # composed with FULL negation for copies >= 64. Both pieces are
+        # orthogonal, so within-copy cosine structure is preserved
+        # exactly, while the composite is unique for k up to 128 copies
+        # — a bare roll repeats every 64, duplicating entire vector
+        # sets across copies at sf10. Negation must be of EVERY
+        # coordinate: a first-coordinate-only flip leaves copy i at
+        # cosine ~ 1 - 2/dim ~ 0.97 from copy i-64 (measured: 31x
+        # near-dup pair inflation at sf10), where full negation puts
+        # them antipodal (cos -1) — maximally far, no synthetic pairs.
         r = i % 64
         e = F.col("embedding")
         if r != 0:
             e = F.concat(F.slice(e, r + 1, 64 - r), F.slice(e, 1, r))
         if i >= 64:
-            neg_first = (F.element_at(e, 1) * F.lit(-1.0)).cast(
-                df.schema["embedding"].dataType.elementType.simpleString())
-            e = F.concat(F.array(neg_first), F.slice(e, 2, 63))
+            elem_t = df.schema["embedding"].dataType.elementType \
+                .simpleString()
+            e = F.transform(
+                e, lambda x: (x * F.lit(-1.0)).cast(elem_t))
         if r == 0 and i < 64:
             return df
         return df.withColumn("embedding", e)
