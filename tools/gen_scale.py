@@ -127,6 +127,20 @@ def scale_dir(src: str, out: str, k: int) -> None:
 
     copies("documents", offset("doc_id", mx["doc_id"]), perturb_text)
 
+    # events scaling is OPT-IN ONLY (GEN_SCALE_TABLES must name it):
+    # the default scaled dirs were generated and certified without it,
+    # and the committed sf1.0 sweep artifacts must stay reproducible.
+    # Key spaces (user_id, event_id) offset per copy — 10× events means
+    # 10× users at the same per-user density and time range, which is
+    # how a real event stream grows (more keys, not denser sessions) —
+    # exactly the axis keyed streaming state must be O(keys) in.
+    if only_set is not None and "events" in only_set:
+        ev = load_table(spark, src, "events")
+        ev_mx = ev.agg(F.max("event_id"), F.max("user_id")).first()
+        copies("events",
+               offset("event_id", ev_mx[0] + 1),
+               offset("user_id", ev_mx[1] + 1))
+
     def roll_embedding(df, i):
         # Per-copy ORTHOGONAL transform: coordinate roll (i % 64)
         # composed with FULL negation for copies >= 64. Both pieces are

@@ -32,6 +32,7 @@ Exit 1 on any parity failure or unbounded-state signal.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import pathlib
@@ -270,10 +271,14 @@ def run_neardup_volume(spark, sf_dir: str, n_parts: int = 20) -> dict:
 
 
 def ensure_scaled(sf_dir: str, base: str = "/root/testdata/sf0.1",
-                  k: int = 10) -> str:
+                  k: int = 10, tables: str | None = None) -> str:
     if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        env = dict(os.environ)
+        if tables:
+            env["GEN_SCALE_TABLES"] = tables
         subprocess.run([sys.executable, f"{REPO}/tools/gen_scale.py",
-                        base, sf_dir, str(k)], check=True, cwd=REPO)
+                        base, sf_dir, str(k)], check=True, cwd=REPO,
+                       env=env)
     return sf_dir
 
 
@@ -282,14 +287,30 @@ def main() -> int:
 
     argv = sys.argv[1:]
     sf_dir = ensure_scaled(argv[0] if argv else "/tmp/scale_sf1.0")
+    # gen_scale deliberately does NOT scale events in the default dirs
+    # (the committed sf1.0 sweep artifacts depend on them); the keyed-
+    # state twins need a genuinely 10x event stream — 1M events / 10x
+    # users at the same per-user density — so they get a dedicated
+    # events-scaled dir (opt-in via GEN_SCALE_TABLES).
+    ev_dir = ensure_scaled("/tmp/scale_sf1.0_events", tables="events")
+    ev_total = 0
+    p = os.path.join(ev_dir, "events.parquet")
+    if os.path.isdir(p):
+        import pyarrow.dataset as pads
+        ev_total = pads.dataset(glob.glob(os.path.join(p, "*.parquet"))) \
+            .count_rows()
+    # ~10 genuine micro-batches regardless of volume, so watermark
+    # eviction actually runs BETWEEN batches (3 jumbo batches showed
+    # state unbounded-by-construction, not an engine defect)
+    ev_batch = max(20_000, ev_total // 10)
     out_path = os.environ.get("STREAMVOLUME_OUT",
                               f"{REPO}/STREAMVOLUME_r9.json")
     spark = get_spark("streaming_volume")
     spark.sparkContext.setLogLevel("ERROR")
 
     results = [
-        run_ltv_volume(spark, sf_dir),
-        run_sessionize_volume(spark, sf_dir),
+        run_ltv_volume(spark, ev_dir, batch_rows=ev_batch),
+        run_sessionize_volume(spark, ev_dir, batch_rows=ev_batch),
         run_neardup_volume(spark, sf_dir),
     ]
     ok = all(r["parity_violations"] == 0 for r in results) and all(
