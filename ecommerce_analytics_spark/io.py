@@ -312,6 +312,21 @@ def write_bucketed_table(df: DataFrame, table: str,
 _BUCKET_ROWS_CACHE: dict = {}
 
 
+def bucket_count(rows: int) -> int:
+    """Ratio contract for lake bucket sizing (round 9): ~100k rows per
+    bucket, floor 32 (identity at every committed SF — 600k rows at
+    sf0.1 ⇒ 32, the r8 layout), next power of two above. A bucketed
+    scan cannot be re-split by AQE, so a constant bucket count pins
+    fused downstream stages to straggler-bound tasks as the fact
+    grows; measured at sf1.0 (6M rows, quiet min-of-3): 32 ⇒ 5.56s
+    (slower than the un-bucketed 5.49s plan), 64 ⇒ 4.66s, 128 ⇒ 5.90s
+    (over-fragmented). Contract pinned in tests/test_plans.py."""
+    import math
+
+    return max(32, 1 << max(0, math.ceil(math.log2(
+        max(rows, 1) / 100_000))))
+
+
 def bucketed_lineitem(spark: SparkSession, sf_dir: str,
                       n_buckets: int | None = None) -> DataFrame:
     """Session-cached bucketed lineitem lake table (VERDICT r7 #4):
@@ -330,29 +345,18 @@ def bucketed_lineitem(spark: SparkSession, sf_dir: str,
     (in-memory catalog) exactly like a production session registering
     an existing lake table."""
     import hashlib
-    import math
 
     if n_buckets is None:
-        # Ratio contract (round 9): ~100k rows per bucket, floor 32 —
-        # identity at every committed SF (600k rows at sf0.1 ⇒ 32,
-        # same layout as r8), next power of two above. A bucketed scan
-        # cannot be re-split by AQE, so at 6M rows the fused
-        # basket+pair stage ran as 32 long tasks with stragglers;
-        # measured at sf1.0 (quiet, min-of-3): 32 buckets 5.56s,
-        # 64 ⇒ 4.66s (15% under the flat plan's 5.49s), 128 ⇒ 5.90s
-        # (over-fragmented). rows/100k keeps per-bucket work constant
-        # as the fact grows — the knob a real cluster sets to
-        # cores × small-multiple.
-        # memoized per corpus path — the count is a parquet metadata
-        # read, but at min-of-7 bench cadence even ~0.2s per call
-        # shows up as a fake serve-side regression
+        # bucket_count ratio contract; the row count is memoized per
+        # corpus path — it's a parquet metadata read, but at min-of-7
+        # bench cadence even ~0.2s per call shows up as a fake
+        # serve-side regression
         ck = os.path.realpath(sf_dir)
         rows = _BUCKET_ROWS_CACHE.get(ck)
         if rows is None:
             rows = load_table(spark, sf_dir, "lineitem").count()
             _BUCKET_ROWS_CACHE[ck] = rows
-        n_buckets = max(32, 1 << max(0, math.ceil(math.log2(
-            max(rows, 1) / 100_000))))
+        n_buckets = bucket_count(rows)
 
     key = hashlib.md5(
         f"{os.path.realpath(sf_dir)}:{n_buckets}".encode()).hexdigest()[:10]

@@ -468,6 +468,23 @@ def test_segment_migration_single_user_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_bucket_count_contract():
+    """Round-9 ratio contract: ~100k rows/bucket, floor 32 so every
+    committed SF keeps its exact r8 layout; power-of-two growth above
+    (a bucketed scan cannot be re-split by AQE — see io.bucket_count
+    for the measured 6M-row straggler inversion it prevents)."""
+    from ecommerce_analytics_spark.io import bucket_count
+    for rows in (0, 1, 6_001, 60_000, 600_000):   # sf0.001/0.01/0.1
+        assert bucket_count(rows) == 32
+    assert bucket_count(6_000_000) == 64          # sf1.0
+    assert bucket_count(60_000_000) == 1024       # sf10-scale fact
+    prev = 0
+    for rows in (1, 600_000, 600_001, 6_000_000, 10**9):
+        b = bucket_count(rows)
+        assert b >= prev and b & (b - 1) == 0     # monotone, pow2
+        prev = b
+
+
 def test_bucketed_recommendations_no_fact_shuffle(spark, sf_dir):
     """VERDICT r7 #4: the bucketed lake layout is a certified
     capability end to end — product_recommendations_bucketed runs the
