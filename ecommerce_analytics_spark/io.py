@@ -348,10 +348,19 @@ def bucketed_lineitem(spark: SparkSession, sf_dir: str,
 
     if n_buckets is None:
         # bucket_count ratio contract; the row count is memoized per
-        # corpus path — it's a parquet metadata read, but at min-of-7
-        # bench cadence even ~0.2s per call shows up as a fake
-        # serve-side regression
-        ck = os.path.realpath(sf_dir)
+        # (corpus path, lineitem mtime) — it's a parquet metadata read,
+        # but at min-of-7 bench cadence even ~0.2s per call shows up as
+        # a fake serve-side regression. The mtime in the key invalidates
+        # the memo if a corpus dir (e.g. a /tmp scale dir) is
+        # regenerated at a different scale within one process, which
+        # would otherwise mis-size the layout silently (ADVICE r9).
+        rp = os.path.realpath(sf_dir)
+        li = os.path.join(rp, "lineitem.parquet")
+        try:
+            mt = os.stat(li).st_mtime_ns
+        except OSError:
+            mt = 0
+        ck = (rp, mt)
         rows = _BUCKET_ROWS_CACHE.get(ck)
         if rows is None:
             rows = load_table(spark, sf_dir, "lineitem").count()

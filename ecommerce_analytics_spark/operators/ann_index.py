@@ -49,6 +49,14 @@ from ecommerce_analytics_spark.plans.registry import query
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+# Serve-path corpus-count memo, keyed on index path. Safe because an
+# index path is immutable once built (centroid refresh is a blue/green
+# rebuild to a FRESH path — module docstring), so the count can never
+# go stale for a given key; mirrors io._BUCKET_ROWS_CACHE. Keeps the
+# per-query-batch probe-budget lookup off the hot serve path (it was a
+# redundant parquet-metadata Spark job on every call — ADVICE r9).
+_CELLS_ROWS_CACHE: dict[str, int] = {}
+
 
 def ann_index_path(sf_dir: str) -> str:
     """Deterministic per-SF index location (deployment API; the
@@ -113,8 +121,11 @@ def knn_against_stored(spark: SparkSession, queries: DataFrame,
     every other similarity query."""
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
     cells = spark.read.parquet(os.path.join(path, "cells"))
-    n_probe = kmeans_probe_count(
-        spark.read.parquet(os.path.join(path, "cells")).count())
+    rows = _CELLS_ROWS_CACHE.get(path)
+    if rows is None:
+        rows = cells.count()  # parquet-metadata read, once per index
+        _CELLS_ROWS_CACHE[path] = rows
+    n_probe = kmeans_probe_count(rows)
 
     q = (queries.select("vec_id", "embedding")
          .withColumn("q_norm", norm(F.col("embedding"))))
@@ -125,6 +136,11 @@ def knn_against_stored(spark: SparkSession, queries: DataFrame,
         F.lit(0.0), lambda acc, x: acc + x)
     w_probe = Window.partitionBy("vec_id").orderBy(
         F.asc("d2"), F.asc("cell_id"))
+    # crossJoin bound: |queries| x N_CENTROIDS rows (here <= query
+    # batch x 8) feeding a per-query row_number — the broadcast scalar
+    # attach shape, NOT an all-pairs plan. The plan assumes query
+    # batches are serving-sized (10^2..10^5); a corpus-sized "batch"
+    # should go through the build path, which shards by cell instead.
     probes = (q.crossJoin(cents)
               .select("vec_id", "cell_id", sq_dist.alias("d2"))
               .withColumn("rn", F.row_number().over(w_probe))

@@ -159,6 +159,15 @@ WITH corpus AS MATERIALIZED (
   SELECT cell_id AS super_id, c_emb AS s_emb, c_nrm AS s_nrm
   FROM cent WHERE cell_id < (SELECT n_super FROM params)
 ), cent2super AS MATERIALIZED (
+  -- super centroids PIN to their own super-cell (no cosine routing):
+  -- guarantees every super-cell is non-empty structurally, so the
+  -- vec2super->cent2super inner join can never drop a vector — the
+  -- FP edge where cos(s,s)=dot/(nrm*nrm) is not bit-wise maximal
+  -- (or ties a smaller super_id) would otherwise empty super s and
+  -- vanish its vectors from the output. Same rule in both engines.
+  SELECT cell_id, c_emb, c_nrm, cell_id AS super_id
+  FROM cent WHERE cell_id < (SELECT n_super FROM params)
+  UNION ALL
   SELECT cell_id, c_emb, c_nrm, super_id FROM (
     SELECT cent.cell_id, cent.c_emb, cent.c_nrm, sup.super_id,
            row_number() OVER (
@@ -168,6 +177,7 @@ WITH corpus AS MATERIALIZED (
                       sup.super_id
            ) AS rn
     FROM cent CROSS JOIN sup
+    WHERE cent.cell_id >= (SELECT n_super FROM params)
   ) WHERE rn = 1
 ), vec2super AS MATERIALIZED (
   SELECT vec_id, embedding, nrm, super_id FROM (
@@ -297,13 +307,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (F.col("c_nrm") * F.col("s_nrm")))
         w_c2s = Window.partitionBy("cell_id").orderBy(
             F.desc("c2s_cos"), F.asc("super_id"))
+        # super centroids PIN to their own super-cell (ADVICE r9):
+        # structural non-emptiness of every super-cell, so the inner
+        # join below can never drop a vector — without the pin, an FP
+        # edge where cos(s,s) is not bit-maximal (or ties a smaller
+        # super_id) would leave super s empty and its vectors would
+        # silently vanish. The oracle SQL runs the identical pin.
         cent2super = (
-            cents.crossJoin(F.broadcast(supers))
-            .select("cell_id", "c_emb", "c_nrm", "super_id",
-                    c2s_cos.alias("c2s_cos"))
-            .withColumn("rn", F.row_number().over(w_c2s))
-            .filter(F.col("rn") == 1)
-            .select("cell_id", "c_emb", "c_nrm", "super_id"))
+            cents.filter(F.col("cell_id") < n_super)
+            .select("cell_id", "c_emb", "c_nrm",
+                    F.col("cell_id").alias("super_id"))
+            .unionByName(
+                cents.filter(F.col("cell_id") >= n_super)
+                .crossJoin(F.broadcast(supers))
+                .select("cell_id", "c_emb", "c_nrm", "super_id",
+                        c2s_cos.alias("c2s_cos"))
+                .withColumn("rn", F.row_number().over(w_c2s))
+                .filter(F.col("rn") == 1)
+                .select("cell_id", "c_emb", "c_nrm", "super_id")))
         v2s_cos = (dot(F.col("embedding"), F.col("s_emb"))
                    / (F.col("nrm") * F.col("s_nrm")))
         w_v2s = Window.partitionBy("vec_id").orderBy(

@@ -68,6 +68,16 @@ def _rot_alphabet(i: int) -> tuple[str, str]:
 
 
 def scale_dir(src: str, out: str, k: int) -> None:
+    # roll_embedding's composite transform (coordinate roll i % 64,
+    # full negation for i >= 64) is unique only for k <= 128: copy 128
+    # would repeat copy 0's transform exactly, silently reintroducing
+    # the duplicate-vector artifact the composite exists to kill. Fail
+    # loudly instead of generating synthetic near-dup pairs at sf20+.
+    if k > 128:
+        raise ValueError(
+            f"scale_dir supports at most 128 copies (got k={k}): "
+            f"roll_embedding's roll+negate composite repeats at i>=128 "
+            f"— extend the per-copy orthogonal transform family first")
     from pyspark.sql import functions as F
 
     from ecommerce_analytics_spark.io import load_table
