@@ -13,19 +13,24 @@ keyed-state surface through the production backend, three prongs:
    (ltv, funnel, cohort, cusum, ewma, hw, growth, transition,
    attribution, psi, kmv, sample, neardup-gate) plus the full e2e
    pipeline topology (watermarked window agg + dead-letter split +
-   docstore sink) run twice in fresh JVMs — heap and RocksDB (via
-   ``SPARK_GRAFT_EXTRA_CONF``, same hook as the AQE-skew wave) — over
-   identical deterministic multi-micro-batch file streams built from
-   the driver tables. Gate: order-insensitive ``value_hash`` (exact
-   floats) IDENTICAL per twin, and the RocksDB run must PROVE the
-   provider fired per query (``rocksdb*`` custom metrics in the last
-   progress + ``.sst`` files in the checkpoint state dir) while the
-   heap run proves it did NOT — conf-set-but-ignored cannot pass.
+   docstore sink) run THREE times in fresh JVMs — heap, RocksDB with
+   per-commit snapshots, and RocksDB with CHANGELOG checkpointing
+   (the modern production default, a different commit/restore path) —
+   via ``SPARK_GRAFT_EXTRA_CONF``, same hook as the AQE-skew wave,
+   over identical deterministic multi-micro-batch file streams built
+   from the driver tables. Gate: order-insensitive ``value_hash``
+   (exact floats) IDENTICAL per twin across all three, and each
+   RocksDB run must PROVE its mode fired per query (``rocksdb*``
+   custom metrics in the last progress + the mode's artifact kind in
+   the checkpoint state dir: ``.sst`` snapshots vs ``.changelog``
+   commits) while the heap run proves ``.delta`` files and neither
+   RocksDB kind — conf-set-but-ignored cannot pass.
 2. **Checkpoint-restart under RocksDB** — the e2e pipeline is stopped
    after its first committed micro-batch (the replay-sinks kill
    switch) and resumed from the RocksDB checkpoint; the final rollup
-   must hash-match the uninterrupted run in BOTH backends (state
-   restore through RocksDB snapshot/changelog, not just state use).
+   must hash-match the uninterrupted run under ALL THREE configs —
+   the changelog leg's restart REPLAYS the changelog over the last
+   snapshot, the recovery path a production cluster actually runs.
 3. **Oracle + pytest legs** — the two e2e registry queries are swept
    against their DuckDB oracles under the RocksDB conf (the driver's
    own comparison, through the production backend), and the entire
@@ -58,6 +63,14 @@ sys.path.insert(0, REPO)
 ROCKSDB_CLASS = ("org.apache.spark.sql.execution.streaming.state."
                  "RocksDBStateStoreProvider")
 ROCKSDB_CONF = f"spark.sql.streaming.stateStore.providerClass={ROCKSDB_CLASS}"
+# Third backend config: RocksDB with CHANGELOG checkpointing — the
+# modern production default. Restore replays a changelog on top of the
+# last uploaded snapshot instead of loading a full per-commit snapshot,
+# a different recovery path worth its own parity row (the wave's
+# restart leg exercises exactly that replay).
+ROCKSDB_CHANGELOG_CONF = (
+    ROCKSDB_CONF + ";spark.sql.streaming.stateStore.rocksdb."
+    "changelogCheckpointing.enabled=true")
 
 PYTEST_FILES = [
     "tests/test_streaming.py",
@@ -100,11 +113,18 @@ def _split_two_files(df, order_col, out_dir):
         shutil.rmtree(tmp)
 
 
-def _sst_count(ckpt: str) -> int:
-    n = 0
+def _state_files(ckpt: str) -> dict:
+    """Counts of the state-store artifact kinds under a checkpoint:
+    .sst (RocksDB snapshot SSTs), .changelog (changelog-checkpointing
+    commits), .delta/.snapshot (HDFS-heap files). Which kind is
+    populated is the positive proof of WHICH backend/commit mode ran."""
+    out = {"sst": 0, "changelog": 0, "delta": 0, "snapshot": 0, "zip": 0}
     for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
-        n += sum(1 for f in files if f.endswith(".sst"))
-    return n
+        for f in files:
+            ext = f.rsplit(".", 1)[-1]
+            if ext in out:
+                out[ext] += 1
+    return out
 
 
 def _run_twin(spark, name, out_df, mode, ckpt):
@@ -120,7 +140,7 @@ def _run_twin(spark, name, out_df, mode, ckpt):
                     .get("customMetrics", {}))
     q.stop()
     q.awaitTermination()
-    return spark.table(f"w_{name}").toPandas(), fired, _sst_count(ckpt)
+    return spark.table(f"w_{name}").toPandas(), fired, _state_files(ckpt)
 
 
 def worker(out_path: str, sf_dir: str) -> None:
@@ -221,10 +241,10 @@ def worker(out_path: str, sf_dir: str) -> None:
 
     records: dict[str, dict] = {}
     for name, build, mode in twins:
-        pdf, fired, ssts = _run_twin(spark, name, build(), mode,
-                                     f"{root}/ck_{name}")
+        pdf, fired, sf = _run_twin(spark, name, build(), mode,
+                                   f"{root}/ck_{name}")
         records[name] = {"rows": len(pdf), "vh": value_hash(pdf),
-                         "rocksdb_fired": fired, "sst_files": ssts}
+                         "rocksdb_fired": fired, "state_files": sf}
         print(json.dumps({"twin": name, "provider": provider,
                           **records[name]}), flush=True)
 
@@ -246,7 +266,8 @@ def worker(out_path: str, sf_dir: str) -> None:
         dead = read_dead_letters(spark, run_dir).toPandas()
         return {"rows": len(rollup), "vh": value_hash(rollup),
                 "dead_rows": len(dead),
-                "sst_files": _sst_count(os.path.join(run_dir, "ck_agg"))}
+                "state_files": _state_files(
+                    os.path.join(run_dir, "ck_agg"))}
 
     records["e2e_pipeline"] = e2e(f"{root}/e2e", restart=False)
     records["e2e_pipeline_restart"] = e2e(f"{root}/e2e_rs", restart=True)
@@ -261,19 +282,19 @@ def worker(out_path: str, sf_dir: str) -> None:
 
 # ---------------------------------------------------------------- parent
 
-def _run_worker(sf_dir: str, out: str, rocksdb: bool) -> dict:
+def _run_worker(sf_dir: str, out: str, conf: str | None) -> dict:
     env = dict(os.environ)
     env.pop("SWEEP_JSON_MERGE", None)
-    if rocksdb:
-        env["SPARK_GRAFT_EXTRA_CONF"] = ROCKSDB_CONF
+    if conf:
+        env["SPARK_GRAFT_EXTRA_CONF"] = conf
     else:
         env.pop("SPARK_GRAFT_EXTRA_CONF", None)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker", out,
          sf_dir], env=env, cwd=REPO)
     if proc.returncode != 0 or not os.path.exists(out):
-        print(f"worker ({'rocksdb' if rocksdb else 'heap'}) failed "
-              f"rc={proc.returncode}", file=sys.stderr)
+        print(f"worker (conf={conf!r}) failed rc={proc.returncode}",
+              file=sys.stderr)
         sys.exit(2)
     with open(out) as f:
         return json.load(f)
@@ -285,76 +306,105 @@ def main() -> None:
     import tempfile
     tmp = tempfile.mkdtemp(prefix="rocksdb_wave_out_")
 
-    heap = _run_worker(sf_dir, f"{tmp}/heap.json", rocksdb=False)
-    rocks = _run_worker(sf_dir, f"{tmp}/rocks.json", rocksdb=True)
+    heap = _run_worker(sf_dir, f"{tmp}/heap.json", None)
+    rocks = _run_worker(sf_dir, f"{tmp}/rocks.json", ROCKSDB_CONF)
+    rocks_cl = _run_worker(sf_dir, f"{tmp}/rocks_changelog.json",
+                           ROCKSDB_CHANGELOG_CONF)
 
     failures: list[str] = []
     comparison: dict[str, dict] = {}
     for name, h in heap["records"].items():
         r = rocks["records"][name]
-        ok = h["vh"] == r["vh"] and h["rows"] == r["rows"] and h["rows"] > 0
+        c = rocks_cl["records"][name]
+        ok = (h["vh"] == r["vh"] == c["vh"]
+              and h["rows"] == r["rows"] == c["rows"] and h["rows"] > 0)
         comparison[name] = {
             "rows": h["rows"], "heap_vh": h["vh"], "rocksdb_vh": r["vh"],
-            "vh_match": h["vh"] == r["vh"],
+            "rocksdb_changelog_vh": c["vh"],
+            "vh_match": h["vh"] == r["vh"] == c["vh"],
             "rocksdb_fired": r.get("rocksdb_fired"),
-            "rocksdb_sst_files": r.get("sst_files"),
-            "heap_sst_files": h.get("sst_files"),
+            "changelog_fired": c.get("rocksdb_fired"),
+            "rocksdb_state_files": r.get("state_files"),
+            "changelog_state_files": c.get("state_files"),
+            "heap_state_files": h.get("state_files"),
         }
         if not ok:
-            failures.append(f"{name}: heap/rocksdb drift or empty")
+            failures.append(f"{name}: heap/rocksdb/changelog drift "
+                            f"or empty")
         # fired-proof gate: memory-sink twins expose progress metrics;
         # e2e runs are proven by .sst files in their checkpoints
-        if "rocksdb_fired" in r and not r["rocksdb_fired"] \
-                and not name.startswith("e2e"):
-            failures.append(f"{name}: rocksdb provider did not fire")
+        # which artifact kind is populated proves which backend AND
+        # which commit mode ran: snapshot mode uploads SSTs per
+        # commit; changelog mode writes .changelog files (SSTs only
+        # at snapshot intervals, absent on short streams); heap
+        # writes .delta/.snapshot and neither RocksDB kind.
+        for tag, run, kind in (("rocksdb", r, "sst"),
+                               ("rocksdb_changelog", c, "changelog")):
+            if "rocksdb_fired" in run and not run["rocksdb_fired"] \
+                    and not name.startswith("e2e"):
+                failures.append(f"{name}: {tag} provider did not fire")
+            if run.get("state_files", {}).get(kind, 0) == 0:
+                failures.append(f"{name}: no .{kind} files in {tag} "
+                                f"checkpoint")
         if h.get("rocksdb_fired") and not name.startswith("e2e"):
             failures.append(f"{name}: heap run unexpectedly used rocksdb")
-        if r.get("sst_files", 0) == 0:
-            failures.append(f"{name}: no .sst files in rocksdb checkpoint")
-        if h.get("sst_files", 0) != 0:
-            failures.append(f"{name}: .sst files in HEAP checkpoint")
-    # restart invariance within each backend
-    for tag, run in (("heap", heap), ("rocksdb", rocks)):
+        hsf = h.get("state_files", {})
+        if hsf.get("sst", 0) or hsf.get("changelog", 0):
+            failures.append(f"{name}: rocksdb files in HEAP checkpoint")
+        if hsf.get("delta", 0) == 0:
+            failures.append(f"{name}: no .delta files in heap checkpoint")
+    # restart invariance within each backend. The changelog leg's
+    # restart is the interesting one: recovery REPLAYS the changelog
+    # on top of the last snapshot instead of loading a full snapshot.
+    for tag, run in (("heap", heap), ("rocksdb", rocks),
+                     ("rocksdb_changelog", rocks_cl)):
         a = run["records"]["e2e_pipeline"]["vh"]
         b = run["records"]["e2e_pipeline_restart"]["vh"]
         if a != b:
             failures.append(f"e2e restart drift under {tag}")
 
-    # ---- oracle leg: the two e2e registry queries vs DuckDB, RocksDB on
-    sweep_art = f"{tmp}/sweep_e2e.json"
-    env = dict(os.environ, SPARK_GRAFT_EXTRA_CONF=ROCKSDB_CONF,
-               SWEEP_JSON_OUT=sweep_art)
-    env.pop("SWEEP_JSON_MERGE", None)
-    proc = subprocess.run(
-        [sys.executable, f"{REPO}/tools/sweep.py", "/root/testdata/sf0.01",
-         "stream_pipeline_e2e", "stream_sessionize_e2e"],
-        env=env, cwd=REPO)
-    sweep_rec = None
-    if os.path.exists(sweep_art):
-        with open(sweep_art) as f:
-            sweep_rec = json.load(f)
-    if proc.returncode != 0:
-        failures.append("e2e oracle sweep under rocksdb failed")
+    # ---- oracle leg: the two e2e registry queries vs DuckDB under
+    # both RocksDB configs (the driver's own comparison, through the
+    # production backends)
+    sweep_recs = {}
+    for tag, conf in (("rocksdb", ROCKSDB_CONF),
+                      ("rocksdb_changelog", ROCKSDB_CHANGELOG_CONF)):
+        sweep_art = f"{tmp}/sweep_e2e_{tag}.json"
+        env = dict(os.environ, SPARK_GRAFT_EXTRA_CONF=conf,
+                   SWEEP_JSON_OUT=sweep_art)
+        env.pop("SWEEP_JSON_MERGE", None)
+        proc = subprocess.run(
+            [sys.executable, f"{REPO}/tools/sweep.py",
+             "/root/testdata/sf0.01",
+             "stream_pipeline_e2e", "stream_sessionize_e2e"],
+            env=env, cwd=REPO)
+        if os.path.exists(sweep_art):
+            with open(sweep_art) as f:
+                sweep_recs[tag] = json.load(f)
+        if proc.returncode != 0:
+            failures.append(f"e2e oracle sweep under {tag} failed")
 
-    # ---- pytest leg: full streaming parity subset under RocksDB
-    env = dict(os.environ, SPARK_GRAFT_EXTRA_CONF=ROCKSDB_CONF)
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", *PYTEST_FILES],
-        env=env, cwd=REPO, capture_output=True, text=True)
-    pytest_tail = (proc.stdout or "").strip().splitlines()[-1:]
-    if proc.returncode != 0:
-        failures.append(f"streaming pytest subset failed under rocksdb: "
-                        f"{pytest_tail}")
+    # ---- pytest leg: full streaming parity subset under both configs
+    pytest_recs = {}
+    for tag, conf in (("rocksdb", ROCKSDB_CONF),
+                      ("rocksdb_changelog", ROCKSDB_CHANGELOG_CONF)):
+        env = dict(os.environ, SPARK_GRAFT_EXTRA_CONF=conf)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", *PYTEST_FILES],
+            env=env, cwd=REPO, capture_output=True, text=True)
+        tail = (proc.stdout or "").strip().splitlines()[-1:]
+        pytest_recs[tag] = {"exit": proc.returncode, "tail": tail}
+        if proc.returncode != 0:
+            failures.append(f"streaming pytest subset failed under "
+                            f"{tag}: {tail}")
 
     artifact = {
         "wave": "rocksdb-state-store-parity",
         "provider_class": ROCKSDB_CLASS,
         "sf_dir": sf_dir,
         "twins": comparison,
-        "e2e_oracle_sweep_sf0.01": sweep_rec,
-        "pytest_subset": {"files": PYTEST_FILES,
-                          "exit": proc.returncode,
-                          "tail": pytest_tail},
+        "e2e_oracle_sweep_sf0.01": sweep_recs,
+        "pytest_subset": {"files": PYTEST_FILES, **pytest_recs},
         "failures": failures,
     }
     with open(out_path, "w") as f:
