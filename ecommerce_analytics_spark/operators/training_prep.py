@@ -158,6 +158,19 @@ WITH corpus AS MATERIALIZED (
 ), sup AS MATERIALIZED (
   SELECT cell_id AS super_id, c_emb AS s_emb, c_nrm AS s_nrm
   FROM cent WHERE cell_id < (SELECT n_super FROM params)
+-- Regime gating happens on the INPUT side (an empty MATERIALIZED CTE
+-- in the inactive regime), not as a WHERE under a populated cross
+-- join: DuckDB does not constant-fold the scalar-subquery predicate
+-- before executing the join, so at sf10 the dead flat branch was a
+-- 205k-vector x 800-centroid cross join of 128-double embeddings
+-- (~300 GB through the window sort) that overflowed a 79 GB spill
+-- disk. Empty-input joins cost nothing in either regime.
+), cent_flat AS MATERIALIZED (
+  SELECT * FROM cent
+  WHERE (SELECT n_cells FROM params) <= {SEM_FLAT_MAX_CELLS}
+), sup_hier AS MATERIALIZED (
+  SELECT * FROM sup
+  WHERE (SELECT n_cells FROM params) > {SEM_FLAT_MAX_CELLS}
 ), cent2super AS MATERIALIZED (
   -- super centroids PIN to their own super-cell (no cosine routing):
   -- guarantees every super-cell is non-empty structurally, so the
@@ -176,7 +189,7 @@ WITH corpus AS MATERIALIZED (
                        / (cent.c_nrm * sup.s_nrm)) DESC,
                       sup.super_id
            ) AS rn
-    FROM cent CROSS JOIN sup
+    FROM cent CROSS JOIN sup_hier sup
     WHERE cent.cell_id >= (SELECT n_super FROM params)
   ) WHERE rn = 1
 ), vec2super AS MATERIALIZED (
@@ -188,8 +201,7 @@ WITH corpus AS MATERIALIZED (
                        / (c.nrm * sup.s_nrm)) DESC,
                       sup.super_id
            ) AS rn
-    FROM corpus c CROSS JOIN sup
-    WHERE (SELECT n_cells FROM params) > {SEM_FLAT_MAX_CELLS}
+    FROM corpus c CROSS JOIN sup_hier sup
   ) WHERE rn = 1
 ), assigned AS MATERIALIZED (
   SELECT vec_id, embedding, nrm, cell_id, cent_cos FROM (
@@ -202,8 +214,7 @@ WITH corpus AS MATERIALIZED (
                        / (c.nrm * cent.c_nrm)) DESC,
                       cent.cell_id
            ) AS rn
-    FROM corpus c CROSS JOIN cent
-    WHERE (SELECT n_cells FROM params) <= {SEM_FLAT_MAX_CELLS}
+    FROM corpus c CROSS JOIN cent_flat cent
   ) WHERE rn = 1
   UNION ALL
   SELECT vec_id, embedding, nrm, cell_id, cent_cos FROM (

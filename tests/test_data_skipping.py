@@ -97,14 +97,14 @@ def _fact(spark):
 @pytest.fixture(scope="module")
 def lake_layouts(spark, tmp_path_factory):
     """The same fact rows in two physical layouts, N_FILES each:
-    range-clustered on l_shipdate (disjoint per-file date ranges →
-    tight min/max footer stats) vs round-robin (every file spans the
-    full date range → stats prune nothing)."""
+    range-clustered on l_shipdate via the engine API (disjoint
+    per-file date ranges → tight min/max footer stats) vs round-robin
+    (every file spans the full date range → stats prune nothing)."""
+    from ecommerce_analytics_spark.io import write_clustered_parquet
     root = str(tmp_path_factory.mktemp("skipping_lake"))
     li = _fact(spark)
-    (li.repartitionByRange(N_FILES, "l_shipdate")
-       .sortWithinPartitions("l_shipdate")
-       .write.parquet(f"{root}/sorted"))
+    write_clustered_parquet(li, f"{root}/sorted", ("l_shipdate",),
+                            n_files=N_FILES)
     li.repartition(N_FILES).write.parquet(f"{root}/unsorted")
     return root
 
@@ -171,11 +171,12 @@ def test_partitioned_and_sorted_compose(spark, tmp_path_factory):
     COMPOSED with within-partition range clustering (row-group stats
     prune inside the surviving partition). Bytes must drop at BOTH
     steps."""
+    from ecommerce_analytics_spark.io import write_clustered_parquet
     root = str(tmp_path_factory.mktemp("skipping_part"))
     li = _fact(spark).withColumn("ship_year", F.year("l_shipdate"))
-    (li.repartitionByRange(N_FILES, "l_shipdate")
-       .sortWithinPartitions("l_shipdate")
-       .write.partitionBy("ship_year").parquet(f"{root}/lake"))
+    write_clustered_parquet(li, f"{root}/lake", ("l_shipdate",),
+                            n_files=N_FILES,
+                            partition_cols=("ship_year",))
 
     pruned = (spark.read.parquet(f"{root}/lake")
               .filter((F.col("ship_year") == 1995)
