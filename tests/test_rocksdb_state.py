@@ -77,16 +77,41 @@ def _run_ltv(spark, events_stream_dir, name, ckpt):
     return rows, fired
 
 
+CHANGELOG_KEY = ("spark.sql.streaming.stateStore.rocksdb."
+                 "changelogCheckpointing.enabled")
+
+
+def _changelog_count(ckpt: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        n += sum(1 for f in files if f.endswith(".changelog"))
+    return n
+
+
 def test_rocksdb_fires_and_matches_heap(spark, sf_dir, events_stream_dir,
                                         tmp_path, rocksdb_conf):
-    """Same twin, same input, both backends in one session: identical
-    per-event running LTV, with positive proof RocksDB actually ran
-    (metrics + SSTs) and the heap leg did not."""
+    """Same twin, same input, three backend configs in one session:
+    identical per-event running LTV, with positive proof of WHICH
+    commit path ran each time (SST snapshots vs changelog files vs
+    neither) — the full wave is tools/rocksdb_wave.py."""
     rocks_ckpt = str(tmp_path / "ck_rocks")
     rocks, rocks_fired = _run_ltv(spark, events_stream_dir,
                                   "ltv_rocksdb_gate", rocks_ckpt)
     assert rocks_fired, "RocksDB provider did not fire"
     assert _sst_count(rocks_ckpt) > 0, "no SSTs in RocksDB checkpoint"
+
+    # changelog-checkpointing leg (the production default): commits
+    # write .changelog files, restores replay them over a snapshot
+    spark.conf.set(CHANGELOG_KEY, "true")
+    try:
+        cl_ckpt = str(tmp_path / "ck_changelog")
+        changelog, cl_fired = _run_ltv(spark, events_stream_dir,
+                                       "ltv_changelog_gate", cl_ckpt)
+        assert cl_fired, "changelog leg did not run on RocksDB"
+        assert _changelog_count(cl_ckpt) > 0, \
+            "no .changelog files — changelog checkpointing did not fire"
+    finally:
+        spark.conf.unset(CHANGELOG_KEY)
 
     spark.conf.unset(PROVIDER_KEY)  # heap leg of the SAME session
     heap_ckpt = str(tmp_path / "ck_heap")
@@ -96,6 +121,7 @@ def test_rocksdb_fires_and_matches_heap(spark, sf_dir, events_stream_dir,
 
     assert len(rocks) == len(heap) > 0
     assert rocks == heap  # exact: state round-trip may not perturb floats
+    assert changelog == heap
 
 
 def test_rocksdb_checkpoint_restart_matches_batch(spark, sf_dir, tmp_path,
