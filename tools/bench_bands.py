@@ -20,9 +20,18 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
+def _round_key(p: pathlib.Path) -> tuple:
+    """Sort artifacts by ROUND NUMBER, not lexically — 'r10' sorts
+    before 'r6' as a string, which would pin 'latest' to round 9
+    forever once double-digit rounds exist."""
+    import re
+    m = re.search(r"_r(\d+)", p.name)
+    return (int(m.group(1)) if m else -1, p.name)
+
+
 def _series(pattern: str) -> list[tuple[str, dict]]:
     out = []
-    for p in sorted(REPO.glob(pattern)):
+    for p in sorted(REPO.glob(pattern), key=_round_key):
         try:
             doc = json.loads(p.read_text())
         except Exception:
