@@ -1,24 +1,29 @@
-"""Shuffle-partition-count invariance wave — round 10.
+"""Physical-width invariance wave — round 10.
 
-``spark.sql.shuffle.partitions`` is the knob every deployment sets
-differently (local[32] pins 32; a 1000-executor cluster runs
-thousands, or leaves AQE to coalesce at runtime). No result may
-depend on it: partition count changes every exchange's physical row
-grouping, which is exactly where nondeterminism hides —
-underdetermined window tie-breaks (row_number over a non-total
-order), accumulation-order float sums surfaced through >= threshold
-comparisons, first()/head-like picks, partition-sensitive sampling.
-The committed sweeps all ran at 32; this wave re-runs the FULL
-registry at a hostile pair of counts and requires:
+The two width knobs every deployment sets differently, neither of
+which may change a result:
 
-1. oracle-green at both (the driver's own comparison), and
-2. order-insensitive value_hash IDENTICAL per query across 7, 64,
-   and the committed-32 artifact (SWEEP_JSON_BASE) — a result that
-   changes with the shuffle width is broken on every real cluster.
+* ``spark.sql.shuffle.partitions`` — changes every exchange's
+  physical row grouping, where underdetermined window tie-breaks,
+  accumulation-order float sums behind >= thresholds, and
+  partition-sensitive picks hide. Perturbed to 7 (odd,
+  sub-parallelism, heavy AQE coalescing) and 64 (over-partitioned:
+  empty and 1-row partitions at sf0.01).
+* ``spark.sql.files.maxPartitionBytes`` (+ openCostInBytes=0) — the
+  SCAN-side twin: split geometry of every parquet read, and the axis
+  that jitters MLlib k-means|| init layouts (the documented
+  layout-sensitivity of the trained-KMeans ANN family rides on the
+  coalesce(8) pin over scan partitions; the recall floors must
+  absorb the jitter). Perturbed to 64 KB — row-group-level splits.
+* ``spark.sql.execution.arrow.maxRecordsPerBatch`` — pandas-UDF batch
+  geometry: 64-row Arrow batches shred every mapInPandas /
+  applyInPandas input into many tiny frames; an operator that
+  computes across a batch boundary drifts here.
 
-7 is deliberately adversarial: odd, smaller than the 32-thread
-parallelism, forces multi-key partitions and heavy AQE coalescing.
-64 over-partitions (empty partitions, 1-row partitions at sf0.01).
+Gate, against the committed canonical-width sweep (SWEEP_JSON_BASE):
+oracle-green at every width AND order-insensitive value_hash
+IDENTICAL per query — a result that changes with physical width is
+broken on every real cluster.
 
 Usage::
 
@@ -40,17 +45,28 @@ REPO = str(pathlib.Path(__file__).resolve().parents[1])
 sys.path.insert(0, REPO)
 
 
-def run_sweep(sf_dir: str, artifact: str, n_parts: int) -> dict:
+AXES = {
+    "shuffle_7": "spark.sql.shuffle.partitions=7",
+    "shuffle_64": "spark.sql.shuffle.partitions=64",
+    "scan_64k": ("spark.sql.files.maxPartitionBytes=65536;"
+                 "spark.sql.files.openCostInBytes=0"),
+    # pandas-UDF batch geometry: 64-row Arrow batches split every
+    # mapInPandas/applyInPandas input into many tiny frames — any
+    # operator that accidentally computes across a batch boundary
+    # (per-batch normalization, carry-over between frames) drifts here
+    "arrow_64": "spark.sql.execution.arrow.maxRecordsPerBatch=64",
+}
+
+
+def run_sweep(sf_dir: str, artifact: str, conf: str) -> dict:
     env = dict(os.environ,
                SWEEP_JSON_OUT=artifact,
-               SPARK_GRAFT_EXTRA_CONF=(
-                   f"spark.sql.shuffle.partitions={n_parts}"))
+               SPARK_GRAFT_EXTRA_CONF=conf)
     env.pop("SWEEP_JSON_MERGE", None)
     subprocess.run([sys.executable, f"{REPO}/tools/sweep.py", sf_dir],
                    env=env, cwd=REPO)
     if not os.path.exists(artifact):
-        print(f"sweep at shuffle.partitions={n_parts} wrote no artifact",
-              file=sys.stderr)
+        print(f"sweep under {conf!r} wrote no artifact", file=sys.stderr)
         sys.exit(2)
     with open(artifact) as f:
         return {r["q"]: r for r in json.load(f)["records"]}
@@ -68,12 +84,12 @@ def main() -> int:
         base = {r["q"]: r for r in json.load(f)["records"]}
 
     tmp = tempfile.mkdtemp(prefix="shufflepart_")
-    runs = {n: run_sweep(sf_dir, f"{tmp}/sweep_sp{n}.json", n)
-            for n in (7, 64)}
+    runs = {tag: run_sweep(sf_dir, f"{tmp}/sweep_{tag}.json", conf)
+            for tag, conf in AXES.items()}
 
-    failures: dict[int, list[str]] = {
-        n: sorted(q for q, r in recs.items() if not r["ok"])
-        for n, recs in runs.items()}
+    failures: dict[str, list[str]] = {
+        tag: sorted(q for q, r in recs.items() if not r["ok"])
+        for tag, recs in runs.items()}
     drift = sorted(
         q for q in base
         if any(q in recs and recs[q].get("vh")
@@ -81,12 +97,12 @@ def main() -> int:
                for recs in runs.values()))
 
     doc = {
-        "wave": "shuffle-partition-invariance",
+        "wave": "physical-width-invariance",
         "sf": sf_dir,
-        "widths": [7, 64],
+        "axes": AXES,
         "base_artifact": os.path.basename(base_path),
         "n_queries": len(base),
-        "oracle_failures": {str(n): f for n, f in failures.items()},
+        "oracle_failures": failures,
         "vh_drift_vs_base": drift,
     }
     with open(out_path, "w") as f:
