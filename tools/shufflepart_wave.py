@@ -19,6 +19,9 @@ which may change a result:
   geometry: 64-row Arrow batches shred every mapInPandas /
   applyInPandas input into many tiny frames; an operator that
   computes across a batch boundary drifts here.
+* ``spark.sql.codegen.wholeStage=false`` — the interpreted evaluator
+  for every expression; compiled-vs-interpreted divergence is the bug
+  class Spark regression-tests with this flag.
 
 Gate, against the committed canonical-width sweep (SWEEP_JSON_BASE):
 oracle-green at every width AND order-insensitive value_hash
@@ -55,6 +58,11 @@ AXES = {
     # operator that accidentally computes across a batch boundary
     # (per-batch normalization, carry-over between frames) drifts here
     "arrow_64": "spark.sql.execution.arrow.maxRecordsPerBatch=64",
+    # the execution-ENGINE axis: whole-stage codegen off forces the
+    # interpreted expression evaluator for every operator — a codegen
+    # divergence (the bug class Spark itself regression-tests with
+    # this exact flag) shows up as drift
+    "codegen_off": "spark.sql.codegen.wholeStage=false",
 }
 
 
