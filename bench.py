@@ -187,7 +187,40 @@ def _timer_subprocess(root: str, names: list[str],
     return None
 
 
-def _adjudicate(flagged: dict[str, float], n_runs: int) -> dict:
+def _round_num(name: str) -> int:
+    """Round number from an artifact name ('r10' sorts before 'r6'
+    lexically — mirror tools/bench_bands.py:_round_key)."""
+    m = re.search(r"_r(\d+)", name)
+    return int(m.group(1)) if m else -1
+
+
+def _prior_round_sha(here: str, pattern: str) -> str | None:
+    """Commit that last touched the newest TRACKED round artifact of
+    this series. The working-tree glob is wrong here: mid-round the
+    current round's artifact exists on disk but is untracked, so
+    `git log -- <untracked>` returns an empty sha. Walk tracked
+    candidates newest-first (numeric round order) until git log yields
+    a non-empty sha."""
+    import fnmatch
+    import subprocess
+    tracked = subprocess.run(
+        ["git", "ls-files", pattern], cwd=here,
+        capture_output=True, text=True, check=True).stdout.split()
+    cands = [p for p in tracked if fnmatch.fnmatch(os.path.basename(p),
+                                                   pattern)]
+    for art in sorted(cands, key=lambda p: _round_num(os.path.basename(p)),
+                      reverse=True):
+        sha = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", art],
+            cwd=here, capture_output=True, text=True,
+            check=True).stdout.strip()
+        if sha:
+            return sha
+    return None
+
+
+def _adjudicate(flagged: dict[str, float], n_runs: int,
+                pattern: str) -> dict:
     """Re-time flagged queries on HEAD and on the prior round's commit
     in fresh JVMs back-to-back on this host. Returns the adjudication
     record (always emitted, even on infrastructure failure — a silent
@@ -195,14 +228,12 @@ def _adjudicate(flagged: dict[str, float], n_runs: int) -> dict:
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     rec: dict = {"flagged": flagged}
+    wt = None
     try:
-        import glob
-        arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-        prior_sha = subprocess.run(
-            ["git", "log", "-n1", "--format=%H", "--",
-             os.path.basename(arts[-1])],
-            cwd=here, capture_output=True, text=True,
-            check=True).stdout.strip()
+        prior_sha = _prior_round_sha(here, pattern)
+        if not prior_sha:
+            rec["error"] = "no tracked prior-round artifact found"
+            return rec
         rec["prior_commit"] = prior_sha
         wt = f"/tmp/bench_adjudicate_{prior_sha[:10]}"
         if not os.path.isdir(wt):
@@ -217,10 +248,12 @@ def _adjudicate(flagged: dict[str, float], n_runs: int) -> dict:
                 name: ("host" if rec["prior_fresh"][name]
                        >= 0.8 * rec["head_fresh"][name] else "code")
                 for name in names}
-        subprocess.run(["git", "worktree", "remove", "--force", wt],
-                       cwd=here, capture_output=True)
     except Exception as exc:  # infra failure — record, don't hide
         rec["error"] = f"{type(exc).__name__}: {exc}"
+    finally:
+        if wt is not None:
+            subprocess.run(["git", "worktree", "remove", "--force", wt],
+                           cwd=here, capture_output=True)
     return rec
 
 
@@ -305,7 +338,7 @@ def main() -> None:
                    if name in bests and sec > band * bests[name]}
         if flagged:
             spark.stop()  # free the JVM before the fresh-JVM re-times
-            doc["adjudication"] = _adjudicate(flagged, n_runs)
+            doc["adjudication"] = _adjudicate(flagged, n_runs, pattern)
             print(json.dumps(doc))
             return
 

@@ -49,13 +49,28 @@ from ecommerce_analytics_spark.plans.registry import query
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-# Serve-path corpus-count memo, keyed on index path. Safe because an
-# index path is immutable once built (centroid refresh is a blue/green
-# rebuild to a FRESH path — module docstring), so the count can never
-# go stale for a given key; mirrors io._BUCKET_ROWS_CACHE. Keeps the
-# per-query-batch probe-budget lookup off the hot serve path (it was a
-# redundant parquet-metadata Spark job on every call — ADVICE r9).
-_CELLS_ROWS_CACHE: dict[str, int] = {}
+# Serve-path corpus-count memo, keyed on (cells path, mtime_ns). The
+# recommended refresh is a blue/green rebuild to a FRESH path (module
+# docstring), but build_ann_index writes mode('overwrite') to the
+# deterministic ann_index_path, so an in-place rebuild after corpus
+# regeneration IS reachable — a path-only key would then serve a stale
+# count and mis-size kmeans_probe_count (ADVICE r10). The mtime of the
+# cells dir changes on every overwrite, invalidating the memo exactly
+# when the index does; mirrors io._BUCKET_ROWS_CACHE.
+_CELLS_ROWS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _cells_rows(cells, cells_dir: str) -> int:
+    try:
+        mtime = os.stat(cells_dir).st_mtime_ns
+    except OSError:
+        mtime = -1  # non-local FS — fall through to a fresh count
+    key = (cells_dir, mtime)
+    rows = _CELLS_ROWS_CACHE.get(key)
+    if rows is None:
+        rows = cells.count()  # parquet-metadata read, once per index
+        _CELLS_ROWS_CACHE[key] = rows
+    return rows
 
 
 def ann_index_path(sf_dir: str) -> str:
@@ -120,12 +135,9 @@ def knn_against_stored(spark: SparkSession, queries: DataFrame,
     only those cell partitions, scores with the same fold arithmetic as
     every other similarity query."""
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
-    cells = spark.read.parquet(os.path.join(path, "cells"))
-    rows = _CELLS_ROWS_CACHE.get(path)
-    if rows is None:
-        rows = cells.count()  # parquet-metadata read, once per index
-        _CELLS_ROWS_CACHE[path] = rows
-    n_probe = kmeans_probe_count(rows)
+    cells_dir = os.path.join(path, "cells")
+    cells = spark.read.parquet(cells_dir)
+    n_probe = kmeans_probe_count(_cells_rows(cells, cells_dir))
 
     q = (queries.select("vec_id", "embedding")
          .withColumn("q_norm", norm(F.col("embedding"))))
