@@ -86,6 +86,15 @@ def get_spark(app_name: str = "ecommerce_analytics_spark",
     # only offers through the local[N,F] master form.
     retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES")
     master = f"local[{cpus},{int(retries)}]" if retries else f"local[{cpus}]"
+    # Harness hook: a full master override. The local-cluster wave
+    # (tools/localcluster_wave.py) certifies the registry under
+    # ``local-cluster[n,cores,mem_mb]`` — separate executor JVMs, real
+    # task/closure serialization, RPC broadcast, network shuffle fetch —
+    # the process boundaries local[N] never crosses. Executor JVMs do
+    # NOT inherit the driver's sys.path, so the wave also sets
+    # spark.executorEnv.PYTHONPATH to the repo root for the pandas-UDF
+    # surfaces. Engine code never reads this.
+    master = os.environ.get("SPARK_GRAFT_MASTER", master)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
