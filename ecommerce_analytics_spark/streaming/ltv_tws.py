@@ -73,7 +73,12 @@ def make_ltv_processor():
             self._ltv.update((ltv,))
 
         def close(self) -> None:
-            pass
+            # Intentional no-op: this processor holds no resources
+            # outside the handle-managed ValueState (no files, sockets,
+            # or pools to release). If activation (protobuf present)
+            # ever adds such a resource, release it here — do not rely
+            # on this stub staying dead (VERDICT r10 residual nit).
+            return None
 
     return LtvProcessor()
 

@@ -153,6 +153,40 @@ def run_probe() -> tuple[dict, list[str]]:
     return rec, failures
 
 
+# ----------------------------------------------------------------- gate
+
+GATE_QUERIES = ("event_classification", "product_recommendations",
+                "ltv_running", "dedup_minhash_lsh")
+
+
+def gate_worker(sf_dir: str) -> None:
+    """Small always-on pytest companion (tests/test_localcluster.py):
+    topology probe + 4 representative queries under a 2-JVM
+    local-cluster, printing name -> value_hash for the parent to
+    compare against its own single-JVM session."""
+    from ecommerce_analytics_spark.plans.registry import query_map
+    from ecommerce_analytics_spark.session import get_spark
+    from ecommerce_analytics_spark.testing import value_hash
+
+    spark = get_spark("localcluster_gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    def daemon_ppid(_):
+        import os as _os
+        yield _os.getppid()
+
+    ppids = set(sc.range(0, 8, numSlices=8)
+                .mapPartitions(daemon_ppid).collect())
+    qmap = query_map()
+    hashes = {name: value_hash(qmap[name](spark, sf_dir).toPandas())
+              for name in GATE_QUERIES}
+    print(json.dumps({"master": sc.master,
+                      "distinct_daemon_ppids": sorted(ppids),
+                      "hashes": hashes}), flush=True)
+    spark.stop()
+
+
 # ---------------------------------------------------------------- sweep
 
 def run_sweep(sf_dir: str, baseline_path: str,
@@ -310,5 +344,7 @@ def main() -> int:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--probe":
         probe_worker()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--gate-worker":
+        gate_worker(sys.argv[2])
     else:
         sys.exit(main())

@@ -291,8 +291,11 @@ def main() -> int:
     # (the committed sf1.0 sweep artifacts depend on them); the keyed-
     # state twins need a genuinely 10x event stream — 1M events / 10x
     # users at the same per-user density — so they get a dedicated
-    # events-scaled dir (opt-in via GEN_SCALE_TABLES).
-    ev_dir = ensure_scaled("/tmp/scale_sf1.0_events", tables="events")
+    # events-scaled dir (opt-in via GEN_SCALE_TABLES). argv[1]
+    # overrides it for the next decade (10M events — pre-generate with
+    # gen_scale GEN_SCALE_TABLES=events k=100).
+    ev_dir = argv[1] if len(argv) > 1 else ensure_scaled(
+        "/tmp/scale_sf1.0_events", tables="events")
     ev_total = 0
     p = os.path.join(ev_dir, "events.parquet")
     if os.path.isdir(p):

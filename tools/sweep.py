@@ -147,6 +147,12 @@ def main() -> int:
     changed_only = "--changed" in argv
     if changed_only:
         argv.remove("--changed")
+    # --exact: name filters match whole query names, not substrings —
+    # "sessionize" must not drag sessionize_native/stream_sessionize_e2e
+    # into a scaled-SF run where each extra query costs minutes.
+    exact = "--exact" in argv
+    if exact:
+        argv.remove("--exact")
     sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     only = argv[1:]
@@ -184,7 +190,8 @@ def main() -> int:
     t_all = time.time()
     for name, fn in queries.items():
         if only and not any(
-                (name == s if changed_only else s in name) for s in only):
+                (name == s if (changed_only or exact) else s in name)
+                for s in only):
             continue
         t0 = time.time()
         rec: dict = {"q": name, "sf": sf_dir, "fp": fps[name]}
