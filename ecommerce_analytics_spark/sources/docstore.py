@@ -87,7 +87,23 @@ def _ensure_version_file(path: str) -> None:
 
 
 def _json_default(v):
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        # Rows reaching a Python sink were converted by PySpark's
+        # TimestampType.fromInternal = datetime.fromtimestamp(...) —
+        # a NAIVE datetime in the OS-LOCAL zone. Serializing that
+        # naive wall clock made the stored document depend on the
+        # host's TZ (caught by tools/tz_wave.py: session_start/end
+        # shifted 5h under TZ=America/New_York; it was masked before
+        # round 11 by the sim source's symmetric inverse leak).
+        # Re-anchor explicitly: interpret naive as system-local
+        # (fold-aware, so DST-ambiguous instants round-trip exactly),
+        # convert to UTC, store the UTC wall clock — read_docstore
+        # parses it under the session's UTC pin.
+        if v.tzinfo is None:
+            v = v.astimezone()
+        return v.astimezone(datetime.timezone.utc) \
+                .replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     raise TypeError(f"not JSON-serializable: {type(v)}")
 

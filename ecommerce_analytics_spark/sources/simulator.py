@@ -41,6 +41,16 @@ SIM_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
 _COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
+def _as_utc(dt):
+    """Naive driver-table timestamps are UTC wall clocks (session pin);
+    make that explicit so PySpark's datetime→Catalyst conversion never
+    consults the OS timezone (naive goes through time.mktime)."""
+    import datetime
+    if dt is not None and dt.tzinfo is None:
+        return dt.replace(tzinfo=datetime.timezone.utc)
+    return dt
+
+
 def _num_rows(path: str) -> int:
     """Row count from parquet footers only (no data read). The table
     may be a single file OR a directory of parts (compacted lake,
@@ -122,16 +132,30 @@ class _SimStreamReader(SimpleDataSourceStreamReader):
     def _sentinel_row(self, t):
         import datetime
         max_ts = t.column("ts")[t.num_rows - 1].as_py()
-        ts = max_ts + datetime.timedelta(days=self.sentinel_days)
+        ts = _as_utc(max_ts + datetime.timedelta(days=self.sentinel_days))
         return (-1, ts, -1, SENTINEL_EVENT_TYPE, 0.0, None)
 
     def _slice(self, lo, hi):
         """Rows for logical offsets [lo, hi); index num_rows is the
-        sentinel when enabled."""
+        sentinel when enabled.
+
+        ts is returned as an AWARE-UTC datetime: the simple stream
+        reader hands Python rows to Spark, whose TimestampType
+        conversion interprets a NAIVE datetime in the OS-local zone
+        (time.mktime) but an aware one in its own zone (timegm) —
+        under a non-UTC OS timezone the naive form silently shifted
+        every replayed event by the UTC offset (caught by
+        tools/tz_wave.py: stream_pipeline_e2e window starts moved
+        4-5h under TZ=America/New_York while the arrow-batch reader
+        and every JVM path stayed put)."""
         t = self._sorted_table()
         real_hi = min(hi, t.num_rows)
-        rows = [tuple(r[c] for c in _COLS)
-                for r in t.slice(lo, max(real_hi - lo, 0)).to_pylist()]
+        ts_i = _COLS.index("ts")
+        rows = []
+        for r in t.slice(lo, max(real_hi - lo, 0)).to_pylist():
+            row = tuple(r[c] for c in _COLS)
+            rows.append(row[:ts_i] + (_as_utc(row[ts_i]),)
+                        + row[ts_i + 1:])
         if self.sentinel_days and hi > t.num_rows and lo <= t.num_rows:
             rows.append(self._sentinel_row(t))
         return rows
