@@ -76,8 +76,12 @@ def batch_worker(sf_dir: str) -> None:
     df = q_event_classification(spark, sf_dir)
     cols = df.columns
     print(json.dumps({"phase": "start", "t": time.time()}), flush=True)
+    # sum in unbounded decimal: a plain long sum of 60M full-range
+    # xxhash64 values overflows (and the session's ANSI pin rightly
+    # makes that loud instead of silently wrapping)
     row = (df.select(F.xxhash64(*cols).alias("h"))
-           .agg(F.count("*").alias("n"), F.sum("h").alias("s"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("s"))
            .collect()[0])
     print(json.dumps({"phase": "done", "t": time.time(),
                       "n": row["n"], "checksum": str(row["s"])}),
@@ -204,6 +208,8 @@ def main() -> int:
                         f"{ {k: killed.get(k) for k in ('rc', 'killed_pid')} }")
     if killed.get("killed_pid") is None:
         failures.append("batch leg: no executor JVM found to kill")
+    elif "end_t" not in killed:
+        failures.append("batch leg: killed run never completed")
     elif not (killed["start_t"] < killed["kill_t"] < killed["end_t"]):
         failures.append("batch leg: kill landed outside the query window")
     if clean.get("checksum") is not None and (
@@ -235,6 +241,8 @@ def main() -> int:
                         f"rc={s_killed.get('rc')}")
     if s_killed.get("killed_pid") is None:
         failures.append("stream leg: no executor JVM found to kill")
+    elif "end_t" not in s_killed:
+        failures.append("stream leg: killed run never completed")
     elif not (s_killed["start_t"] < s_killed["kill_t"]
               < s_killed["end_t"]):
         failures.append("stream leg: kill landed outside the run window")
