@@ -40,6 +40,34 @@ PR_FIX = 1_000_000_000  # 1e-9 fixed point
 PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
+def _basket_pairs(lineitem: DataFrame) -> DataFrame:
+    """Distinct within-basket ordered pairs (src < dst) — the shared
+    edge-generation step of every co-purchase graph query.
+
+    collect_set per order (dedup + co-location in ONE shuffle of the
+    fact table on its natural key), then a map-side explode of the
+    within-basket ordered pairs, then one distinct over the pair set.
+    Identical to the oracle's basket self-join GROUP BY, but the
+    round-11 A/B (sf0.1, interleaved, cold cache, min-of-7) measured
+    the former self-join formulation executing the scan+distinct
+    subtree on both join sides plus two (l_orderkey, l_partkey)
+    exchanges each; this shape is one fact exchange + one pair-set
+    exchange, the same plan the recommendations family has used since
+    round 5 (joins.py:_recommendations_from). Baskets are bounded
+    smalls (per-order item sets), so the k² explode fan-out is
+    map-local and tiny — never one task.
+    """
+    baskets = (lineitem.select("l_orderkey", "l_partkey")
+               .groupBy("l_orderkey")
+               .agg(F.collect_set("l_partkey").alias("items")))
+    return (baskets.select(F.explode(F.expr(
+        "flatten(transform(items, a -> "
+        "  transform(filter(items, b -> a < b), "
+        "            b -> named_struct('src', a, 'dst', b))))")).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct())
+
+
 def _oracle() -> str:
     # AS MATERIALIZED on the CTEs every round re-reads: DuckDB inlines
     # plain CTEs per reference, so without it the pairs self-join and
@@ -102,14 +130,7 @@ FROM r{PR_ITERS}
 )
 def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = basket.alias("a")
-    b = basket.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .select(F.col("a.l_partkey").alias("src"),
-                     F.col("b.l_partkey").alias("dst"))
-             .distinct())
+    pairs = _basket_pairs(lineitem)
     # persist(), not localCheckpoint(): checkpoint EXECUTES the plan
     # at construction under AQE (Dataset.checkpoint goes through .rdd,
     # which materializes query stages), while persist is genuinely
@@ -120,11 +141,27 @@ def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session evicts them LRU. Fixed K=5 keeps the nested plan
     # shallow, so no lineage truncation is needed (unbounded-round
     # loops — dedup_resolve.py — still checkpoint per round).
+    #
+    # Layout (round 11): edges cached HASH-PARTITIONED ON src AND
+    # SORTED WITHIN PARTITIONS — InMemoryRelation preserves both, so
+    # every round's edges⋈ranks sort-merge join needs NO exchange and
+    # NO sort on the fact-sized edge side (only the |V|-row ranks side
+    # moves), and deg's groupBy(src) rides the same partitioning with
+    # zero exchange. Before: each of the 5 rounds re-exchanged and
+    # re-sorted the full edge list (plan census: 5× hashpartitioning
+    # (src) exchanges). A/B at sf0.1 (interleaved, min-of-7): 8.56s →
+    # 5.93s cold-cache, 5.5s → 3.2s warm. The same discipline as a
+    # bucketed fact table, expressed on the in-session cache — at
+    # 100 TB this is "partition the edge list once by join key", the
+    # canonical Pregel layout.
     edges = (pairs.unionAll(pairs.select(F.col("dst").alias("src"),
                                          F.col("src").alias("dst")))
+             .repartition("src")
+             .sortWithinPartitions("src")
              .persist())
     deg = (edges.groupBy(F.col("src").alias("node"))
            .agg(F.count(F.lit(1)).alias("deg"))
+           .sortWithinPartitions("node")
            .persist())
     # The two per-node-count scalars stay IN the plan as a broadcast
     # one-row aggregate (mirroring the oracle's `consts` CTE) instead
@@ -224,14 +261,7 @@ FROM deg d LEFT JOIN per_node t ON d.node = t.node
 )
 def q_product_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = basket.alias("a")
-    b = basket.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .select(F.col("a.l_partkey").alias("src"),
-                     F.col("b.l_partkey").alias("dst"))
-             .distinct())
+    pairs = _basket_pairs(lineitem)
     deg = (pairs.select(F.col("src").alias("node"))
            .unionAll(pairs.select(F.col("dst").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")))
@@ -319,14 +349,7 @@ BFS_MAX_HOPS = 4
 )
 def q_product_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = basket.alias("a")
-    b = basket.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .select(F.col("a.l_partkey").alias("src"),
-                     F.col("b.l_partkey").alias("dst"))
-             .distinct())
+    pairs = _basket_pairs(lineitem)
     # Per-round frontiers are eagerly localCheckpoint-ed (lineage CUT,
     # blocks reclaimed by the ContextCleaner once the result frame is
     # dropped) instead of persist-ed (which pinned one cache entry per
