@@ -66,10 +66,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .select(F.col("b").alias("a"), F.col("m").alias("b")))
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
     """On high→low directed edges: every node's smaller neighbors
-    (and the node itself) re-attach to its local minimum."""
-    directed = _canon(edges)  # a > b for every row
+    (and the node itself) re-attach to its local minimum.
+
+    ``canonical=True`` skips the input normalization when the caller
+    already holds a canonical edge set (_large_star output is one by
+    construction) — the redundant distinct cost a full edge-set
+    exchange + hash aggregate every round (round-11 plan census)."""
+    directed = edges if canonical else _canon(edges)  # a > b per row
     mins = directed.groupBy("a").agg(F.min("b").alias("m"))
     with_min = directed.join(mins, "a")
     leaf_emits = (with_min.filter(F.col("b") != F.col("m"))
@@ -94,9 +99,18 @@ def connected_components_star(edges: DataFrame,
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        changed = (nxt.exceptAll(cur).count()
-                   + cur.exceptAll(nxt).count())
+        nxt = _small_star(_large_star(cur),
+                          canonical=True).localCheckpoint(eager=True)
+        # Fixed-point test = symmetric-difference count. Both sides are
+        # distinct sets (_canon output), so tagging rows ±1 and keeping
+        # groups with a non-zero sum counts exactly |nxt Δ cur| in ONE
+        # shuffle of the two (checkpointed, tiny) edge sets — the
+        # previous nxt.exceptAll(cur) + cur.exceptAll(nxt) ran two
+        # separate jobs, each exchanging both sides (round 11).
+        changed = (nxt.withColumn("_s", F.lit(1))
+                   .unionAll(cur.withColumn("_s", F.lit(-1)))
+                   .groupBy("a", "b").agg(F.sum("_s").alias("_d"))
+                   .filter(F.col("_d") != 0).count())
         cur.unpersist()
         cur = nxt
         if changed == 0:

@@ -65,17 +65,22 @@ def connected_components(edges: DataFrame, node_col: str = "doc_id") -> DataFram
         # checkpoint BEFORE the convergence count — the count and the
         # next round then both read the materialized result instead of
         # each re-running the join (and it truncates lineage so plan
-        # size stays constant across rounds)
+        # size stays constant across rounds). The convergence flag is
+        # computed IN the same pass (a label changes iff a strictly
+        # smaller neighbor label arrived) and checkpointed alongside,
+        # so the per-round convergence test is a filter-count over the
+        # materialized column — round 11 removed the labels-vs-labels
+        # equi-join (one node-sized shuffle per round) the old
+        # new-vs-old comparison paid.
         new_labels = (
             labels.join(neighbor_min, node_col, "left")
             .select(node_col,
                     F.least("label", F.coalesce("nbr_label", "label"))
-                    .alias("label"))
+                    .alias("label"),
+                    (F.col("nbr_label") < F.col("label")).alias("_chg"))
             .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), node_col)
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             return labels
 
