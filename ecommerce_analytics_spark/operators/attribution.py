@@ -203,17 +203,29 @@ def journey_hops(events: DataFrame) -> DataFrame:
              .select("user_id", "day", "rn", "prn",
                      F.when(F.col("event_type") == CONV_TYPE, "CONV")
                      .otherwise(F.col("event_type")).alias("state")))
+    # ONE pass emits both hop kinds (round 11): the previous
+    # formulation unioned two subtrees over `steps` — forward hops via
+    # lag, journey-closing hops via a separate max-rn window — so the
+    # whole scan → row_number → first-purchase join chain executed
+    # TWICE (no reuse across union branches without a cache). lead()
+    # rides the same (user_id, day) window as lag(); a row is the
+    # journey's last exactly when lead is NULL, so each row emits its
+    # forward hop plus, conditionally, the -> NULL closer, and one
+    # map-side explode flattens them. Same single (user_id, day)
+    # exchange, half the upstream work.
     w_seq = Window.partitionBy("user_id", "day").orderBy("rn")
-    hops_fwd = steps.select(
-        F.coalesce(F.lag("state").over(w_seq), F.lit("START")).alias("src"),
-        F.col("state").alias("dst"))
-    last_rn = Window.partitionBy("user_id", "day")
-    hops_end = (steps
-                .withColumn("mx", F.max("rn").over(last_rn))
-                .filter(F.col("prn").isNull() & (F.col("rn") == F.col("mx")))
-                .select(F.col("state").alias("src"),
-                        F.lit("NULL").alias("dst")))
-    return hops_fwd.unionByName(hops_end)
+    annotated = steps.select(
+        "prn", "state",
+        F.coalesce(F.lag("state").over(w_seq), F.lit("START")).alias("_prev"),
+        F.lead("state").over(w_seq).alias("_nxt"))
+    fwd = F.struct(F.col("_prev").alias("src"), F.col("state").alias("dst"))
+    closer = F.struct(F.col("state").alias("src"),
+                      F.lit("NULL").alias("dst"))
+    is_last_open = F.col("prn").isNull() & F.col("_nxt").isNull()
+    return (annotated
+            .select(F.explode(F.when(is_last_open, F.array(fwd, closer))
+                              .otherwise(F.array(fwd))).alias("h"))
+            .select("h.src", "h.dst"))
 
 
 def attribution_from_hops(spark: SparkSession, hops: DataFrame,
