@@ -184,18 +184,38 @@ def _sq_dist(a, b):
 
 
 def encode_pq(nemb: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """(vec_id, codes array<int>[PQ_M]) — the 32×-compressed table."""
-    sub = _subvectors(nemb)
-    best = (sub.join(F.broadcast(codebooks), "m")
-            .groupBy("vec_id", "m")
-            .agg(F.min(F.struct(
-                _sq_dist(F.col("s_emb"), F.col("c_emb")).alias("d2"),
-                F.col("code").alias("code"))).alias("b"))
-            .select("vec_id", "m", F.col("b.code").alias("code")))
-    return (best.groupBy("vec_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))),
-                lambda s: s["code"]).alias("codes")))
+    """(vec_id, codes array<int>[PQ_M]) — the 32×-compressed table.
+
+    MAP-ONLY (round 11): the codebook is collapsed to ONE broadcast
+    row — an (m, code)-sorted array of M·K centroids — and each
+    vector picks all M nearest codes inside a single projection:
+    per subspace, build the K candidate (d², code) structs and take
+    ``array_min`` (struct comparison is lexicographic, so this is
+    exactly the ``min(struct(d², code))`` the previous groupBy
+    computed, same tie-break on code). The previous shape exploded
+    every vector ×M, broadcast-joined the codebook, and paid TWO
+    corpus-sized exchanges (groupBy (vec_id, m), then groupBy vec_id
+    to reassemble) — encoding is embarrassingly parallel, so at
+    100 TB those exchanges were pure waste. Arithmetic is identical:
+    same _sq_dist expression per (subvector, centroid), same argmin
+    ordering; verified exact-equal to the former output at three SFs
+    and by the quantization-error recomputation test."""
+    cb_row = codebooks.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "code", "c_emb")))
+        .alias("_cb"))
+    codes = F.array(*[
+        F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            lambda c: F.struct(
+                _sq_dist(
+                    F.slice(F.col("nemb"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+                    F.element_at(F.col("_cb"),
+                                 F.lit(m * PQ_K + 1) + c)["c_emb"])
+                .alias("d2"),
+                c.cast("int").alias("code"))))["code"]
+        for m in range(PQ_M)])
+    return (nemb.crossJoin(F.broadcast(cb_row))
+            .select("vec_id", codes.alias("codes")))
 
 
 def adc_lut(queries: DataFrame, codebooks: DataFrame) -> DataFrame:
@@ -210,16 +230,42 @@ def adc_lut(queries: DataFrame, codebooks: DataFrame) -> DataFrame:
 def adc_shortlist(codes: DataFrame, lut: DataFrame,
                   shortlist: int = PQ_SHORTLIST) -> DataFrame:
     """(query_id, neighbor_id): the top-``shortlist`` candidates per
-    query by ADC distance — explode the code table, broadcast-join
-    the LUT, sum partials, rank. Shared by the in-memory and
-    persisted pipelines (their exact-equality test depends on the
-    two staying in lockstep)."""
-    exploded = codes.select(
-        "vec_id", F.posexplode("codes").alias("m", "code"))
-    scored = (exploded.join(F.broadcast(lut), ["m", "code"])
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-              .agg(F.sum("pd2").alias("adc_d2")))
+    query by ADC distance. Shared by the in-memory and persisted
+    pipelines (their exact-equality test depends on the two staying
+    in lockstep).
+
+    MAP-ONLY scoring (round 11): the per-query LUTs collapse to ONE
+    broadcast row of (query_id, (m, code)-sorted partial distances);
+    each code row fans out to its |Q| (query, neighbor, adc_d2)
+    candidates in the projection, summing the M table lookups in
+    ascending-m order — the same addition order the previous
+    posexplode → broadcast-join → groupBy partial-sum produced (all M
+    rows of a vector sat in one partition, in posexplode order), so
+    distances are bit-identical. The old shape exchanged the ENTIRE
+    |corpus|×|Q| scored set to aggregate the per-pair sums; now the
+    only exchange is the per-query top-k ranking, and the rank filter
+    lets WindowGroupLimit cap each map partition at ``shortlist``
+    rows per query BEFORE that exchange — shuffle volume drops from
+    |corpus|×|Q| rows to ≤ partitions×|Q|×shortlist."""
+    lut_row = (lut.groupBy("query_id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("m", "code", "pd2"))).alias("pds"))
+               .groupBy()
+               .agg(F.collect_list(F.struct("query_id", "pds"))
+                    .alias("_luts")))
+    adc_d2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("q")["pds"],
+            m * PQ_K + F.element_at(F.col("codes"), m + 1) + 1)["pd2"])
+    scored = (codes.crossJoin(F.broadcast(lut_row))
+              .select("vec_id", "codes",
+                      F.explode("_luts").alias("q"))
+              .filter(F.col("vec_id") != F.col("q")["query_id"])
+              .select(F.col("q")["query_id"].alias("query_id"),
+                      F.col("vec_id").alias("neighbor_id"),
+                      adc_d2.alias("adc_d2")))
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc_d2"), F.asc("neighbor_id"))
     return (scored.withColumn("_r", F.row_number().over(w_adc))
