@@ -152,21 +152,24 @@ def _iterated_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing that ever touched the corpus), v the final L-inf=1e6
     fixed-point iterate, computed as a single runtime fold. Shared by
     the eigenvector query and the PCA-projection query."""
-    ex = _fixed_point_expand(
-        # identity contract: the vec_id self-join fans quadratically on
-        # duplicate-delivery rows while the vector count grows linearly
-        # (dup probe, round 7) — one row per delivered vector
-        load_table(spark, sf_dir, "embeddings").distinct())
-    a, b = ex.alias("a"), ex.alias("b")
+    from ecommerce_analytics_spark.operators.profiling import (
+        upper_triangle_terms)
     dec = "decimal(38,0)"
-    st = (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
-                 & (F.col("a.dim") <= F.col("b.dim")))
-          .groupBy(F.col("a.dim").alias("dim_i"),
-                   F.col("b.dim").alias("dim_j"))
+    # Map-side outer products (round 11, mirrors the
+    # embedding_covariance_stats rewrite): each vector emits its own
+    # upper-triangle terms from the embedding array — no coordinate
+    # self-join, no pre-aggregation exchange; integer sums make
+    # accumulation order irrelevant. The identity contract stays: one
+    # row per delivered vector via .distinct() (dup probe, round 7) —
+    # the term COUNT per pair is the vector count either way, but a
+    # duplicate-delivery row must not double its outer product.
+    st = (upper_triangle_terms(
+        load_table(spark, sf_dir, "embeddings").distinct())
+          .groupBy("dim_i", "dim_j")
           .agg(F.count(F.lit(1)).cast(dec).alias("n"),
-               F.sum("a.xf").cast(dec).alias("sum_i"),
-               F.sum("b.xf").cast(dec).alias("sum_j"),
-               F.sum(F.col("a.xf") * F.col("b.xf")).cast(dec)
+               F.sum("xi").cast(dec).alias("sum_i"),
+               F.sum("xj").cast(dec).alias("sum_j"),
+               F.sum(F.col("xi") * F.col("xj")).cast(dec)
                .alias("sum_ij")))
     upper = st.select(
         "dim_i", "dim_j", "n",

@@ -130,6 +130,28 @@ GROUP BY a.dim, b.dim
 """
 
 
+def upper_triangle_terms(emb):
+    """(dim_i, dim_j, xi, xj) upper-triangle outer-product terms,
+    emitted MAP-SIDE from each embedding row (one flatten-explode, no
+    coordinate-table self-join). xi/xf are the shared 1e-6 fixed-point
+    longs. Shared with eigen._iterated_vector's stats pass."""
+    xfa = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * COV_FIX).cast("long"))
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("xfa")),
+        lambda i: F.transform(
+            F.sequence(i, F.size("xfa")),
+            lambda j: F.struct(
+                i.cast("int").alias("dim_i"),
+                j.cast("int").alias("dim_j"),
+                F.element_at(F.col("xfa"), i).alias("xi"),
+                F.element_at(F.col("xfa"), j).alias("xj")))))
+    return (emb.select(F.col("vec_id"), xfa.alias("xfa"))
+            .select("vec_id", F.explode(pairs).alias("t"))
+            .select("vec_id", "t.dim_i", "t.dim_j", "t.xi", "t.xj"))
+
+
 @query(
     "embedding_covariance_stats",
     _COV_ORACLE,
@@ -148,22 +170,21 @@ GROUP BY a.dim, b.dim
 def q_embedding_covariance_stats(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = (emb.select("vec_id", F.posexplode("embedding")
-                     .alias("dim0", "x"))
-          .select("vec_id",
-                  (F.col("dim0") + 1).cast("int").alias("dim"),
-                  F.round(F.col("x").cast("double") * COV_FIX)
-                  .cast("long").alias("xf")))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    return (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
-                   & (F.col("a.dim") <= F.col("b.dim")))
-            .groupBy(F.col("a.dim").alias("dim_i"),
-                     F.col("b.dim").alias("dim_j"))
+    # Map-side outer products (round 11): each vector emits its own
+    # upper-triangle (dim_i, dim_j, xi, xj) terms straight from the
+    # embedding array — the "per-partition outer products merged by
+    # addition" shape the doc promises at 100 TB. The previous
+    # formulation self-joined the exploded coordinate table on vec_id,
+    # which exchanged BOTH copies of the corpus-sized coordinate table
+    # before the aggregation; this emits the identical term multiset
+    # with zero pre-aggregation shuffle (integer sums are associative,
+    # so accumulation order cannot change the result).
+    return (upper_triangle_terms(emb)
+            .groupBy("dim_i", "dim_j")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.sum("a.xf").cast("long").alias("sum_i"),
-                 F.sum("b.xf").cast("long").alias("sum_j"),
-                 F.sum(F.col("a.xf") * F.col("b.xf"))
+                 F.sum("xi").cast("long").alias("sum_i"),
+                 F.sum("xj").cast("long").alias("sum_j"),
+                 F.sum(F.col("xi") * F.col("xj"))
                  .cast("long").alias("sum_ij")))
 
 
