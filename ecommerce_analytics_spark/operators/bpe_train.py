@@ -107,46 +107,53 @@ WITH words AS MATERIALIZED (
 
 
 def _rewrite_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One BPE round: returns (merge row, rewritten symbol table)."""
-    a, b = s.alias("a"), s.alias("b")
-    pairs = (a.join(b, (F.col("b.word") == F.col("a.word"))
-                    & (F.col("b.pos") == F.col("a.pos") + 1))
-             .groupBy(F.col("a.sym").alias("l"), F.col("b.sym").alias("r"))
-             .agg(F.sum("a.w").cast("bigint").alias("c")))
+    """One BPE round: returns (merge row, rewritten symbol table).
+
+    ONE window chain per round (round 11). ``pos`` is dense by
+    construction (posexplode at init, row_number renumber every
+    round), so the (word, pos+1) adjacency self-join IS lead() over
+    the (word, pos) window — the pair count, the match test, the
+    island parity, the consumed-by-left-neighbor test, and the
+    renumber all ride a single hash(word) exchange as window
+    functions. The previous formulation spent two adjacency
+    self-joins plus two anti-joins per round (≈7 exchanges of the
+    symbol table); this shape exchanges it once for the argmax count
+    and once for the window chain. Selection semantics are identical:
+    a row is selected iff (sym, next sym) equals the argmax pair and
+    — for l==r, where matches can overlap inside symbol runs —
+    greedy keeps every second match from the run start (islands via
+    running count of run-member rows; run_min over (word, grp) rides
+    the same word partitioning). A row is dropped iff its LEFT
+    neighbor was selected (lag), replaced iff itself selected; the
+    two never conflict (module docstring)."""
+    w_pos = Window.partitionBy("word").orderBy("pos")
+    t = s.withColumn("nsym", F.lead("sym").over(w_pos))
+    pairs = (t.filter(F.col("nsym").isNotNull())
+             .groupBy(F.col("sym").alias("l"), F.col("nsym").alias("r"))
+             .agg(F.sum("w").cast("bigint").alias("c")))
     best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1)
 
-    runsa = (s.join(F.broadcast(best), s.sym == F.col("l"))
-             .select("word", "pos")
-             .withColumn("grp", F.col("pos") - F.row_number().over(
-                 Window.partitionBy("word").orderBy("pos"))))
-    runs = runsa.withColumn(
-        "run_min", F.min("pos").over(Window.partitionBy("word", "grp")))
-
-    sel = (a.join(b, (F.col("b.word") == F.col("a.word"))
-                  & (F.col("b.pos") == F.col("a.pos") + 1))
-           .crossJoin(F.broadcast(best))
-           .filter((F.col("a.sym") == F.col("l"))
-                   & (F.col("b.sym") == F.col("r")))
-           .select(F.col("a.word").alias("word"), F.col("a.w").alias("w"),
-                   F.col("a.pos").alias("pos"),
-                   F.col("l"), F.col("r"))
-           .join(runs.select("word", "pos", "run_min"), ["word", "pos"])
-           .filter((F.col("l") != F.col("r"))
-                   | ((F.col("pos") - F.col("run_min")) % 2 == 0))
-           .select("word", "w", "pos"))
-
-    merged_rows = (sel.crossJoin(F.broadcast(best))
-                   .select("word", "w", "pos",
-                           F.concat("l", "r").alias("sym")))
-    x1 = sel.select(F.col("word").alias("xw"), F.col("pos").alias("xpos"))
-    x2 = sel.select(F.col("word").alias("yw"),
-                    (F.col("pos") + 1).alias("ypos"))
-    kept = (s.join(x1, (s.word == x1.xw) & (s.pos == x1.xpos), "left_anti")
-            .join(x2, (s.word == x2.yw) & (s.pos == x2.ypos), "left_anti")
-            .select("word", "w", "pos", "sym"))
-    nxt = (merged_rows.unionByName(kept)
-           .withColumn("pos", F.row_number().over(
-               Window.partitionBy("word").orderBy("pos")))
+    u = t.crossJoin(F.broadcast(best))
+    is_l = F.col("sym") == F.col("l")
+    run_cnt = F.sum(F.when(is_l, 1).otherwise(0)).over(
+        w_pos.rowsBetween(Window.unboundedPreceding, 0))
+    u = u.withColumn("grp", F.when(is_l, F.col("pos") - run_cnt))
+    run_min = F.min("pos").over(Window.partitionBy("word", "grp"))
+    u = u.withColumn(
+        "sel",
+        F.coalesce(
+            is_l & (F.col("nsym") == F.col("r"))
+            & ((F.col("l") != F.col("r"))
+               | ((F.col("pos") - run_min) % 2 == 0)),
+            F.lit(False)))
+    nxt = (u.withColumn("consumed",
+                        F.coalesce(F.lag("sel").over(w_pos),
+                                   F.lit(False)))
+           .filter(~F.col("consumed"))
+           .select("word", "w", "pos",
+                   F.when(F.col("sel"), F.concat("l", "r"))
+                   .otherwise(F.col("sym")).alias("sym"))
+           .withColumn("pos", F.row_number().over(w_pos))
            .select("word", "w", "pos", "sym"))
     return best, nxt
 
