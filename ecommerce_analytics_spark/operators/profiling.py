@@ -170,21 +170,51 @@ def upper_triangle_terms(emb):
 def q_embedding_covariance_stats(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # Map-side outer products (round 11): each vector emits its own
-    # upper-triangle (dim_i, dim_j, xi, xj) terms straight from the
-    # embedding array — the "per-partition outer products merged by
-    # addition" shape the doc promises at 100 TB. The previous
-    # formulation self-joined the exploded coordinate table on vec_id,
-    # which exchanged BOTH copies of the corpus-sized coordinate table
-    # before the aggregation; this emits the identical term multiset
-    # with zero pre-aggregation shuffle (integer sums are associative,
-    # so accumulation order cannot change the result).
-    return (upper_triangle_terms(emb)
+    # Map-side outer products over per-vec_id column sums (round 11).
+    # This query's oracle joins the exploded coordinate table with
+    # itself ON vec_id with NO dedup, so duplicate deliveries of a
+    # vec_id carry cross-copy semantics: k delivered rows with
+    # per-dim column-sum vector S contribute k^2 rows to each (i, j)
+    # group, k*S_i to sum_i, k*S_j to sum_j and S_i*S_j to sum_ij
+    # (Σ_{a,b} x_i(a)·x_j(b) = S_i·S_j). One groupBy(vec_id) over the
+    # raw embedding arrays reproduces exactly that — a single n-row
+    # array exchange, vs the coordinate self-join's TWO (n·d)-row
+    # exchanges — and each aggregated vector then emits its weighted
+    # upper-triangle terms map-side. On unique vec_ids (every real
+    # corpus) k=1 and S is the vector itself, so the terms reduce to
+    # the plain per-vector outer product. Integer sums throughout:
+    # accumulation order cannot change the result.
+    xfa = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * COV_FIX).cast("long"))
+    per_vec = (emb.select("vec_id", xfa.alias("xfa"))
+               .groupBy("vec_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                    F.collect_list("xfa").alias("copies")))
+    col_sum = F.aggregate(
+        "copies",
+        F.transform(F.element_at("copies", 1),
+                    lambda _: F.lit(0).cast("long")),
+        lambda acc, arr: F.zip_with(acc, arr, lambda p, q: p + q))
+    terms = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("s")),
+        lambda i: F.transform(
+            F.sequence(i, F.size("s")),
+            lambda j: F.struct(
+                i.cast("int").alias("dim_i"),
+                j.cast("int").alias("dim_j"),
+                F.element_at(F.col("s"), i).alias("si"),
+                F.element_at(F.col("s"), j).alias("sj")))))
+    return (per_vec.select("k", col_sum.alias("s"))
+            .select("k", F.explode(terms).alias("t"))
+            .select("k", "t.dim_i", "t.dim_j", "t.si", "t.sj")
             .groupBy("dim_i", "dim_j")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.sum("xi").cast("long").alias("sum_i"),
-                 F.sum("xj").cast("long").alias("sum_j"),
-                 F.sum(F.col("xi") * F.col("xj"))
+            .agg(F.sum(F.col("k") * F.col("k")).cast("long").alias("n"),
+                 F.sum(F.col("k") * F.col("si")).cast("long")
+                 .alias("sum_i"),
+                 F.sum(F.col("k") * F.col("sj")).cast("long")
+                 .alias("sum_j"),
+                 F.sum(F.col("si") * F.col("sj"))
                  .cast("long").alias("sum_ij")))
 
 
