@@ -89,11 +89,18 @@ def q_anova_dayofweek_revenue(spark: SparkSession,
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .cast(_DEC).alias("y"))
              .select((F.weekday("day") + 1).alias("dow"), "y"))
+    # ONE grouped pass carries Sum(y^2) per dow alongside ng/sg
+    # (round 11, guide §2.4): the previous shape aggregated `daily`
+    # twice — once per dow for the between-group terms, once globally
+    # for syy — re-running the fact-table day aggregation in a second
+    # subtree and broadcast-joining the results. Decimal sums are
+    # exact and associative, so Sum(y^2) partitioned by dow and summed
+    # equals the global Sum(y^2) bit for bit; the whole query is now
+    # one fact scan.
     g = (daily.groupBy("dow")
          .agg(F.count(F.lit(1)).cast(_DEC).alias("ng"),
-              F.sum("y").alias("sg")))
-    syy = daily.groupBy().agg(
-        F.sum(F.col("y") * F.col("y")).alias("syy"))
+              F.sum("y").alias("sg"),
+              F.sum(F.col("y") * F.col("y")).alias("syy_g")))
     # sg*sg forms in exact decimal BEFORE the double cast — the same
     # order as the oracle's CAST(sg*sg AS DOUBLE), so the two engines
     # round the identical exact integer even past 2^53
@@ -103,8 +110,8 @@ def q_anova_dayofweek_revenue(spark: SparkSession,
     tot = (g.groupBy()
            .agg(F.sum("ng").alias("n"), F.sum("sg").alias("s"),
                 F.count(F.lit(1)).cast("long").alias("k"),
-                F.sum(term_fix).alias("ssb_fix"))
-           .join(F.broadcast(syy)))
+                F.sum(term_fix).alias("ssb_fix"),
+                F.sum("syy_g").alias("syy")))
     nd = F.col("n").cast("double")
     sd = F.col("s").cast("double")
     ssb = F.col("ssb_fix").cast("double") / ANOVA_FIX - sd * sd / nd

@@ -131,10 +131,15 @@ JOIN sizes sb ON sb.source = i.source_b
 def q_source_vocab_jaccard(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Checkpoint the per-source vocabulary (distinct (source, token) —
+    # vocab-bounded, far smaller than the corpus): the size aggregate
+    # and BOTH sides of the intersection self-join otherwise re-run
+    # the full text explode + distinct three times (documents×4 in the
+    # plan census; round 11, guide §2.4).
     vocab = (docs
              .select("source",
                      F.explode(F.split(F.col("text"), " ")).alias("tok"))
-             .distinct())
+             .distinct().localCheckpoint(eager=True))
     sizes = (vocab.groupBy("source")
              .agg(F.count(F.lit(1)).cast("long").alias("v")))
     a, b = vocab.alias("a"), vocab.alias("b")

@@ -108,7 +108,12 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_features(load_table(spark, sf_dir, "documents"))
 
 
-def gopher_features(docs: DataFrame) -> DataFrame:
+def gopher_features(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc Gopher quality features — a PURE PROJECTION (no
+    shuffle). ``keep`` appends pass-through input columns so a caller
+    that needs features + payload columns (pretrain_pipeline) avoids
+    re-scanning the corpus and self-joining on doc_id to reattach
+    them (round 11, guide §2.4)."""
     # All token features come from ONE struct expression: the
     # single-element transform(array(split(...)), t -> ...) binds the
     # token array once per row (Spark SQL has no LET; the naive form
@@ -119,7 +124,7 @@ def gopher_features(docs: DataFrame) -> DataFrame:
     # CollapseProject keeps it materialized once instead of inlining.
     # Values are the exact same integers the oracle computes.
     feat = docs.select(
-        "doc_id", "lang", F.length("text").alias("n_chars"),
+        "doc_id", "lang", *keep, F.length("text").alias("n_chars"),
         F.expr("""
           transform(array(split(text, ' ')), t -> named_struct(
             'n', size(t),
@@ -153,7 +158,7 @@ def gopher_features(docs: DataFrame) -> DataFrame:
         & (dup_bigram <= DUP_BIGRAM_FRAC_MAX)
     )
     return feat.select(
-        "doc_id", "lang",
+        "doc_id", "lang", *keep,
         n.cast("long").alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(top_frac, 6).alias("top_token_frac"),

@@ -191,6 +191,12 @@ def q_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"     + array_min(slice(kh, s, {WINNOW_W})))")).alias("v"))
         .select("doc_id", (F.col("v") % HASH_P).alias("fingerprint"))
         .distinct()
+        # persist(): both sides of the shared-fingerprint self-join
+        # read fp — uncached, the md5 → rolling-hash → winnow pipeline
+        # (the expensive part) executes twice (documents×4 in the plan
+        # census). Two longs per fingerprint cached; lazy persist, the
+        # pagerank precedent (round 11, guide §2.4/§5).
+        .persist()
     )
     a, b = fp.alias("a"), fp.alias("b")
     return (

@@ -126,8 +126,13 @@ def q_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     events = load_table(spark, sf_dir, "events")
 
+    # Checkpoint the tombstone set (tiny) and the per-order purge
+    # flags (orderkey + bool): tomb is referenced by two flag builds
+    # and o_flag by two (its own audit + the lineitem cascade) — each
+    # uncached reference re-scanned customer/orders (customer×4,
+    # orders×2 in the plan census; round 11, guide §2.4).
     tomb = (customer.filter(F.col("c_custkey") % TOMB_MOD == 0)
-            .select("c_custkey"))
+            .select("c_custkey").localCheckpoint(eager=True))
 
     cust_flag = customer.select(
         F.col("c_custkey"),
@@ -135,7 +140,8 @@ def q_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_flag = (orders.join(F.broadcast(tomb),
                           orders.o_custkey == tomb.c_custkey, "left")
               .select("o_orderkey",
-                      F.col("c_custkey").isNotNull().alias("_p")))
+                      F.col("c_custkey").isNotNull().alias("_p"))
+              .localCheckpoint(eager=True))
     li_flag = (lineitem.select("l_orderkey")
                .join(o_flag.withColumnRenamed("_p", "_op"),
                      F.col("l_orderkey") == o_flag.o_orderkey, "left")

@@ -261,10 +261,19 @@ FROM deg d LEFT JOIN per_node t ON d.node = t.node
 )
 def q_product_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    pairs = _basket_pairs(lineitem)
+    # persist() both shared frames (round 11, guide §2.4/§5): `pairs`
+    # is referenced FIVE times (both union branches of deg, the
+    # oriented build, and transitively by everything) and `deg` three
+    # times (ds/dd sides + the final left join) — uncached, each
+    # reference re-runs the basket pair generation's fact exchange
+    # (lineitem×7 in the plan census). Cached, the fact table is
+    # scanned once; deg and the oriented edge list then derive from
+    # the |E|-row cache. Lazy persist, the pagerank precedent.
+    pairs = _basket_pairs(lineitem).persist()
     deg = (pairs.select(F.col("src").alias("node"))
            .unionAll(pairs.select(F.col("dst").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+           .persist())
     ds = deg.alias("ds")
     dd = deg.alias("dd")
     p = pairs.alias("p")

@@ -250,10 +250,14 @@ def q_supplier_transit_coverage(spark: SparkSession,
                 (F.max("i_end") - F.min("i_start") + 1).cast("long")
                 .alias("span_days")))
 
-    ev = (iv.select("l_suppkey", F.col("s").alias("day"),
-                    F.lit(1).alias("delta"))
-          .unionAll(iv.select("l_suppkey", (F.col("r") + 1).alias("day"),
-                              F.lit(-1).alias("delta"))))
+    # one map-side explode emits both sweep-line events per interval —
+    # the union-of-two-branches form scanned the fact table twice
+    # (round 11, guide §2.4; the journey_hops recipe)
+    ev = (iv.select("l_suppkey", F.explode(F.array(
+        F.struct(F.col("s").alias("day"), F.lit(1).alias("delta")),
+        F.struct((F.col("r") + 1).alias("day"),
+                 F.lit(-1).alias("delta")))).alias("e"))
+        .select("l_suppkey", "e.day", "e.delta"))
     depth_w = (Window.partitionBy("l_suppkey").orderBy("day", "delta")
                .rowsBetween(Window.unboundedPreceding, 0))
     pk = (ev.withColumn("depth", F.sum("delta").over(depth_w))

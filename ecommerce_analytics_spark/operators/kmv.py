@@ -169,16 +169,28 @@ def _est_sql(k: str, hk: str) -> str:
 def q_kmv_shipped_orders_by_year(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    hashed = lineitem.select(
+    # ONE lineitem scan (round 11, guide §2.4; was lineitem×4 in the
+    # plan census): every leg — yearly sketch, global sketch, per-year
+    # exact, global exact — is a function of the distinct
+    # (ship_year, orderkey) pairs, which are orders-sized, so dedup
+    # once, checkpoint, and derive. kmv_minima's collect_set is
+    # distinct-insensitive, so hashing the deduped pairs yields
+    # bit-identical minima; countDistinct over the pairs equals the
+    # raw-table countDistinct by definition.
+    du = (lineitem.select(
         F.year("l_shipdate").cast("long").alias("ship_year"),
-        kmv_hash("l_orderkey").alias("h"))
-    yearly = kmv_minima(hashed, ["ship_year"])
+        "l_orderkey")
+        .distinct().localCheckpoint(eager=True))
+    hashed = du.select("ship_year", kmv_hash("l_orderkey").alias("h"))
+    # yearly feeds both the global-sketch merge and the per-year
+    # report — checkpoint the K-minima rows (tiny) so the sketch pass
+    # runs once
+    yearly = kmv_minima(hashed, ["ship_year"]).localCheckpoint(eager=True)
     glob = kmv_minima(yearly.select(F.explode("mins").alias("h")), [])
 
-    exact = (lineitem.groupBy(
-        F.year("l_shipdate").cast("long").alias("ship_year"))
-        .agg(F.countDistinct("l_orderkey").alias("exact_uniques")))
-    gexact = lineitem.agg(
+    exact = (du.groupBy("ship_year")
+             .agg(F.countDistinct("l_orderkey").alias("exact_uniques")))
+    gexact = du.agg(
         F.countDistinct("l_orderkey").alias("exact_uniques"))
 
     per_year = (yearly.join(exact, "ship_year")
@@ -290,20 +302,26 @@ def q_kmv_customer_yoy_algebra(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     # sketch domain: entity IDs only (oracle twin's uh CTE)
+    # ONE orders scan (round 11, guide §2.4; was orders×5 in the plan
+    # census): the sketch leg and the three exact legs all derive from
+    # the distinct (year, custkey) pairs of the two compared years — a
+    # days-bounded-cardinality frame, checkpointed once. kmv_minima's
+    # collect_set is distinct-insensitive, so hashing the deduped
+    # pairs yields bit-identical minima; pu/cu need no further
+    # distinct (custkey is unique within a year slice of the pairs).
     oy = (orders.filter(F.col("o_custkey").isNotNull())
           .select(F.year("o_orderdate").cast("long").alias("s"),
                   "o_custkey"))
-    uh = (oy.filter(F.col("s").isin(_YEAR_A, _YEAR_B))
-          .select("s", kmv_hash("o_custkey").alias("h")))
+    base = (oy.filter(F.col("s").isin(_YEAR_A, _YEAR_B))
+            .distinct().localCheckpoint(eager=True))
+    uh = base.select("s", kmv_hash("o_custkey").alias("h"))
     sk = kmv_minima(uh, ["s"])
     row = sk.groupBy().agg(
         F.max(F.when(F.col("s") == _YEAR_A, F.col("mins"))).alias("amins"),
         F.max(F.when(F.col("s") == _YEAR_B, F.col("mins"))).alias("bmins"))
 
-    pu = (oy.filter(F.col("s") == _YEAR_A)
-          .select("o_custkey").distinct())
-    cu = (oy.filter(F.col("s") == _YEAR_B)
-          .select("o_custkey").distinct())
+    pu = base.filter(F.col("s") == _YEAR_A).select("o_custkey")
+    cu = base.filter(F.col("s") == _YEAR_B).select("o_custkey")
     ea = pu.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
     eb = cu.agg(F.count(F.lit(1)).cast("long").alias("exact_b"))
     ei = (pu.join(cu, "o_custkey")

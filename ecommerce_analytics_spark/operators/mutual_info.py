@@ -132,8 +132,14 @@ def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.month("l_shipdate").cast("string").alias("bin")),
         )).alias("f")).select("y", "f.feature", "f.bin")
 
+    # Checkpoint the contingency cells (features × bins × 2 rows —
+    # data-size independent): xm/ym/tot and the MI term join re-derive
+    # from materialized rows instead of re-running the fact explode +
+    # aggregation in four subtrees (guide §2.4; was lineitem×6 in the
+    # plan census). One fact scan at any corpus size.
     cells = (base.groupBy("feature", "bin", "y")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy")))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+             .localCheckpoint(eager=True))
     xm = (cells.groupBy("feature", "bin")
           .agg(F.sum("c_xy").cast("bigint").alias("c_x")))
     ym = (cells.groupBy("feature", "y")

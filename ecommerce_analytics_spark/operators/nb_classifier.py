@@ -141,6 +141,28 @@ FROM labeled lb
     tags=("ml", "text", "classification", "north-star"),
 )
 def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Checkpoint the labeled predictions (test-doc-sized, 5 narrow
+    # columns): the accuracy aggregate and the final select otherwise
+    # re-execute the ENTIRE train+score pipeline twice — the single
+    # biggest duplication in the old plan (documents×16 in the plan
+    # census; round 11, guide §2.4). The scoring pipeline itself is
+    # _nb_labeled so tests/test_plans.py can certify its physical
+    # shape (the checkpointed serving plan reads an ExistingRDD).
+    labeled = _nb_labeled(spark, sf_dir).localCheckpoint(eager=True)
+
+    acc = labeled.groupBy().agg(
+        F.round(F.sum(F.when(F.col("correct"), 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6)
+        .alias("accuracy"))
+    return (labeled.join(F.broadcast(acc))
+            .select("doc_id", "true_source", "predicted_source",
+                    "score", "correct", "accuracy"))
+
+
+def _nb_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + score + label: one (doc, true, predicted, score,
+    correct) row per held-out doc. Everything upstream of the
+    accuracy attach, exposed for plan certification."""
     docs = load_table(spark, sf_dir, "documents")
     split = docs.select(
         "doc_id", "text", "source",
@@ -149,14 +171,22 @@ def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = split.filter("is_train")
     test = split.filter("NOT is_train")
 
+    # Scan discipline (round 11, guide §2.4; was documents×16 in the
+    # plan census): checkpoint the (token, class) count table —
+    # |vocab|·|classes| rows, data-size independent — so class_tot /
+    # vocab / match_fix re-derive from materialized rows instead of
+    # each re-running the train-token explode; derive n_train as the
+    # sum of the per-class priors (count partitioned by class sums to
+    # the total count — exact integers) instead of a third train scan.
     train_tok = train.select(
         "source", F.explode(F.split("text", " ")).alias("tok"))
     counts = (train_tok.groupBy("source", "tok")
-              .agg(F.count(F.lit(1)).alias("c")))
+              .agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint(eager=True))
     class_tot = counts.groupBy("source").agg(F.sum("c").alias("tot"))
     vocab = counts.agg(F.countDistinct("tok").alias("v"))
     priors = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
-    n_train = train.agg(F.count(F.lit(1)).alias("n"))
+    n_train = priors.agg(F.sum("n_c").alias("n"))
 
     class_consts = (
         priors.join(class_tot, "source")
@@ -176,8 +206,13 @@ def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     test_tok = test.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    test_len = test_tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"))
+    # n_tok is the token-array size — computable in the projection
+    # (split() never yields an empty array, so size == the exploded
+    # row count for every doc), removing a whole scan + explode +
+    # shuffle the groupBy(doc_id) count paid.
+    test_len = test.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long")
+        .alias("n_tok"))
     match_sum = (test_tok.join(F.broadcast(match_fix), "tok")
                  .groupBy("doc_id", "source")
                  .agg(F.sum("lf").alias("msum")))
@@ -199,7 +234,7 @@ def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("source").alias("predicted_source"),
                     "score_fix"))
 
-    labeled = (
+    return (
         pred.join(split.select("doc_id",
                                F.col("source").alias("true_source")),
                   "doc_id")
@@ -208,11 +243,3 @@ def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("score"),
                 (F.col("predicted_source") == F.col("true_source"))
                 .alias("correct")))
-
-    acc = labeled.groupBy().agg(
-        F.round(F.sum(F.when(F.col("correct"), 1).otherwise(0))
-                .cast("double") / F.count(F.lit(1)), 6)
-        .alias("accuracy"))
-    return (labeled.join(F.broadcast(acc))
-            .select("doc_id", "true_source", "predicted_source",
-                    "score", "correct", "accuracy"))

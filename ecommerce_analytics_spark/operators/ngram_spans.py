@@ -158,7 +158,13 @@ FROM d LEFT JOIN pruned p ON d.doc_id = p.doc_id
 def q_repeated_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").distinct() \
         .select("doc_id", F.split("text", " ").alias("toks"))
-    grams = _doc_grams(spark, sf_dir)
+    # persist(): the repeated-gram filter and the coverage join both
+    # read the 8-gram explode — uncached, the md5-per-gram pipeline
+    # runs twice (documents×3 in the plan census; round 11, guide
+    # §2.4/§5). Narrow rows (id, pos, hash); lazy persist, the
+    # pagerank precedent.
+    grams = _doc_grams(spark, sf_dir).select(
+        "doc_id", "pos", "gram_hash").persist()
     rep = (grams.groupBy("gram_hash")
            .agg(F.countDistinct("doc_id").alias("n_docs"))
            .filter(F.col("n_docs") >= 2)

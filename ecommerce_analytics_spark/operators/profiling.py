@@ -283,11 +283,17 @@ def q_embedding_source_drift(spark: SparkSession,
                   (F.col("dim0") + 1).cast("int").alias("dim"),
                   F.round(F.col("x").cast("double") * COV_FIX)
                   .cast("long").alias("xf")))
+    # Checkpoint the per-(source, dim) sums (sources × 64 rows — data-
+    # size independent): the corpus rollup, the b2 scalar and the term
+    # join all re-derive from materialized rows instead of re-running
+    # the coordinate explode + doc join three times (embeddings×3 +
+    # documents×3 in the plan census; round 11, guide §2.4).
     per = (ex.join(docs.select(F.col("doc_id").alias("vec_id"),
                                "source"), "vec_id")
            .groupBy("source", "dim")
            .agg(F.sum("xf").cast(_DEC).alias("s"),
-                F.count(F.lit(1)).cast(_DEC).alias("ns")))
+                F.count(F.lit(1)).cast(_DEC).alias("ns"))
+           .localCheckpoint(eager=True))
     corpus = (per.groupBy("dim")
               .agg(F.sum("s").alias("sc"), F.sum("ns").alias("nc")))
     b2 = corpus.groupBy().agg(

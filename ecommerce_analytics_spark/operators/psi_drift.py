@@ -175,16 +175,23 @@ def psi_from_counts(counts: DataFrame) -> DataFrame:
 )
 def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # Pre-aggregate to (feature, bin, d) counts and checkpoint (round
+    # 11, guide §2.4): the split midpoint and the ref/act counts both
+    # referenced the fact-sized feature stack, re-running the scan +
+    # explode in two subtrees (events×4 in the plan census). The
+    # per-day count table is features × bins × days rows — tiny at
+    # any corpus size — and summing its counts by period is the same
+    # integer arithmetic as counting the stacked rows directly.
     feats = binned_features(events)
-    split = feats.agg(
+    pre = (feats.groupBy("feature", "bin", "d")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+           .localCheckpoint(eager=True))
+    split = pre.agg(
         ((F.min("d") + F.max("d")) / 2).cast("bigint").alias("mid"))
-    stacked = (feats.crossJoin(F.broadcast(split))
-               .select(F.when(F.col("d") <= F.col("mid"), F.lit("ref"))
-                       .otherwise(F.lit("act")).alias("period"),
-                       "feature", "bin"))
-    counts = (stacked.groupBy("feature", "bin")
-              .agg(F.sum(F.when(F.col("period") == "ref", 1)
+    counts = (pre.crossJoin(F.broadcast(split))
+              .groupBy("feature", "bin")
+              .agg(F.sum(F.when(F.col("d") <= F.col("mid"), F.col("c"))
                          .otherwise(0)).cast("bigint").alias("r"),
-                   F.sum(F.when(F.col("period") == "act", 1)
+                   F.sum(F.when(F.col("d") > F.col("mid"), F.col("c"))
                          .otherwise(0)).cast("bigint").alias("a")))
     return psi_from_counts(counts)

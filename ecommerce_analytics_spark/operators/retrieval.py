@@ -360,12 +360,18 @@ def shingle_bm25_ranked(docs: DataFrame, qdoc_pred,
               .select(F.col("doc_id").alias("qid"),
                       F.expr(_shingle_expr(pos_arr)).alias("term"))
               .distinct())
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(toks).cast("long") - 2).cast("long")
-        .alias("total_sh"))
-    dl = docs.select(
+    # per-doc shingle lengths, checkpointed (n_docs × two longs —
+    # tiny): the corpus stats then aggregate the materialized frame
+    # (count/sum over dl's rows equal the direct corpus aggregates
+    # exactly — same rows, associative integer sums) and the per-score
+    # join re-reads it, saving one full text-column scan per ranking
+    # call (round 11, guide §2.4)
+    dl = (docs.select(
         "doc_id", (F.size(toks).cast("long") - 2).alias("dl"))
+        .localCheckpoint(eager=True))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_sh"))
     terms = qterms.select("term").distinct()
     tf = (docs.select(
               "doc_id",

@@ -332,6 +332,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell_id")
+        # persist(): the query side and the candidate side both read
+        # the assignment — uncached, the n·centroids scoring pass runs
+        # TWICE (embeddings×6 in the plan census). Two ints per vector
+        # cached; lazy persist, the pagerank precedent (round 11,
+        # guide §2.4/§5).
+        .persist()
     )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -499,9 +505,20 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (F.col("v_norm") * F.col("c_norm"))).alias("cos_c"))
         .withColumn("rn", F.row_number().over(w_assign))
     )
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell_id")
-    probes = (ranked.filter((F.col("rn") <= N_PROBE)
-                            & (F.col("vec_id") < N_QUERIES))
+    # ONE scoring pass feeds both consumers (round 11, guide §2.4):
+    # assign and probes each filtered `ranked`, re-running the
+    # n·centroids scoring + window TWICE. Keep only the rows either
+    # consumer needs (≈ n + queries·probes rows, two ints + rank) and
+    # persist; both filters then read the cache. Lazy persist, the
+    # pagerank precedent.
+    ranked_keep = (ranked.filter((F.col("rn") == 1)
+                                 | ((F.col("rn") <= N_PROBE)
+                                    & (F.col("vec_id") < N_QUERIES)))
+                   .select("vec_id", "cell_id", "rn").persist())
+    assign = ranked_keep.filter(F.col("rn") == 1) \
+        .select("vec_id", "cell_id")
+    probes = (ranked_keep.filter((F.col("rn") <= N_PROBE)
+                                 & (F.col("vec_id") < N_QUERIES))
               .select("vec_id", "cell_id"))
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -1051,13 +1068,17 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("neighbor_label").alias("predicted_label"),
                     "votes"))
     emb = load_table(spark, sf_dir, "embeddings")
+    # Checkpoint (queries-sized, 5 narrow columns): the accuracy
+    # aggregate and the final select otherwise re-run the whole
+    # brute-force kNN + vote pipeline twice (round 11, guide §2.4).
     scored = (pred.join(emb.select(F.col("vec_id").alias("query_id"),
                                    F.col("label").alias("true_label")),
                         "query_id")
               .select("query_id", "true_label", "predicted_label",
                       "votes",
                       (F.col("predicted_label") == F.col("true_label"))
-                      .alias("correct")))
+                      .alias("correct"))
+              .localCheckpoint(eager=True))
     acc = scored.groupBy().agg(
         F.round(F.sum(F.when(F.col("correct"), 1).otherwise(0))
                 .cast("double") / F.count(F.lit(1)), 6)

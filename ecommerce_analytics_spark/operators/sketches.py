@@ -422,8 +422,17 @@ HLL_OVERLAP_TOL = 3 * HLL_REL_TOL
 )
 def q_user_day_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # ONE fact scan (round 11, guide §2.4; was events×6 in the plan
+    # census): the distinct (day, user) pairs — the shared input of
+    # every leg — are checkpointed once; the exact counts, the
+    # consecutive-day self-join AND the HLL sketches all re-derive
+    # from the materialized pairs. An HLL sketch is a pure function of
+    # the distinct input set (duplicate insertions cannot move a
+    # register), so sketching the deduped pairs yields the identical
+    # estimates the stored per-day sketch table (daily_user_sketches)
+    # produces from raw events.
     du = (events.select(F.to_date("ts").alias("day"), "user_id")
-          .distinct())
+          .distinct().localCheckpoint(eager=True))
     cnt = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("c"))
     ov = (du.alias("a")
           .join(du.alias("b"),
@@ -431,7 +440,8 @@ def q_user_day_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("b.day") == F.date_add(F.col("a.day"), 1)))
           .groupBy(F.col("a.day").alias("day"))
           .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap")))
-    sk = daily_user_sketches(spark, sf_dir).select("day", "sketch")
+    sk = du.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"))
 
     c1, c2 = cnt.alias("c1"), cnt.alias("c2")
     s1, s2 = sk.alias("s1"), sk.alias("s2")

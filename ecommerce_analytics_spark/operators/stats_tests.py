@@ -86,11 +86,17 @@ def q_ks_weekend_vs_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.round(F.col("value") * 100).cast("bigint")
                     .alias("cents"),
                     (F.weekday("ts") >= 5).alias("wk")))
+    # Checkpoint the per-cents counts (≤ distinct purchase values —
+    # small): tot, the cumulative window and the max-deviation scan
+    # re-derive from materialized rows instead of re-running the fact
+    # aggregation in four subtrees (guide §2.4, the
+    # revenue_changepoint_cusum recipe).
     by_val = (vals.groupBy("cents")
               .agg(F.sum(F.when(F.col("wk"), 1).otherwise(0))
                    .cast(_DEC).alias("a"),
                    F.sum(F.when(F.col("wk"), 0).otherwise(1))
-                   .cast(_DEC).alias("b")))
+                   .cast(_DEC).alias("b"))
+              .localCheckpoint(eager=True))
     w = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, 0)
     tot = by_val.groupBy().agg(F.sum("a").alias("na"),
@@ -169,10 +175,19 @@ GROUP BY d.n, d.sn, b.cp_day
 def q_revenue_changepoint_cusum(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # The CUSUM statistic references `daily` via tot + cum, and `dev`
+    # (daily + a window) via mx + best + the final join — without a
+    # cut, the fact-table day aggregation re-executes in SIX subtrees
+    # (guide §2.4; measured in the plan census as events×6). The daily
+    # frame is ≤ #days rows, so the attribution.py recipe applies:
+    # checkpoint the small reduced frame once and let every statistic
+    # subtree re-derive from ~hundreds of materialized rows. One fact
+    # scan at any corpus size.
     daily = (events.filter(F.col("event_type") == "purchase")
              .groupBy(F.to_date("ts").alias("day"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                  .cast(_DEC).alias("x")))
+                  .cast(_DEC).alias("x"))
+             .localCheckpoint(eager=True))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     tot = daily.groupBy().agg(F.count(F.lit(1)).cast(_DEC).alias("n"),
                               F.sum("x").alias("sn"))

@@ -113,7 +113,12 @@ def q_vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # Checkpoint the token frequency table (vocab-bounded): the top-K
+    # vocab pick AND the per-token frequency attach both read it —
+    # uncached, each re-ran the corpus explode + aggregation
+    # (documents×3 in the plan census; round 11, guide §2.4).
+    freq = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True))
     vocab = (freq.orderBy(F.desc("c"), F.asc("tok")).limit(VOCAB_SIZE)
              .select("tok", F.lit(True).alias("in_vocab")))
     marked = (

@@ -150,10 +150,16 @@ def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from pyspark.sql import Window
     w = Window.partitionBy("o_orderkey").orderBy(
         "o_totalprice", "o_orderstatus")
+    # Checkpoint the canonical keyed state (3 narrow columns): both
+    # snapshots derive from it, and the CDC consumers reference the
+    # snapshots repeatedly (diff + merge target) — uncached, the
+    # orders scan + dedup window re-ran up to five times per query
+    # (orders×5 in the plan census; round 11, guide §2.4).
     orders = (load_table(spark, sf_dir, "orders")
               .select("o_orderkey", "o_totalprice", "o_orderstatus",
                       F.row_number().over(w).alias("_rn"))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+              .filter(F.col("_rn") == 1).drop("_rn")
+              .localCheckpoint(eager=True))
     old_snap = (orders.filter(F.col("o_orderkey") % 3 != 0)
                 .select("o_orderkey",
                         F.round(F.col("o_totalprice") + 1.11, 2)
@@ -220,6 +226,10 @@ def q_merge_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n.o_totalprice").alias("o_totalprice"),
             F.col("n.o_orderstatus").alias("o_orderstatus"))
         .filter(F.col("change_type") != "unchanged")
+        # merge_upsert reads the change set twice (touched keys +
+        # incoming rows); checkpoint the (small) diff so the full-outer
+        # snapshot join runs once (round 11, guide §2.4)
+        .localCheckpoint(eager=True)
     )
     return (merge_upsert(old_snap, diff, "o_orderkey")
             .select(F.col("o_orderkey").alias("order_key"),

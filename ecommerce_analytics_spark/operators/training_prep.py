@@ -358,6 +358,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
+    # persist(): `assigned` — the expensive centroid-assignment pass
+    # (~n·cells or ~2·n·√cells dots) — is referenced THREE times (both
+    # sides of the in-cell dominance self-join plus the final kept
+    # join); without the cache each reference re-runs the whole
+    # assignment including its corpus scans (embeddings×9 in the plan
+    # census). Lazy persist (the pagerank precedent, graph.py) keeps
+    # plan-only callers executing nothing; the cached frame is
+    # vec_id/cell/cos plus the embedding row — corpus-sized but
+    # narrow, and strictly cheaper than two recomputations at any
+    # scale (guide §5).
+    assigned = assigned.persist()
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_cos = (dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -606,11 +617,14 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % PIPE_COPY_MOD == 0)
         .select((F.col("doc_id") + 80000000).alias("doc_id"),
                 "text", "lang", "source"))
-    gated = (
-        aug.join(gopher_features(aug)
-                 .filter(F.col("passes_gopher"))
-                 .select("doc_id", "n_tokens"), "doc_id")
-        .select("doc_id", "text", "source", "n_tokens"))
+    # gopher_features is a pure projection, so the payload columns
+    # ride along (keep=) instead of re-scanning the corpus and
+    # self-joining on doc_id to reattach them — removes two scans and
+    # a fact-sized shuffle join (documents×4 in the plan census;
+    # round 11, guide §2.4).
+    gated = (gopher_features(aug, keep=("text", "source"))
+             .filter(F.col("passes_gopher"))
+             .select("doc_id", "text", "source", "n_tokens"))
     w_h = Window.partitionBy(F.md5("text"))
     deduped = (gated
                .withColumn("keeper", F.min("doc_id").over(w_h))

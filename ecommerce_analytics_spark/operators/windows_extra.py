@@ -621,7 +621,12 @@ def q_trailing_7day_unique_users(spark: SparkSession,
                   .cast("long").alias("day_num"),
                   F.date_format("day", "yyyy-MM-dd").alias("event_date"),
                   "user_id")
-          .distinct())
+          # checkpoint the distinct (day, user) pairs: the day spine,
+          # the 7-day explode and the 1-day counts all re-derive from
+          # the materialized pairs instead of re-running the fact
+          # distinct three times (events×3 in the plan census; round
+          # 11, guide §2.4 — the user_day_overlap_hll recipe)
+          .distinct().localCheckpoint(eager=True))
     days = du.select("day_num", "event_date").distinct()
     exp = (du.select(
         "day_num", "user_id",
