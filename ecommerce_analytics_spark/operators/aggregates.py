@@ -234,15 +234,28 @@ def q_hourly_revenue_hll_vs_exact(spark: SparkSession,
 def q_popular_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # Name attach AFTER the fact aggregation (round 11, guide §2.3):
+    # any_value(p_name)'s string aggregation buffer is not
+    # hash-aggregatable, so carrying the name through the fact groupBy
+    # forced SortAggregate — the fact-joined rows were SORTED twice
+    # (partial + final) instead of hash-aggregated. Numeric-only
+    # buffers restore HashAggregate on the fact side; the per-product
+    # name comes from the broadcast dim aggregated on its own (the
+    # candidate-value set per key is identical, so any_value picks
+    # from the same names). Product-level equivalence of the moved
+    # inner join: a product's lineitems ALL match iff its partkey
+    # exists in part, so each surviving product's sums are unchanged
+    # and non-products drop either way.
+    sums = (lineitem
+            .groupBy(F.col("l_partkey").alias("product_id"))
+            .agg(F.sum("l_quantity").alias("total_quantity"),
+                 disc_price_sum().alias("total_revenue")))
+    names = (part.groupBy(F.col("p_partkey").alias("product_id"))
+             .agg(F.any_value("p_name").alias("product_name")))
     return (
-        lineitem.join(F.broadcast(part),
-                      lineitem.l_partkey == part.p_partkey)
-        .groupBy(F.col("l_partkey").alias("product_id"))
-        .agg(
-            F.any_value(F.col("p_name")).alias("product_name"),
-            F.sum("l_quantity").alias("total_quantity"),
-            disc_price_sum().alias("total_revenue"),
-        )
+        sums.join(F.broadcast(names), "product_id")
+        .select("product_id", "product_name",
+                "total_quantity", "total_revenue")
         .orderBy(F.desc("total_quantity"), F.asc("product_id"))
         .limit(20)
     )
