@@ -74,36 +74,43 @@ from ecommerce_analytics_spark.plans.registry import query
 def q_order_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "_rec_orders")
-    return spark.sql("""
+    # Materialize the successor-edge table ONCE before recursing
+    # (round 11, guide §2.4): Spark's recursive UnionLoop re-executes
+    # the step subtree at every level, and the step referenced the
+    # whole chainable window chain — so 12 levels paid 12× the
+    # orders scan + dedup groupBy + lag window (measured 9.8s at
+    # sf0.1, noop sink). Checkpointing nxt makes each level one hash
+    # join of the frontier against materialized edges — the
+    # "|orders| total work across levels" the doc promises — while
+    # the recursion itself stays the native WITH RECURSIVE surface
+    # this query certifies. Same rows, same recursion semantics.
+    spark.sql("""
         WITH chainable AS (
           SELECT o_custkey, o_orderkey, min(o_orderdate) AS o_orderdate
           FROM _rec_orders
           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
           GROUP BY o_custkey, o_orderkey
-        ),
-        nxt AS (
-          SELECT o_custkey, o_orderkey,
-                 lag(o_orderkey) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate NULLS FIRST,
-                                                o_orderkey NULLS FIRST)
-                   AS prev_orderkey
-          FROM chainable
-        ),
-        chain AS (
-          WITH RECURSIVE walk AS (
-            SELECT o_custkey, o_orderkey, 1 AS chain_pos
-            FROM nxt WHERE prev_orderkey IS NULL
-            UNION ALL
-            SELECT n.o_custkey, n.o_orderkey, w.chain_pos + 1
-            FROM walk w
-            JOIN nxt n ON n.prev_orderkey = w.o_orderkey
-                      AND n.o_custkey = w.o_custkey
-            WHERE w.chain_pos < 12
-          )
-          SELECT * FROM walk
+        )
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate NULLS FIRST,
+                                              o_orderkey NULLS FIRST)
+                 AS prev_orderkey
+        FROM chainable
+    """).localCheckpoint(eager=True).createOrReplaceTempView("_rec_nxt")
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT o_custkey, o_orderkey, 1 AS chain_pos
+          FROM _rec_nxt WHERE prev_orderkey IS NULL
+          UNION ALL
+          SELECT n.o_custkey, n.o_orderkey, w.chain_pos + 1
+          FROM walk w
+          JOIN _rec_nxt n ON n.prev_orderkey = w.o_orderkey
+                         AND n.o_custkey = w.o_custkey
+          WHERE w.chain_pos < 12
         )
         SELECT o_custkey, o_orderkey, CAST(chain_pos AS INT) AS chain_pos
-        FROM chain
+        FROM walk
     """)
 
 

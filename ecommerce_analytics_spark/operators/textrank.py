@@ -118,13 +118,25 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("p.lo", "p.hi"))
     pairs = adj.groupBy("lo", "hi").agg(
         F.count(F.lit(1)).cast("bigint").alias("w"))
+    # Layout (round 11, the product_pagerank recipe — graph.py): the
+    # weighted edge list is cached HASH-PARTITIONED ON src AND SORTED
+    # WITHIN PARTITIONS, so every round's edges⋈ranks sort-merge join
+    # needs no exchange and no sort on the edge side (only the
+    # |V|-row ranks side moves), and the strength aggregation rides
+    # the same partitioning exchange-free. Before, each of the 5
+    # rounds re-exchanged and re-sorted the full edge list — at sf0.1
+    # this query was the slowest non-streaming plan in the registry
+    # (min 23.7s Spark-side, noop sink).
     edges = (pairs.select(F.col("lo").alias("src"),
                           F.col("hi").alias("dst"), "w")
              .unionAll(pairs.select(F.col("hi").alias("src"),
                                     F.col("lo").alias("dst"), "w"))
+             .repartition("src")
+             .sortWithinPartitions("src")
              .persist())
     deg = (edges.groupBy(F.col("src").alias("node"))
            .agg(F.sum("w").cast("bigint").alias("strength"))
+           .sortWithinPartitions("node")
            .persist())
     consts = deg.agg(
         F.expr(f"CAST({TR_FIX} AS BIGINT) * {TR_D_DEN - TR_D_NUM} "
