@@ -236,23 +236,54 @@ GROUP BY s.antecedent, s.consequent, s.n_pair, ia.n_item, ic.n_item
 )
 def q_basket_association_rules(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
+    # One fact pass for ALL THREE statistics. The former lineage
+    # derived n_orders / item_counts / pairs from separate groupBys
+    # over the distinct basket table, so the lineitem scan + distinct
+    # exchange survived 4x in the physical plan (nothing below the
+    # diverging groupBys is exchange-reusable). Instead: collect each
+    # basket's distinct items ONCE (collect_set doubles as the dedup,
+    # deleting the standalone distinct exchange — the cooccurrence
+    # shape), then one explode emits three row kinds per basket —
+    # (NULL, NULL) basket marker, (a, NULL) item marker per item,
+    # (a, b) ordered pair — so basket count, per-item basket counts
+    # and pair counts all come out of ONE (pa, pb) aggregation,
+    # persisted lazily: the three consumers' marker filters are on the
+    # GROUPING KEYS, so Catalyst pushes them below the aggregation and
+    # the three exchange subtrees stop being identical (no
+    # ReusedExchange) — the cache is what makes the fact pass single
+    # (and it is the same magnitude as the aggregation's own shuffle
+    # output, so no new memory class at scale).
+    # NULL discipline: collect_set drops NULL partkeys,
+    # but a NULL-keyed item row can never reach the output in either
+    # engine (the oracle's pair join and final equi-joins all reject
+    # NULL keys), and the basket marker still counts such orders,
+    # exactly like count(DISTINCT l_orderkey).
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
-    n_orders = basket.select("l_orderkey").distinct() \
-        .agg(F.count(F.lit(1)).alias("n"))
-    item_counts = basket.groupBy("l_partkey") \
-        .agg(F.count(F.lit(1)).alias("n_item"))
-    baskets = (basket.groupBy("l_orderkey")
+    baskets = (lineitem.select("l_orderkey", "l_partkey")
+               .groupBy("l_orderkey")
                .agg(F.collect_set("l_partkey").alias("items")))
-    pairs = (
+    counts = (
         baskets.select(F.explode(F.expr(
-            "flatten(transform(items, a -> "
-            "  transform(filter(items, b -> a < b), "
-            "            b -> named_struct('pa', a, 'pb', b))))")).alias("p"))
+            "concat(array(named_struct('pa', CAST(NULL AS BIGINT), "
+            "                          'pb', CAST(NULL AS BIGINT))), "
+            "       flatten(transform(items, a -> "
+            "  concat(array(named_struct('pa', a, 'pb', CAST(NULL AS BIGINT))), "
+            "         transform(filter(items, b -> a < b), "
+            "                   b -> named_struct('pa', a, 'pb', b))))))")
+        ).alias("p"))
         .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= MIN_PAIR_BASKETS)
+        .agg(F.count(F.lit(1)).alias("n_row"))
+        .persist()
     )
+    n_orders = (counts.filter(F.col("pa").isNull() & F.col("pb").isNull())
+                .select(F.col("n_row").alias("n")))
+    item_counts = (counts.filter(F.col("pa").isNotNull()
+                                 & F.col("pb").isNull())
+                   .select(F.col("pa").alias("l_partkey"),
+                           F.col("n_row").alias("n_item")))
+    pairs = (counts.filter(F.col("pb").isNotNull())
+             .select("pa", "pb", F.col("n_row").alias("n_pair"))
+             .filter(F.col("n_pair") >= MIN_PAIR_BASKETS))
     sym = pairs.select(F.explode(F.array(
         F.struct(F.col("pa").alias("antecedent"),
                  F.col("pb").alias("consequent"), F.col("n_pair")),

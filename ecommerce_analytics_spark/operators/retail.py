@@ -71,10 +71,26 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (customer, stock), which re-shuffles the FACT table — strictly
     # worse at any scale; and the orders agg is map-side combinable,
     # so its relative cost shrinks as the fact side grows.
+    # min(o_orderstatus) is a STRING aggregate — its buffer is not
+    # hash-aggregatable, so carrying it forced SortAggregate (a full
+    # sort of the orders table before the partial agg, and again after
+    # the exchange) into every transactions() consumer. The view only
+    # ever consumes the canonical status through `= 'F'`, and over the
+    # same total order min(s) = 'F' ⟺ some s = 'F' AND no s < 'F' —
+    # two integer max() flags, so the whole canon is HashAggregate
+    # again. NULL discipline matches min(): when() on a NULL status
+    # falls to otherwise(0), exactly as min() skips NULLs, and an
+    # all-NULL group yields flags (0,0) → FALSE, which is what
+    # coalesce(min=NULL = 'F', FALSE) produced.
     orders = (load_table(spark, sf_dir, "orders")
               .groupBy("o_orderkey")
               .agg(F.min("o_custkey").alias("o_custkey"),
-                   F.min("o_orderstatus").alias("o_orderstatus")))
+                   F.max(F.when(F.col("o_orderstatus") == "F", 1)
+                         .otherwise(0)).alias("_status_has_f"),
+                   F.max(F.when(F.col("o_orderstatus") < "F", 1)
+                         .otherwise(0)).alias("_status_below_f")))
+    status_f = ((F.col("_status_has_f") == 1)
+                & (F.col("_status_below_f") == 0))
     joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
     # coalesce(..., FALSE): only an explicit 'R' flag is a return — a
     # NULL l_returnflag / o_orderstatus row is NOT (two-valued flags
@@ -94,8 +110,8 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("unit_price"),
         (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("total_amount"),
         is_return.alias("is_return"),
-        F.coalesce(is_return & (F.col("o_orderstatus") == "F"),
-                   F.lit(False)).alias("is_credit_note"),
+        F.coalesce(is_return & status_f, F.lit(False))
+        .alias("is_credit_note"),
     )
 
 

@@ -97,9 +97,14 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undated orders are off the curve (see the oracle's dated CTE)
     orders = (load_table(spark, sf_dir, "orders")
               .filter(F.col("o_orderdate").isNotNull()))
+    # referenced by BOTH the cohort-size aggregate and the revenue
+    # join — without a cut each re-scans orders (3 surviving scans);
+    # lazy persist of the customer-sized narrow frame leaves the
+    # 2-pass floor (first-order discovery + the revenue join itself)
     first = (orders.groupBy("o_custkey")
              .agg(F.date_trunc("month", F.min("o_orderdate"))
-                  .alias("cohort")))
+                  .alias("cohort"))
+             .persist())
     sizes = (first.groupBy("cohort")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers")))
     rev = (orders.join(first, "o_custkey")

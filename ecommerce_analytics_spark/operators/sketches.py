@@ -255,19 +255,28 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = (hashed
             .orderBy(F.desc("cnt"), F.asc("tok"))
             .limit(CMS_TOP_K))
-    est = topk
-    for i in range(CMS_D):
-        cms_i = (cms.filter(F.col("row_id") == i)
-                 .select(F.col("bucket").alias(f"b_{i}"),
-                         F.col("total").alias(f"t_{i}")))
-        est = est.join(F.broadcast(cms_i),
-                       est[f"bkt_{i}"] == cms_i[f"b_{i}"])
+    # one sketch, one lookup join: the former per-row chain of CMS_D
+    # broadcast joins re-planned the vocab-sized cms aggregation once
+    # PER ROW-HASH (each cms_i filter is a distinct subtree, so no
+    # exchange reuse — 4 full passes over the persisted token table).
+    # Unpivot the CMS_TOP_K probe rows to (row_id, bucket) instead and
+    # broadcast the sketch itself (≤ CMS_D x CMS_W cells by
+    # construction): the inner join yields exactly CMS_D cells per
+    # token (every probed bucket exists — the token's own counts are
+    # in it), so min(total) over the group is the old least(t_0..t_3).
+    topk_long = (topk.select("tok", "cnt", F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("row_id"),
+                 F.col(f"bkt_{i}").alias("bucket"))
+        for i in range(CMS_D)])).alias("s"))
+        .select("tok", "cnt", "s.row_id", "s.bucket"))
+    est = (topk_long.join(F.broadcast(cms), ["row_id", "bucket"])
+           .groupBy("tok", "cnt")
+           .agg(F.min("total").alias("cms_estimate")))
     return est.select(
         F.col("tok").alias("token"),
         F.col("cnt").alias("true_count"),
-        F.least(*[F.col(f"t_{i}") for i in range(CMS_D)])
-        .alias("cms_estimate"),
-        (F.least(*[F.col(f"t_{i}") for i in range(CMS_D)]) - F.col("cnt"))
+        F.col("cms_estimate"),
+        (F.col("cms_estimate") - F.col("cnt"))
         .cast("long").alias("overestimate"))
 
 

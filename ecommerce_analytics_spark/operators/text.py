@@ -479,11 +479,18 @@ def q_corpus_kl_divergence(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     _DEC = "decimal(38,0)"
     docs = load_table(spark, sf_dir, "documents")
+    # (source, tok, c) feeds four statistic subtrees (src totals, the
+    # corpus LM, its grand total, and the per-term join) — without a
+    # cut each re-scans + re-explodes the documents fact (4 surviving
+    # parquet scans). Lazy persist (the r11 scan-discipline recipe for
+    # corpus-sized narrow frames): plan-only callers execute nothing,
+    # and the fact is read once per run.
     by_src = (docs
               .select("source",
                       F.explode(F.split(F.col("text"), " ")).alias("tok"))
               .groupBy("source", "tok")
-              .agg(F.count(F.lit(1)).cast(_DEC).alias("c")))
+              .agg(F.count(F.lit(1)).cast(_DEC).alias("c"))
+              .persist())
     src_tot = (by_src.groupBy("source")
                .agg(F.sum("c").alias("ns"),
                     F.count(F.lit(1)).cast("long").alias("vocab")))

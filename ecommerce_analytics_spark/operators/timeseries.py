@@ -734,6 +734,13 @@ def q_daily_revenue_theil_sen(spark: SparkSession,
                                  F.lit("1970-01-01").cast("date"))
                       .cast("long").alias("d"))
              .agg(F.sum(cents("value")).alias("rev_cents")))
+    # the day-sized aggregate feeds FOUR statistic subtrees (pair
+    # slopes ×2 sides, intercept candidates, n_days) — without a cut
+    # each one re-scans the events fact (8 surviving parquet scans in
+    # the formatted plan); checkpoint the ~hundreds-of-rows frame once
+    # (the r11 scan-discipline recipe) so every consumer reads
+    # materialized rows
+    daily = daily.localCheckpoint()
 
     a, b = daily.alias("a"), daily.alias("b")
     pairs = (a.join(F.broadcast(b), F.col("b.d") > F.col("a.d"))
