@@ -242,20 +242,35 @@ def q_popular_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buffers restore HashAggregate on the fact side; the per-product
     # name comes from the broadcast dim aggregated on its own (the
     # candidate-value set per key is identical, so any_value picks
-    # from the same names). Product-level equivalence of the moved
-    # inner join: a product's lineitems ALL match iff its partkey
-    # exists in part, so each surviving product's sums are unchanged
-    # and non-products drop either way.
+    # from the same names).
+    #
+    # Duplicate-dim multiplicity (round 11 hostile-salted-retail
+    # catch): the oracle joins BEFORE aggregating, so k duplicate part
+    # rows for one partkey multiply every lineitem row k-fold into
+    # both sums. The dim aggregate therefore carries k = count(*) and
+    # the fact sums are scaled by k AFTER aggregation — inside the
+    # exact integer domain (quantities are integer-valued doubles,
+    # revenue stays in 1e-4-dollar LONG units and converts to dollars
+    # only after the multiply), so the scaled sums are bit-identical
+    # to summing the k-fold rows. Products absent from part drop
+    # either way (inner join).
+    from ecommerce_analytics_spark.numerics import cents
+    rev_units = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     sums = (lineitem
             .groupBy(F.col("l_partkey").alias("product_id"))
-            .agg(F.sum("l_quantity").alias("total_quantity"),
-                 disc_price_sum().alias("total_revenue")))
+            .agg(F.sum("l_quantity").alias("_qty"),
+                 F.sum(rev_units).alias("_rev_units")))
     names = (part.groupBy(F.col("p_partkey").alias("product_id"))
-             .agg(F.any_value("p_name").alias("product_name")))
+             .agg(F.any_value("p_name").alias("product_name"),
+                  F.count(F.lit(1)).alias("_k")))
     return (
         sums.join(F.broadcast(names), "product_id")
         .select("product_id", "product_name",
-                "total_quantity", "total_revenue")
+                (F.col("_qty") * F.col("_k")).alias("total_quantity"),
+                F.round((F.col("_rev_units").cast("decimal(28,0)")
+                         * F.col("_k")).cast("decimal(28,0)")
+                        * F.lit("0.0001").cast("decimal(5,4)"), 2)
+                .cast("double").alias("total_revenue"))
         .orderBy(F.desc("total_quantity"), F.asc("product_id"))
         .limit(20)
     )

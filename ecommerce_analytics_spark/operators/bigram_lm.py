@@ -115,7 +115,14 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
 
     tok_stream = toks.select(F.explode("t").alias("tok"))
-    uni = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("c2"))
+    # the unigram LM feeds both the smoothing constants and the score
+    # join; the bigram counts feed both the backoff histogram and the
+    # score itself — persist the two narrow count tables (the
+    # materialize-the-LM-not-the-corpus shape) so each corpus explode
+    # survives once (r11 scan census: 5 surviving scans, now 3 — the
+    # two LM builds plus the per-doc scoring join)
+    uni = (tok_stream.groupBy("tok")
+           .agg(F.count(F.lit(1)).alias("c2")).persist())
     consts = uni.agg(F.sum("c2").alias("n_total"),
                      F.count(F.lit(1)).alias("v_size"))
 
@@ -126,7 +133,8 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                "element_at(t, i + 1) AS w2)))").alias("bg"))
            .select("doc_id", "bg.w1", "bg.w2"))
 
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c12 = (big.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c")).persist())
     hist = c12.groupBy("w1").agg(F.sum("c").alias("c1h"))
 
     nv = F.col("n_total") + F.col("v_size")

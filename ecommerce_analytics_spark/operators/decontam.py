@@ -279,11 +279,20 @@ def q_dsir_importance_weights(spark: SparkSession,
     tok = docs.select(
         "doc_id", "source",
         F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    gvocab = tok.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("cg"))
-    tvocab = (tok.filter(F.col("source") == DSIR_TARGET)
-              .groupBy("tok")
-              .agg(F.count(F.lit(1)).cast("long").alias("ct")))
+    # one vocabulary pass: per-(tok, source) counts persisted, both
+    # LMs derived from the aggregate — the former twin groupBys each
+    # re-scanned + re-exploded documents (r11 scan census: 5 surviving
+    # scans; now 2 — the vocab build and the per-doc scoring join,
+    # which genuinely need separate passes). Integer count sums are
+    # exact, and (tok, source = target) holds one row per tok, so both
+    # derivations are value-identical to the direct groupBys.
+    svocab = (tok.groupBy("tok", "source")
+              .agg(F.count(F.lit(1)).alias("cs"))
+              .persist())
+    gvocab = svocab.groupBy("tok").agg(
+        F.sum("cs").cast("long").alias("cg"))
+    tvocab = (svocab.filter(F.col("source") == DSIR_TARGET)
+              .select("tok", F.col("cs").cast("long").alias("ct")))
     consts = (gvocab.groupBy()
               .agg(F.sum("cg").alias("ng"),
                    F.count(F.lit(1)).alias("v"))

@@ -120,6 +120,12 @@ def _shingles(corpus: DataFrame) -> DataFrame:
             f"element_at(split(text, ' '), i + 1), "
             f"element_at(split(text, ' '), i + 2))))").alias("sh"))
         .distinct()
+        # referenced by BOTH the stop-shingle aggregation and the
+        # anti-join's probe side; without a cut each re-runs the
+        # 3-branch corpus union + shingle explode (r11 scan census:
+        # the whole pipeline survived 6x per consumer). Lazy persist
+        # of the narrow (doc_id, sh) index — no text payload cached.
+        .persist()
     )
     hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
            .filter(F.col("df") > DF_CAP).select("sh"))
@@ -208,6 +214,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # sizes/inter filter on the GROUPING KEY (doc_b NULL-ness), so
+        # Catalyst pushes the filters below the aggregation and the
+        # two exchange subtrees stop being identical — persist is what
+        # makes the candidate aggregation run once (the
+        # basket_association_rules finding; cache ≈ the aggregation's
+        # own shuffle output)
+        .persist()
     )
     sizes = (counts.filter(F.col("doc_b").isNull())
              .select(F.col("doc_a").alias("doc_id"), F.col("c").alias("n")))
@@ -760,8 +773,14 @@ def incremental_incoming(spark: SparkSession, docs: DataFrame) -> DataFrame:
                          F.expr("substring(text, 1, n_chars div 2)")
                          .alias("text")))
     n_part = spark.sparkContext.defaultParallelism
+    # the nightly batch is probed three times (exact fingerprints,
+    # band signatures, the per-doc verdict join) — persist so the
+    # 3-branch union over documents is expanded once, not per probe
+    # (r11 scan census: 9 of dedup_incremental's 13 surviving scans
+    # were re-expansions of this frame)
     return (inc_exact.unionAll(inc_near).unionAll(inc_fresh)
-            .repartition(n_part, "doc_id"))
+            .repartition(n_part, "doc_id")
+            .persist())
 
 
 def admit_incoming(incoming: DataFrame, x_fp: DataFrame, hot: DataFrame,
@@ -823,7 +842,10 @@ def index_artifacts(spark: SparkSession, existing: DataFrame
     """Compute the three index artifacts a deployment stores:
     (fingerprint set, stop-shingle list, band-signature table)."""
     x_fp = existing.select(F.md5("text").alias("fp")).distinct()
-    hx_e = _shingle_hashes(existing).distinct()
+    # referenced by the stop-shingle aggregation AND the band build's
+    # anti-join probe side; persist the narrow int triple so the
+    # corpus shingle explode runs once
+    hx_e = _shingle_hashes(existing).distinct().persist()
     hot = (hx_e.groupBy("x1", "x2")
            .agg(F.count(F.lit(1)).alias("df"))
            .filter(F.col("df") > DF_CAP).select("x1", "x2"))

@@ -217,7 +217,12 @@ _U_FIX = f"CAST(round(({_U_SQL}) * 1000000000) AS BIGINT)"
 def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shares = (docs.groupBy("lang")
-              .agg(F.count(F.lit(1)).alias("n_lang")))
+              .agg(F.count(F.lit(1)).alias("n_lang"))
+              # |sources| rows feeding the total, the rate table and
+              # its max — checkpoint once so the documents fact is
+              # scanned twice (share build + the keep join), not 5x
+              # (r11 scan-discipline recipe)
+              .localCheckpoint())
     total = shares.agg(F.sum("n_lang").alias("n_total"))
     rates = (shares.crossJoin(F.broadcast(total))
              .select("lang",

@@ -287,7 +287,11 @@ def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily0 = (events.filter(F.col("event_type") == "purchase")
               .groupBy(F.date_trunc("day", "ts").alias("d"))
-              .agg(F.sum(cents("value")).alias("x")))
+              .agg(F.sum(cents("value")).alias("x"))
+              # day-sized; feeds the spine bounds, the fill join, and
+              # both lag sides — checkpoint once so the events fact is
+              # scanned once, not 4x (r11 scan-discipline recipe)
+              .localCheckpoint())
     spine = (daily0.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
              .select(F.explode(F.sequence(
                  "lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")))

@@ -540,7 +540,11 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.substring(cents.cast("string"), 1, 1)
                       .cast("long").alias("digit"))
               .groupBy("digit")
-              .agg(F.count(F.lit(1)).cast(_DEC).alias("n_obs")))
+              .agg(F.count(F.lit(1)).cast(_DEC).alias("n_obs"))
+              # ≤ 9 rows feeding four statistic subtrees (total, fill,
+              # deviation, MAD) — checkpoint once so the events fact
+              # is scanned once, not 4x (r11 scan-discipline recipe)
+              .localCheckpoint())
     spine = spark.range(1, 10).select(F.col("id").alias("digit"))
     tot = digits.groupBy().agg(F.sum("n_obs").alias("n"))
     filled = (spine.join(digits, "digit", "left")

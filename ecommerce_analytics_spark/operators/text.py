@@ -392,12 +392,18 @@ def q_bigram_pmi_collocations(spark: SparkSession,
         f"transform({ngram_positions('t', 2)}, "
         "i -> named_struct('w1', element_at(t, i), "
         "'w2', element_at(t, i + 1)))")).alias("b"))
+    # both count tables are referenced three times each (grand totals,
+    # the two unigram probes / the scored filter) — persist the narrow
+    # vocab-sized aggregates so the corpus explode runs once per table
+    # (r11 scan census: 5 surviving documents scans, now 2)
     bc = (bi.select("b.w1", "b.w2")
           .groupBy("w1", "w2")
-          .agg(F.count(F.lit(1)).cast("long").alias("c_ab")))
+          .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+          .persist())
     uni = (toks.select(F.explode("t").alias("tok"))
            .groupBy("tok")
-           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+           .agg(F.count(F.lit(1)).cast("long").alias("c"))
+           .persist())
     tot = (uni.agg(F.sum("c").cast("long").alias("n_uni"))
            .crossJoin(F.broadcast(
                bc.agg(F.sum("c_ab").cast("long").alias("n_bi")))))
