@@ -206,13 +206,20 @@ def _nb_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     test_tok = test.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    # n_tok is the token-array size — computable in the projection
-    # (split() never yields an empty array, so size == the exploded
-    # row count for every doc), removing a whole scan + explode +
-    # shuffle the groupBy(doc_id) count paid.
-    test_len = test.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long")
-        .alias("n_tok"))
+    # n_tok from the token-array size in the projection (split() never
+    # yields an empty array, so size == the exploded row count per
+    # ROW), but still GROUPED by doc_id: the oracle's count(*) over
+    # exploded test tokens collapses k duplicate deliveries of a doc
+    # into ONE row carrying k× the token count, and an ungrouped
+    # projection kept k rows of 1× instead (r11 hostile dup-delivery
+    # catch). sum(size) over the k copies is exactly that count, and
+    # the groupBy shuffles doc-sized precomputed sizes instead of the
+    # exploded token stream — the optimization survives.
+    test_len = (test
+                .select("doc_id", F.size(F.split("text", " "))
+                        .cast("long").alias("sz"))
+                .groupBy("doc_id")
+                .agg(F.sum("sz").alias("n_tok")))
     match_sum = (test_tok.join(F.broadcast(match_fix), "tok")
                  .groupBy("doc_id", "source")
                  .agg(F.sum("lf").alias("msum")))

@@ -625,10 +625,24 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = (gopher_features(aug, keep=("text", "source"))
              .filter(F.col("passes_gopher"))
              .select("doc_id", "text", "source", "n_tokens"))
+    # Duplicate-delivery multiplicity (r11 hostile catch): the
+    # oracle's aug_docs ⋈ feat ON doc_id pairs every delivered copy
+    # with every feature row, so k at-least-once deliveries of one doc
+    # contribute k² identical rows to the gate output — the pure
+    # projection keeps only k. Count deliveries with a window on
+    # (md5(text), doc_id) — satisfied by the dedup window's md5
+    # exchange, so it costs a sort, not a shuffle — and explode the
+    # extra k−1 copies after the dedup filter (copies are identical,
+    # so the gate and keeper decisions commute with the multiply).
+    # Clean data has k = 1 and the explode is the identity.
     w_h = Window.partitionBy(F.md5("text"))
+    w_k = Window.partitionBy(F.md5("text"), "doc_id")
     deduped = (gated
                .withColumn("keeper", F.min("doc_id").over(w_h))
+               .withColumn("_k", F.count(F.lit(1)).over(w_k))
                .filter(F.col("doc_id") == F.col("keeper"))
+               .select("doc_id", "source", "n_tokens",
+                       F.explode(F.expr("sequence(1, _k)")).alias("_i"))
                .select("doc_id", "source", "n_tokens"))
     w_q = Window.partitionBy("source").orderBy(
         F.expr(_U_SQL).asc(), F.col("doc_id").asc())
