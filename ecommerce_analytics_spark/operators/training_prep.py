@@ -635,12 +635,22 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra k−1 copies after the dedup filter (copies are identical,
     # so the gate and keeper decisions commute with the multiply).
     # Clean data has k = 1 and the explode is the identity.
-    w_h = Window.partitionBy(F.md5("text"))
-    w_k = Window.partitionBy(F.md5("text"), "doc_id")
+    # (the hash is materialized ONCE as a named column and the count
+    # window stacks ABOVE the keeper filter: both windows then
+    # partition by the same attribute, so the (_h, doc_id) clustering
+    # is satisfied by the existing _h hash partitioning — one sort, no
+    # third exchange, the certified 2-exchange shape survives. With
+    # inline md5(text) in both specs, Catalyst extracts each window's
+    # partition expression into its own projected alias and cannot see
+    # the partitionings are equal. Counting after the filter is the
+    # same k, since exactly the keeper doc's copies pass it.)
+    w_h = Window.partitionBy("_h")
+    w_k = Window.partitionBy("_h", "doc_id")
     deduped = (gated
+               .withColumn("_h", F.md5("text"))
                .withColumn("keeper", F.min("doc_id").over(w_h))
-               .withColumn("_k", F.count(F.lit(1)).over(w_k))
                .filter(F.col("doc_id") == F.col("keeper"))
+               .withColumn("_k", F.count(F.lit(1)).over(w_k))
                .select("doc_id", "source", "n_tokens",
                        F.explode(F.expr("sequence(1, _k)")).alias("_i"))
                .select("doc_id", "source", "n_tokens"))
