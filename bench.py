@@ -56,6 +56,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# "1" (default): spark.catalog.clearCache() before every timed run so
+# persist()-carrying queries are timed cold-cache per run (VERDICT r11
+# #2 — CacheManager matches by analyzed plan, so without this runs
+# 2..N of a persist-carrying query serve the cache built by run 1 and
+# min-of-N reports the warm serve). "0" restores the pre-r12
+# methodology for comparison.
+_CLEAR_CACHE = os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE", "1")
+
 # Representative slice of SURVEY §2: flagship window pipeline, scan-agg,
 # multi-join star rollups, top-k, self-join recs, and the north-star
 # text/dedup/similarity operators.
@@ -132,6 +140,8 @@ for name in {names!r}:
         .format("noop").save()                       # state/cache warm
     runs = []
     for _ in range({n_runs}):
+        if {clear_cache!r} == "1":
+            spark.catalog.clearCache()   # same discipline as main loop
         t0 = time.monotonic()
         fn(spark, {sf_dir!r}).write.mode("overwrite").format("noop").save()
         runs.append(time.monotonic() - t0)
@@ -174,7 +184,8 @@ def _timer_subprocess(root: str, names: list[str],
                       n_runs: int) -> dict[str, float] | None:
     import subprocess
     code = _TIMER_SNIPPET.format(root=root, names=names,
-                                 sf_dir=SF_DIR, n_runs=n_runs)
+                                 sf_dir=SF_DIR, n_runs=n_runs,
+                                 clear_cache=_CLEAR_CACHE)
     env = dict(os.environ)
     # cwd = the code root under test: python -c puts '' (cwd) AHEAD of
     # the sys.path insert, so running from the repo root would shadow
@@ -222,9 +233,18 @@ def _prior_round_sha(here: str, pattern: str) -> str | None:
 def _adjudicate(flagged: dict[str, float], n_runs: int,
                 pattern: str) -> dict:
     """Re-time flagged queries on HEAD and on the prior round's commit
-    in fresh JVMs back-to-back on this host. Returns the adjudication
-    record (always emitted, even on infrastructure failure — a silent
-    skip would read as 'no flags')."""
+    in fresh JVMs on this host. Returns the adjudication record (always
+    emitted, even on infrastructure failure — a silent skip would read
+    as 'no flags').
+
+    r12 hardening (VERDICT r11 #1): one fresh-JVM leg per side let a
+    single host storm land inside one leg and label byte-identical
+    code "code" (r11: pricing_summary/sales_by_region_year flagged
+    "code" on files with zero diff hunks). Now the legs ALTERNATE
+    HEAD/prior >= 3x each (H P H P H P), every per-leg timing is kept
+    in the artifact (head_legs/prior_legs), and the verdict compares
+    min-of-legs — a storm must now hit every leg of one side and no
+    leg of the other to flip the verdict."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     rec: dict = {"flagged": flagged}
@@ -241,9 +261,25 @@ def _adjudicate(flagged: dict[str, float], n_runs: int,
                             prior_sha], cwd=here, check=True,
                            capture_output=True)
         names = sorted(flagged)
-        rec["head_fresh"] = _timer_subprocess(here, names, n_runs)
-        rec["prior_fresh"] = _timer_subprocess(wt, names, n_runs)
-        if rec["head_fresh"] and rec["prior_fresh"]:
+        n_legs = int(os.environ.get("SPARK_GRAFT_ADJ_LEGS", "3"))
+        runs_per_leg = min(n_runs, 3)  # 3 legs x min-of-3 per side
+        head_legs: list[dict[str, float] | None] = []
+        prior_legs: list[dict[str, float] | None] = []
+        for _ in range(n_legs):  # interleaved: H P H P H P
+            head_legs.append(_timer_subprocess(here, names, runs_per_leg))
+            prior_legs.append(_timer_subprocess(wt, names, runs_per_leg))
+        rec["head_legs"] = head_legs
+        rec["prior_legs"] = prior_legs
+
+        def _min_of_legs(legs: list[dict[str, float] | None],
+                         name: str) -> float | None:
+            vals = [lg[name] for lg in legs if lg and name in lg]
+            return min(vals) if vals else None
+
+        rec["head_fresh"] = {n: _min_of_legs(head_legs, n) for n in names}
+        rec["prior_fresh"] = {n: _min_of_legs(prior_legs, n) for n in names}
+        if (all(v is not None for v in rec["head_fresh"].values())
+                and all(v is not None for v in rec["prior_fresh"].values())):
             rec["verdict"] = {
                 name: ("host" if rec["prior_fresh"][name]
                        >= 0.8 * rec["head_fresh"][name] else "code")
@@ -305,6 +341,17 @@ def main() -> None:
         fn = queries[name]
         runs: list[float] = []
         for _ in range(n_runs):
+            # Cache discipline (VERDICT r11 #2): queries that persist()
+            # an intermediate (graph edge caches, dedup indexes) would
+            # otherwise serve runs 2..N from the CacheManager — the
+            # timed loop rebuilds the DataFrame per run, but cache
+            # lookup matches by analyzed plan, so min-of-N reported the
+            # warm serve. Clearing between runs (outside the timed
+            # window) makes every run compute from the parquet inputs;
+            # "min" is now min over COLD-CACHE runs for every query.
+            # Toggle kept for A/B against the old methodology.
+            if _CLEAR_CACHE == "1":
+                spark.catalog.clearCache()
             t0 = time.monotonic()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.monotonic() - t0)
@@ -325,6 +372,9 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": n_runs,
         "aggregation": "min",
+        # r12: runs are cold-cache (catalog cache cleared between runs)
+        # unless SPARK_GRAFT_BENCH_CLEARCACHE=0 — see _CLEAR_CACHE.
+        "cold_cache_per_run": _CLEAR_CACHE == "1",
     }
 
     # self-adjudication: only meaningful at the canonical bench SF (the

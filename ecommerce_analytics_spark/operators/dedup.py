@@ -88,18 +88,33 @@ shingle AS (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.4, VERDICT r11 #10): the synthetic-dup union used
+    # to be three branches over the same documents scan (base + %50
+    # near-dup + %25 exact-dup) — every dedup-family pipeline instance
+    # paid THREE corpus reads. One scan + a conditional-array explode
+    # emits exactly the same rows map-side: each doc yields itself,
+    # plus its near variant iff doc_id % 50 = 0, plus its exact copy
+    # iff doc_id % 25 = 0 (concat of conditionally-empty arrays — no
+    # NULL rows ever constructed). Row-identical to the union (same
+    # doc_ids, same texts), so every oracle CTE is untouched.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = (docs.filter(F.col("doc_id") % 50 == 0)
-            .select((F.col("doc_id") + 10000000).alias("doc_id"),
-                    F.expr("substr(text, instr(text, ' ') + 1)").alias("text")))
-    exact = (docs.filter(F.col("doc_id") % 25 == 0)
-             .select((F.col("doc_id") + 20000000).alias("doc_id"), "text"))
+    corpus = docs.select(F.explode(F.expr("""
+        concat(
+          array(named_struct('doc_id', doc_id, 'text', text)),
+          IF(doc_id % 50 = 0,
+             array(named_struct('doc_id', doc_id + 10000000L,
+                                'text', substr(text, instr(text, ' ') + 1))),
+             array()),
+          IF(doc_id % 25 = 0,
+             array(named_struct('doc_id', doc_id + 20000000L, 'text', text)),
+             array())
+        )""")).alias("d")).select("d.doc_id", "d.text")
     # the documents table is a handful of parquet row groups → 1-2 scan
     # partitions; without a repartition the shingle explode (50-100×
     # fan-out) runs nearly single-threaded (profiled 4.5s of a 10s
     # query at sf0.1). At 100 TB input splits provide this for free.
     n_part = spark.sparkContext.defaultParallelism
-    return docs.unionAll(near).unionAll(exact).repartition(n_part, "doc_id")
+    return corpus.repartition(n_part, "doc_id")
 
 
 def _shingles(corpus: DataFrame) -> DataFrame:
@@ -418,7 +433,22 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     mh = (_drop_hot(hx_all, hot, ["x1", "x2"])
           .groupBy("doc_id").agg(*[
               F.min(F.expr(e)).alias(f"h{i}")
-              for i, e in enumerate(_minhash_exprs())]))
+              for i, e in enumerate(_minhash_exprs())])
+          # r12 (guide §2.4/§5, VERDICT r11 #6): the band self-join
+          # plans as BroadcastHashJoin under the default threshold, and
+          # a BroadcastExchange build side cannot reuse the probe
+          # side's subtree — the r11 initial plan carried FOUR full
+          # shingle/md5 pipeline instances (12 parquet scans: probe +
+          # build sides × the hot-list + min branches). Lazy persist of
+          # the signature table (ONE row per doc, 16 ints — corpus
+          # metadata, never text) makes both join sides a map-only band
+          # explode over the cache: pipeline instances 4 → 2 (the
+          # hot-list/min pair inside one materialization is the
+          # remaining intrinsic double pass). The planner's size-based
+          # BHJ→SMJ flip at scale is unaffected (both sides still
+          # derive from the same cached frame, so SMJ reuses one
+          # exchange — the forced-SMJ skew test pins this).
+          .persist())
 
     # bands carry the full signature vector, so the pair estimate is
     # computed inline at pair generation — no later re-join against mh
@@ -777,7 +807,12 @@ def incremental_incoming(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # band signatures, the per-doc verdict join) — persist so the
     # 3-branch union over documents is expanded once, not per probe
     # (r11 scan census: 9 of dedup_incremental's 13 surviving scans
-    # were re-expansions of this frame)
+    # were re-expansions of this frame).
+    # Cache contract (ADVICE r11): the returned frame is LAZY, so this
+    # helper cannot unpersist — the cache lives until the session ends
+    # or the caller clears it. A deployment invoking this per nightly
+    # batch must unpersist the returned frame (or clearCache) after
+    # the batch's verdicts materialize, or cached batches accumulate.
     return (inc_exact.unionAll(inc_near).unionAll(inc_fresh)
             .repartition(n_part, "doc_id")
             .persist())
@@ -844,7 +879,9 @@ def index_artifacts(spark: SparkSession, existing: DataFrame
     x_fp = existing.select(F.md5("text").alias("fp")).distinct()
     # referenced by the stop-shingle aggregation AND the band build's
     # anti-join probe side; persist the narrow int triple so the
-    # corpus shingle explode runs once
+    # corpus shingle explode runs once. Cache contract (ADVICE r11):
+    # lazy return — callers that rebuild the index repeatedly in one
+    # session must unpersist/clearCache after materializing it.
     hx_e = _shingle_hashes(existing).distinct().persist()
     hot = (hx_e.groupBy("x1", "x2")
            .agg(F.count(F.lit(1)).alias("df"))

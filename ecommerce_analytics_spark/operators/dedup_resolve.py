@@ -222,7 +222,7 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
               # its max — checkpoint once so the documents fact is
               # scanned twice (share build + the keep join), not 5x
               # (r11 scan-discipline recipe)
-              .localCheckpoint())
+              .localCheckpoint(eager=True))
     total = shares.agg(F.sum("n_lang").alias("n_total"))
     rates = (shares.crossJoin(F.broadcast(total))
              .select("lang",

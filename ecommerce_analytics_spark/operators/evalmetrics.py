@@ -291,7 +291,7 @@ def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
               # day-sized; feeds the spine bounds, the fill join, and
               # both lag sides — checkpoint once so the events fact is
               # scanned once, not 4x (r11 scan-discipline recipe)
-              .localCheckpoint())
+              .localCheckpoint(eager=True))
     spine = (daily0.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
              .select(F.explode(F.sequence(
                  "lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")))

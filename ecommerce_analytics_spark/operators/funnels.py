@@ -275,6 +275,11 @@ def q_basket_association_rules(spark: SparkSession,
         .agg(F.count(F.lit(1)).alias("n_row"))
         .persist()
     )
+    # NB (ADVICE r11): unlike a global aggregate (always one row, n=0
+    # on empty input), this is ZERO rows when lineitem is empty — the
+    # output is empty either way only because `pairs` is also empty
+    # and n_orders is consumed solely by the crossJoin below. Any new
+    # consumer of n_orders must not rely on a row existing.
     n_orders = (counts.filter(F.col("pa").isNull() & F.col("pb").isNull())
                 .select(F.col("n_row").alias("n")))
     item_counts = (counts.filter(F.col("pa").isNotNull()

@@ -268,6 +268,18 @@ def _recommendations_from(lineitem: DataFrame) -> DataFrame:
         .select("e.pa", "e.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
+        # r12 (guide §2.4/§5): counts is consumed THREE ways — the
+        # streamed pairs side and BOTH broadcast denominator builds —
+        # and each consumer filters on the grouping key (pb NULL-ness),
+        # so Catalyst pushes the filter below the aggregation and the
+        # three exchange subtrees stop being identical: the r11 plan
+        # executed the whole lineitem → collect_set → explode → count
+        # pipeline 3× (3 parquet scans, 6 fact-scale exchanges). Lazy
+        # persist of the narrow (pa, pb, c) pair table makes the fact
+        # pass single (the dedup_ngram_jaccard/basket_association_rules
+        # recipe); plan-only callers execute nothing. At 100 TB this is
+        # 1 corpus read instead of 3.
+        .persist()
     )
     prod_counts = (counts.filter(F.col("pb").isNull())
                    .select(F.col("pa").alias("l_partkey"), F.col("c").alias("n")))

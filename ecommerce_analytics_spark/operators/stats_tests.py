@@ -544,7 +544,7 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
               # ≤ 9 rows feeding four statistic subtrees (total, fill,
               # deviation, MAD) — checkpoint once so the events fact
               # is scanned once, not 4x (r11 scan-discipline recipe)
-              .localCheckpoint())
+              .localCheckpoint(eager=True))
     spine = spark.range(1, 10).select(F.col("id").alias("digit"))
     tot = digits.groupBy().agg(F.sum("n_obs").alias("n"))
     filled = (spine.join(digits, "digit", "left")

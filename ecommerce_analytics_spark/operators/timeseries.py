@@ -740,7 +740,7 @@ def q_daily_revenue_theil_sen(spark: SparkSession,
     # the formatted plan); checkpoint the ~hundreds-of-rows frame once
     # (the r11 scan-discipline recipe) so every consumer reads
     # materialized rows
-    daily = daily.localCheckpoint()
+    daily = daily.localCheckpoint(eager=True)
 
     a, b = daily.alias("a"), daily.alias("b")
     pairs = (a.join(F.broadcast(b), F.col("b.d") > F.col("a.d"))

@@ -68,3 +68,11 @@ def test_query_batch_against_stored_index(spark, sf_dir, tmp_path):
     assert set(by_q) == {10_000_000, 10_000_001, 10_000_002, 10_000_003}
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -181,3 +181,11 @@ def test_idiv_matches_python_floordiv_randomized(spark):
                     .alias("q")).collect()
     for r in got:
         assert r.q == r.a // r.b, (r.a, r.b, r.q)
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -70,6 +70,43 @@ def test_prior_round_sha_heavy_pattern_numeric():
     assert sha == want
 
 
+def test_adjudicate_interleaves_legs_min_of_legs(monkeypatch):
+    """r12 hardening: legs must alternate HEAD/prior, per-leg timings
+    must land in the artifact, and the verdict must compare
+    min-of-legs — a single storm leg on one side (9.9s below) must not
+    flip the verdict the way r11's single-leg adjudication did."""
+    order: list[str] = []
+    head_seq = iter([{"q": 2.0}, {"q": 9.9}, {"q": 2.1}])   # leg 2 = storm
+    prior_seq = iter([{"q": 5.0}, {"q": 2.2}, {"q": 5.1}])
+
+    def fake_timer(root, names, n_runs):
+        assert names == ["q"]
+        assert n_runs <= 3  # per-leg budget, not the full bench n_runs
+        if root == REPO:
+            order.append("H")
+            return next(head_seq)
+        order.append("P")
+        return next(prior_seq)
+
+    monkeypatch.setattr(bench, "_timer_subprocess", fake_timer)
+    monkeypatch.setattr(bench, "_prior_round_sha",
+                        lambda here, pattern: "f" * 40)
+    real_isdir = os.path.isdir
+    monkeypatch.setattr(
+        os.path, "isdir",
+        lambda p: True if str(p).startswith("/tmp/bench_adjudicate_")
+        else real_isdir(p))
+
+    rec = bench._adjudicate({"q": 9.0}, n_runs=7, pattern="BENCH_r*.json")
+    assert order == ["H", "P", "H", "P", "H", "P"]
+    assert rec["head_legs"] == [{"q": 2.0}, {"q": 9.9}, {"q": 2.1}]
+    assert rec["prior_legs"] == [{"q": 5.0}, {"q": 2.2}, {"q": 5.1}]
+    assert rec["head_fresh"] == {"q": 2.0}
+    assert rec["prior_fresh"] == {"q": 2.2}
+    # prior min 2.2 >= 0.8 * head min 2.0 -> host, despite the storm leg
+    assert rec["verdict"] == {"q": "host"}
+
+
 class _FakeCells:
     def __init__(self):
         self.calls = 0

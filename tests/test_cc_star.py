@@ -73,3 +73,11 @@ def test_star_query_matches_label_prop_query(spark, sf_dir):
     ra = sorted(tuple(r[c] for c in cols) for r in a.collect())
     rb = sorted(tuple(r[c] for c in cols) for r in b.collect())
     assert ra == rb and len(ra) > 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

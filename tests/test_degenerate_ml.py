@@ -89,3 +89,11 @@ def test_null_price_customer_survives_kmeans(spark, tmp_path):
     assert 999 in segs and segs[999].monetary == 0.0
     r = q_rfm_kmeans_quality(spark, sf).collect()[0]
     assert r.n_customers == 6
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

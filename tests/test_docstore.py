@@ -260,3 +260,11 @@ def test_format_version_file_lifecycle(spark, sf_dir, tmp_path):
      .write.format("docstore").option("path", str(legacy))
      .mode("append").save())
     assert store_format_version(str(legacy)) == 1
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

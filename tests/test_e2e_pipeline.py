@@ -166,3 +166,11 @@ def test_pipeline_source_error_raises_not_hangs(spark, tmp_path):
         run_pipeline(spark, str(tmp_path / "nope.parquet"),
                      str(tmp_path / "err_run"), timeout_s=60)
     assert "TimeoutError" not in type(exc.value).__name__
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -95,3 +95,11 @@ def test_pca_outliers_match_numpy_projection(spark, sf_dir):
     for idx in order[:PCA_TOP_OUTLIERS]:
         want.add(int(ids[idx]))
     assert {r["vec_id"] for r in out} == want
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -135,3 +135,11 @@ def test_docs_emb_gates_count_duplicates(spark, dup_docs_sf):
     e = query_map()["embedding_validation"](spark,
                                             dup_docs_sf).collect()[0]
     assert e.n_dup_vec_id > 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -109,3 +109,11 @@ def test_validation_classifies_every_hostile_row(spark, hostile_sf,
     assert row.n_valid == base_n + 1        # the control vector
     assert (row.n_null + row.n_empty + row.n_wrong_dim + row.n_null_elem
             + row.n_zero_norm + row.n_valid) == row.n_vectors
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

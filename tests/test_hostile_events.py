@@ -117,3 +117,11 @@ def test_validation_classifies_every_hostile_row(spark, hostile_sf,
     assert row.n_bad_props == 3
     # 3 hostile rows violate the time contract (null ts/user/type)
     assert row.n_time_valid == base_n + 4
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -90,3 +90,11 @@ def test_streaming_admit_parity(spark, sf_dir, tmp_path):
     q2.stop()
     replayed = _canon(spark.read.parquet(out).drop("batch_id").collect())
     assert replayed == expected
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

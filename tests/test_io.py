@@ -369,3 +369,11 @@ def test_unowned_cache_entry_is_distrusted(tmp_path, monkeypatch):
 
     dest2 = eio.cached_index_dir(sf, "t_fam", "tok3", build)
     assert dest2 == dest and rebuilt.get("yes")
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

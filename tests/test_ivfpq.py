@@ -109,3 +109,11 @@ def test_probe_width(spark, sf_dir, tmp_path):
              .agg(F.countDistinct("cell_id").alias("n")).collect())
     assert len(per_q) == N_QUERIES
     assert all(r["n"] == IVFPQ_N_PROBE for r in per_q)
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -32,3 +32,11 @@ def test_query_matches_oracle(spark, sf_dir, name):
     problems = compare_frames(spark_pdf, oracle_pdf, name,
                               float_sig=q.float_sig)
     assert not problems, "\n".join(problems)
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

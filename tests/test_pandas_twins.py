@@ -22,3 +22,11 @@ def test_cogroup_asof_matches_native(spark, sf_dir):
     want = keyed(query_map()["asof_prior_purchase"](spark, sf_dir))
     assert len(got) == len(want) and len(want) > 0
     assert got == want
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -69,3 +69,11 @@ def test_plan_shape_invariant_at_cluster_partitioning(spark, sf_dir,
         f"{name}: physical plan shape changed with "
         f"shuffle.partitions 200 vs {local}: {base} -> {cluster}")
     assert base["cartesian"] == 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -509,3 +509,11 @@ def test_bucketed_recommendations_no_fact_shuffle(spark, sf_dir):
     assert plain.count("Exchange hashpartitioning(l_orderkey") >= 1, plain
     # the bucketed read really is bucketed (not a silent plain scan)
     assert "Bucketed: true" in bkt or "SelectedBucketsCount" in bkt, bkt
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

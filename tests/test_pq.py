@@ -73,3 +73,11 @@ def test_persisted_pq_equals_in_memory(spark):
                       .select("query_id", "neighbor_id", "cos_sim", "rank")
                       .collect()))
     assert got == want and len(got) > 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

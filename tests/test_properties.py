@@ -239,3 +239,11 @@ def test_holt_winters_recurrence_consistency(spark_h, sf_dir):
                 s_next = rs[t - (HW_PERIOD - 1)]["season"]
                 assert r["forecast_next"] == (
                     r["lvl"] + r["trend"] + s_next), (et, r["day"])
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -417,3 +417,11 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     assert len(zero_hour) == 1            # never re-emitted
     assert zero_hour[0].total_revenue == 110.0   # 1000.0 dropped
     assert dropped >= 1
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -86,3 +86,11 @@ def test_streaming_attribution_matches_batch(spark, sf_dir,
         for col in ("p_conv_full", "p_conv_removed", "removal_effect",
                     "attribution_share"):
             assert a[ch][col] == b[ch][col], (ch, col)  # bit-identical
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -82,7 +82,10 @@ def main() -> int:
             prefix=f"ptpar_wh_{i}_")
         log = open(f"/tmp/ptpar_{i}.log", "w")
         procs.append((i, subprocess.Popen(
-            [sys.executable, "-m", "pytest", "-q",
+            # -o addopts= : this runner IS the full gate — it must
+            # override pytest.ini's default `-m "not heavy"` (the
+            # driver-budget tier) and run every test, heavy included.
+            [sys.executable, "-m", "pytest", "-q", "-o", "addopts=",
              "-p", "no:cacheprovider", *group],
             cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT),
             log))
