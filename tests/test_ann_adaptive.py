@@ -76,3 +76,11 @@ def test_train_sample_immune_to_id_pattern(spark):
           .select((F.col("id") * 10).alias("vec_id")))
     sampled = train_sample(df).toPandas()["vec_id"]
     assert PQ_TRAIN_CAP // 2 < len(sampled) < PQ_TRAIN_CAP * 5 // 4
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

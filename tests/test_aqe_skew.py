@@ -120,3 +120,11 @@ def test_result_invariant_to_skew_split(spark, skewed_sf, name):
     assert (value_hash(skew_pdf, float_sig=q.float_sig)
             == value_hash(default_pdf, float_sig=q.float_sig)), (
         f"{name}: result depends on AQE skew splitting")
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

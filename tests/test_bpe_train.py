@@ -83,3 +83,11 @@ def test_rewrite_round_greedy_run_parity(spark):
     assert seqs["aaa"] == ["aa", "a"]
     assert seqs["baaab"] == ["b", "aa", "a", "b"]
     assert seqs["ab"] == ["a", "b"]
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

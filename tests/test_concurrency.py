@@ -133,3 +133,11 @@ def test_concurrent_index_cache_build_race(tmp_path, monkeypatch):
     assert eio.cached_index_dir(str(sf), "race_fam", "tok",
                                 builder) == dest
     assert len(built) == n_before
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -56,3 +56,11 @@ def test_sigkill_between_offsets_and_commit_recovers(tmp_path):
     assert len(rec_pdf) > 0
     # no duplicate epoch, no lost epoch: bit-identical to uninterrupted
     assert value_hash(rec_pdf) == base_vh
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -179,3 +179,11 @@ def test_residual_autocorr_matches_plain_float(spark, sf_dir):
 def series_rows(daily):
     for et, day, rev in daily:
         yield et, day, rev
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -91,3 +91,11 @@ def test_snapshot_diff_on_bucketed_versions_zero_exchange(
     finally:
         spark.sql("DROP TABLE IF EXISTS diff_v_old")
         spark.sql("DROP TABLE IF EXISTS diff_v_new")
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

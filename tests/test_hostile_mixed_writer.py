@@ -86,3 +86,11 @@ def test_query_matches_oracle_on_mixed_writer_lake(
     assert value_hash(hostile_pdf, float_sig=q.float_sig) == canon_vh, (
         f"{name}: result differs between the canonical and the "
         f"mixed-writer layout of identical content")
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

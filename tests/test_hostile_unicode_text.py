@@ -90,3 +90,11 @@ def test_query_matches_oracle_on_unicode_text(spark, hostile_sf, name):
         spark_pdf, duckdb_oracle(q.oracle, hostile_sf), name,
         float_sig=q.float_sig)
     assert not problems, "\n".join(problems)
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -182,3 +182,11 @@ def test_rrf_recomputes_from_legs(spark, sf_dir):
     # at least one fused row must carry BOTH leg ranks
     both = got.dropna(subset=["lex_rank", "vec_rank"])
     assert len(both) > 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

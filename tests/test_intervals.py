@@ -45,3 +45,11 @@ def test_banded_equals_naive_with_edge_cases(spark):
     assert (5, 3) not in got
     assert (4, 4) in got
     assert (3, 5) in got
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

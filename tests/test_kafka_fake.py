@@ -92,3 +92,11 @@ def test_kafka_fake_end_to_end(spark, sf_dir, tmp_path):
         assert got["user_segment"] == row["user_segment"], eid
         assert got["risk_score"] == pytest.approx(row["risk_score"]), eid
         assert got["value"] == pytest.approx(row["value"]), eid
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -64,3 +64,11 @@ def test_registered_estimates_within_tol(spark, sf_dir):
     r = alg[0]
     assert r["union_within_tol"] and r["inter_within_tol"]
     assert r["exact_union"] >= r["exact_inter"] >= 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -116,3 +116,11 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -50,3 +50,11 @@ def test_localcluster_gate_matches_single_jvm(spark, sf_dir):
         want = value_hash(qmap[name](spark, sf_dir).toPandas())
         assert rec["hashes"][name] == want, \
             f"{name}: multi-JVM hash drifted from single-JVM"
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -51,3 +51,11 @@ def test_recommendations_nested_matches_flat(spark, sf_dir):
         ["similarity_score"].alias("last_score"),
     ).filter(F.size("recommendations") >= 2)
     assert first.filter(F.col("top_score") < F.col("last_score")).count() == 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

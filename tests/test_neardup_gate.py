@@ -118,3 +118,11 @@ def test_gate_with_simhash_signature(spark, sf_dir, tmp_path):
         canon = {m["canonical_doc_id"] for m in members}
         assert len(canon) == 1
         assert canon.pop() in {m["doc_id"] for m in members}
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -84,3 +84,11 @@ def test_foreach_batch_sink_with_checkpoint(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n1
     assert spark.read.parquet(out).filter(
         F.col("stored_at").isNull()).count() == 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -182,3 +182,11 @@ def test_rocksdb_checkpoint_restart_matches_batch(spark, sf_dir, tmp_path,
     for row in batch:
         assert got[row["event_id"]] == pytest.approx(row["customer_ltv"]), \
             f"event {row['event_id']}"
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -65,3 +65,11 @@ def test_lsh_neardup_finds_all_injected_copies(spark, sf_dir):
     expected = {(v, v + 1000000) for v in vec_ids if v % 40 == 0}
     missing = expected - found
     assert not missing, f"LSH missed guaranteed scale-copy pairs: {missing}"
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

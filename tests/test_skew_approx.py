@@ -95,3 +95,11 @@ def test_hll_query_runs_and_total_row(spark, sf_dir):
     # global estimate can't be below the largest single day
     assert total[0]["est_unique_users"] >= max(
         r["est_unique_users"] for r in days)
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

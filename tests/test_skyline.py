@@ -51,3 +51,11 @@ def test_skyline_random_equals_naive(spark):
                  skyline_2d(df, "p", "s").select("id").collect())
     want = sorted(r.id for r in _naive(df).collect())
     assert got == want
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

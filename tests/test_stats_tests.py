@@ -131,3 +131,11 @@ def test_benford_matches_numpy(spark, sf_dir):
         devs.append(abs(obs / n - bp))
     mad = float(np.mean(devs))
     assert abs(out[1]["mad"] - mad) < 1e-5
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -49,3 +49,11 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, events_stream_dir):
     # (if this ever flakes on a different dataset, drop it — the
     # parity assertions above are the contract)
     assert alarms > 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -157,3 +157,11 @@ def test_state_store_reader_exposes_open_day_state(spark, sf_dir,
         assert gs.open_days == [last_day], et
         assert gs.open_cents == [expected[et]], et
         assert gs.has_ewma
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

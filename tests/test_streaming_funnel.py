@@ -143,3 +143,11 @@ def test_streaming_cohort_pairs_match_batch(spark, sf_dir,
             spark, sf_dir).collect()
     }
     assert triangle == want_triangle and len(triangle) > 0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -98,3 +98,11 @@ def test_streaming_growth_first_day_survives_restarts(spark, tmp_path):
     rows = {r.day: r.is_new for r in
             spark.sql("SELECT * FROM growth_sticky").collect()}
     assert rows == {"2024-03-01": True, "2024-03-03": False}
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -106,3 +106,11 @@ def test_streaming_hw_zero_fills_cross_batch_gap(spark, tmp_path):
     for d in want:
         assert got[d] == want[d], d
     assert got["2024-03-10"][0] == 0.0  # the gap really was zero-filled
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

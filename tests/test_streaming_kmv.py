@@ -54,3 +54,11 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     assert final == batch and len(batch) > 1
     # the state genuinely evolved: every year saw both micro-batches
     assert all(e == 2 for e in max_epoch.values())
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -79,3 +79,11 @@ def test_streaming_psi_matches_batch(spark, sf_dir, tmp_path):
         g = got[feat]
         for col in ("n_bins", "n_ref", "n_act", "psi"):
             assert g[col] == b[col], (feat, col)  # exact, incl. psi
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

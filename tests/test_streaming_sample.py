@@ -59,3 +59,11 @@ def test_streaming_sample_matches_batch(spark, sf_dir, tmp_path):
     for lang, doc_id, _, _ in final:
         halves.setdefault(lang, set()).add(doc_id <= median)
     assert any(len(h) == 2 for h in halves.values())
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

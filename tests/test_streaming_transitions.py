@@ -36,3 +36,10 @@ def test_streaming_transitions_match_batch(spark, sf_dir,
             for r in batch.collect()}
     assert got == Counter(want)
     assert sum(want.values()) > 0
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -74,3 +74,11 @@ def test_per_batch_cost_flat(which, request):
     # state-growth-degraded. 3x is a generous CI-noise bound — the
     # committed sf1.0 artifact records the real ratios (~1.0).
     assert r["cost_flatness"] is not None and r["cost_flatness"] < 3.0
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

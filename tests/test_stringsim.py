@@ -84,3 +84,11 @@ def test_short_value_precondition_enforced(spark):
         [("abcdef",), ("abc",)], "val string")  # "abc" < 2*(2+1)=6
     with pytest.raises(Exception, match="short"):
         similarity_join_distinct(vals, "val").collect()
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -83,3 +83,11 @@ def test_result_invariant_to_task_retry(spark, sf_dir, name,
                           float_sig=q.float_sig)
     assert injected_vhs[name] == quiet_vh, (
         f"{name}: result depends on task attempt identity")
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

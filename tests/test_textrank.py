@@ -79,3 +79,11 @@ def test_textrank_tracks_float_weighted_pagerank(spark, sf_dir):
     tol = (TR_ITERS * (max_deg + 2) + 2) / TR_FIX
     for r in got:
         assert abs(r["textrank_fix"] / TR_FIX - rank[r["word"]]) < tol
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy

@@ -60,3 +60,11 @@ def test_python_source_sink_roundtrip_under_hostile_os_tz(spark, sf_dir):
     want = value_hash(
         query_map()["stream_sessionize_e2e"](spark, sf_dir).toPandas())
     assert got == want, "session round-trip drifted under hostile OS TZ"
+
+
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
