@@ -10,6 +10,13 @@ import math
 
 import duckdb
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 
 def test_bigram_nll_matches_plain_float_recompute(spark, sf_dir):
     from ecommerce_analytics_spark.plans.registry import query_map

@@ -14,6 +14,13 @@ import uuid
 
 from pyspark.sql import functions as F
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 
 def _plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(

@@ -36,6 +36,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 N_FILES = 16
 
 

@@ -8,6 +8,13 @@ from pyspark.sql import functions as F
 from ecommerce_analytics_spark.operators.events_json import (
     q_retail_events_json)
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 SF = "/root/testdata/sf0.001"
 
 EVENT_SCHEMA = ("event_id string, event_type string, user_id string, "

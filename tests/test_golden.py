@@ -9,6 +9,13 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 
 def _txn_fixture(spark):
     """Tiny retail stream for one customer + one anonymous-ish case.

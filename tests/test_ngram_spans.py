@@ -15,6 +15,13 @@ from ecommerce_analytics_spark.operators.ngram_spans import (
     NGRAM_N, q_repeated_ngram_docs, q_repeated_ngram_prune,
 )
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def tiny_docs_dir(spark, tmp_path_factory):

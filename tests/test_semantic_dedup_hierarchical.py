@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 from ecommerce_analytics_spark.io import load_table
 from ecommerce_analytics_spark.operators import training_prep as tp
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 
 @pytest.fixture()
 def hier_regime(monkeypatch):

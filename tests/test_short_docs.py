@@ -20,6 +20,13 @@ import os
 
 import pytest
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 PATCHED_MODULES = {
     "ecommerce_analytics_spark.operators.dedup",
     "ecommerce_analytics_spark.operators.fingerprint",

@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 ROCKSDB_CLASS = ("org.apache.spark.sql.execution.streaming.state."
                  "RocksDBStateStoreProvider")
 PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"

@@ -31,6 +31,13 @@ import json
 import os
 import shutil
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 ROCKSDB_CLASS = ("org.apache.spark.sql.execution.streaming.state."
                  "RocksDBStateStoreProvider")
 PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"

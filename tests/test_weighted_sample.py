@@ -12,6 +12,13 @@ from ecommerce_analytics_spark.operators.weighted_sample import (
     _KEY_SQL, weighted_sample_per_group,
 )
 
+# Driver-budget tiering (see pytest.ini): this file is in the heavy
+# tier — excluded from the default `pytest tests/` run, executed by
+# the full gate (tools/run_tests_parallel.py / `-o addopts=`).
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.heavy
+
 
 def _single_phase(df, group_col, k):
     w = (Window.partitionBy(group_col)

@@ -24,7 +24,7 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("PLAN_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = REPO / "plans" / "r11"
+OUT_DIR = REPO / "plans" / os.environ.get("PLAN_ROUND", "r12")
 
 
 def main() -> int:
